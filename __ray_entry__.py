@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in kgforge/) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is an implemented operator/pipeline from
+SURVEY.md §2; ``oracle_sql()`` holds the equivalent DuckDB SQL over the
+pre-registered views (region nation customer supplier part orders
+lineitem events documents embeddings). Column names match between the
+two by construction (shared grammar + shared stringification specs).
 """
 
 from __future__ import annotations
@@ -20,25 +17,38 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: web-pages → KG pipeline on sf0.001 (build pages from
+    documents deterministically, extract text, grammar+mention triples,
+    actor-pool entity linking, canonicalize, dedup)."""
+    from kgforge.pipelines.webkg import webkg_terms
+
+    return webkg_terms("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from kgforge.pipelines import tabular, webkg
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {}
+
+    # --- flagship web-KG pipeline (S2,M1,M2,M4,M12,A1,A5 + extensions)
+    q["webkg_triples"] = lambda sf: webkg.webkg_terms(sf)
+
+    # --- grammar-driven table KG (S4,M1-M10,M12,A1)
+    for t in ("nation", "customer", "part", "supplier"):
+        q[f"kg_{t}"] = (lambda sf, _t=t: tabular.table_kg_terms(sf, _t))
+
+    # --- ontology-requirements side output (S7,A2)
+    q["kg_requirements_part"] = lambda sf: tabular.table_requirements(sf, "part")
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kgforge.pipelines import tabular, webkg
+
+    o: dict[str, str] = {}
+    o["webkg_triples"] = webkg.webkg_oracle_sql()
+    for t in ("nation", "customer", "part", "supplier"):
+        o[f"kg_{t}"] = tabular.table_kg_sql(t)
+    o["kg_requirements_part"] = tabular.table_requirements_sql("part")
+    return o

@@ -1,0 +1,329 @@
+"""Flagship pipeline: web pages → knowledge graph (the north-star shape).
+
+    build_pages (Parquet read, streaming)
+      → HtmlTextExtractor           map_batches, actor pool     [stateless-ish]
+      → stringify                   deterministic typed→string
+      → TripleGenerator(grammar)    vectorized flat-map         [rules]
+      ∪ mention path: MentionPairs → EntityLinker (actor pool,
+        broadcast alias table) → MentionTripleMint
+      → exact-dup canonicalization  (groupby text-hash → min-URI merge,
+        owl:sameAs emission)
+      → dedup_triples               two-phase distinct shuffle
+      → sort / render               deterministic materialization
+
+Every stage is a Dataset transform; nothing materializes the full
+corpus on the driver. The DuckDB oracle for the whole pipeline is
+``webkg_oracle_sql`` — generated from the same grammar plus a
+hand-written mention/canonicalization SQL mirror.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from ..ntriples import OWL_SAMEAS, RDF_TYPE, RDFS_LABEL, render_literal
+from ..rules import (
+    LiteralRule,
+    PKeyRule,
+    RuleSet,
+    URIRule,
+    format_uri,
+    parse_alteration,
+)
+from ..sqlgen import (
+    _iri_term,
+    _plain_lit_sql,
+    _uri_sql,
+    nonempty_sql,
+    ruleset_to_sql,
+    sql_quote,
+)
+from ..sources.pages import build_pages
+from ..stages.dedup import dedup_triples
+from ..stages.extract import HtmlTextExtractor
+from ..stages.linker import EntityLinker
+from ..stages.prepare import INT, stringify
+from ..stages.triples import TripleGenerator, _const_col, triples_to_terms
+
+DOMAIN = "https://kgforge.example.org/kg/"
+
+# deterministic gazetteer + alias table over the synthetic corpus's
+# vocabulary (documents.text word salad) — the linker's small side
+LEXICON = ("customer", "spark", "table", "window", "vector", "stream",
+           "hash", "merge", "join", "query")
+ALIASES = {
+    "spark": "apache_spark",
+    "hash": "hash_function",
+    "vector": "vector_value",
+}
+LANGS = {"en": "English", "de": "German", "fr": "French",
+         "es": "Spanish", "zh": "Chinese"}
+
+
+def page_ruleset(domain: str = DOMAIN) -> RuleSet:
+    """The web-KG grammar: same rule algebra as the reference's ini
+    grammars, constructed programmatically over the pages columns."""
+    lists = {"*langs*": dict(LANGS)}
+    rules = {}
+    pkey = PKeyRule(domain, "url", "pkey", "web_page", "")
+    rules["url"] = pkey
+    rules["lang"] = URIRule(
+        domain, "lang", "object,map(all;*langs*)", "language", "in_language",
+        alteration=parse_alteration("object,map(all;*langs*)", lists))
+    rules["source"] = URIRule(domain, "source", "object", "web_source",
+                              "from_source")
+    rules["n_chars"] = LiteralRule(
+        domain, "n_chars",
+        "object", "http://www.w3.org/2001/XMLSchema#integer", "char_count")
+    return RuleSet(domain=domain, rules=rules, lists=lists, pkey=pkey)
+
+
+# ---------------------------------------------------------------- mentions
+class MentionPairs:
+    """text -> (url, mention) pairs: vectorized split + gazetteer filter."""
+
+    def __init__(self, lexicon=LEXICON):
+        self.value_set = pa.array(sorted(lexicon), type=pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks().cast(pa.string())
+        url = batch["url"].combine_chunks().cast(pa.string())
+        split = pc.split_pattern(text, pattern=" ")
+        flat = split.flatten()
+        parents = pc.list_parent_indices(split)
+        mask = pc.is_in(flat, value_set=self.value_set)
+        return pa.table({
+            "url": url.take(parents.filter(mask)),
+            "mention": flat.filter(mask),
+        })
+
+
+class MentionTripleMint:
+    """(url, canonical mention) -> URIRule-object-pattern triples."""
+
+    def __init__(self, domain: str = DOMAIN, celltype: str = "entity",
+                 columntype: str = "mentions", pkey_type: str = "web_page"):
+        self.domain = domain
+        self.celltype = celltype
+        self.columntype = columntype
+        self.pkey_type = pkey_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.triples import mint_uris
+        n = batch.num_rows
+        if n == 0:
+            from ..stages.triples import TRIPLE_SCHEMA
+            return TRIPLE_SCHEMA.empty_table()
+        ent = batch["canonical"].combine_chunks().cast(pa.string())
+        url = batch["url"].combine_chunks().cast(pa.string())
+        tv = mint_uris(self.domain, ent)
+        pkv = mint_uris(self.domain, url)
+        ct = self.domain + format_uri(self.celltype)
+        colt = self.domain + format_uri(self.columntype)
+        pktu = self.domain + format_uri(self.pkey_type)
+        s = [tv, tv, pkv]
+        p = [_const_col(RDFS_LABEL, n), _const_col(RDF_TYPE, n),
+             _const_col(colt, n)]
+        kind = [_const_col("l", n), _const_col("u", n), _const_col("u", n)]
+        lex = [ent, _const_col(ct, n), tv]
+        dt = [_const_col("", n)] * 3
+        # schema triples once per batch (rule fired)
+        consts = [
+            (ct, RDFS_LABEL, "l", self.celltype, ""),
+            (colt, RDFS_LABEL, "l", self.columntype, ""),
+            (colt, "http://www.w3.org/2000/01/rdf-schema#domain", "u", pktu, ""),
+            (colt, "http://www.w3.org/2000/01/rdf-schema#range", "u", ct, ""),
+        ]
+        s.append(pa.array([c[0] for c in consts], type=pa.string()))
+        p.append(pa.array([c[1] for c in consts], type=pa.string()))
+        kind.append(pa.array([c[2] for c in consts], type=pa.string()))
+        lex.append(pa.array([c[3] for c in consts], type=pa.string()))
+        dt.append(pa.array([c[4] for c in consts], type=pa.string()))
+        from ..stages.triples import TRIPLE_SCHEMA
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([a.cast(pa.string()) for a in s]),
+             pa.concat_arrays([a.cast(pa.string()) for a in p]),
+             pa.concat_arrays([a.cast(pa.string()) for a in kind]),
+             pa.concat_arrays([a.cast(pa.string()) for a in lex]),
+             pa.concat_arrays([a.cast(pa.string()) for a in dt])],
+            schema=TRIPLE_SCHEMA)
+
+
+# ------------------------------------------------------- canonicalization
+class _TextHashUri:
+    def __init__(self, domain: str):
+        self.domain = domain
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.triples import mint_uris
+        text = batch["text"].combine_chunks().cast(pa.string())
+        url = batch["url"].combine_chunks().cast(pa.string())
+        h = pa.array([hashlib.md5(t.encode()).hexdigest()
+                      for t in text.to_pylist()], type=pa.string())
+        return pa.table({"h": h, "uri": mint_uris(self.domain, url)})
+
+
+def exact_dup_canonical_map(pages_with_text: "ray.data.Dataset",
+                            domain: str = DOMAIN) -> dict[str, str]:
+    """Pages sharing identical extracted text merge into one entity:
+    canonical = lexicographic min page-URI per text group. One
+    groupby-aggregate shuffle on the text hash; only DUPLICATE groups
+    (bounded by duplicate mass, tiny vs corpus) reach the driver."""
+    hashed = pages_with_text.map_batches(_TextHashUri(domain),
+                                         batch_format="pyarrow")
+    agg = hashed.groupby("h").aggregate(Count(alias_name="n"),
+                                        Min("uri", alias_name="canon"))
+    dup = agg.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)),
+                          batch_format="pyarrow")
+    canon_by_h = {}
+    for b in dup.iter_batches(batch_format="pyarrow"):
+        canon_by_h.update(zip(b["h"].to_pylist(), b["canon"].to_pylist()))
+    if not canon_by_h:
+        return {}
+    ref = ray.put(set(canon_by_h))
+
+    def members(batch: pa.Table) -> pa.Table:
+        keep = ray.get(ref)
+        mask = pa.array([x in keep for x in batch["h"].to_pylist()])
+        return batch.filter(mask)
+
+    mapping = {}
+    for b in hashed.map_batches(members, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for h, uri in zip(b["h"].to_pylist(), b["uri"].to_pylist()):
+            canon = canon_by_h[h]
+            if uri != canon:
+                mapping[uri] = canon
+    return mapping
+
+
+def sameas_from_map(mapping: dict[str, str]) -> "ray.data.Dataset":
+    rows = [{"s": m, "p": OWL_SAMEAS, "o_kind": "u", "o_lex": c, "o_dt": ""}
+            for m, c in sorted(mapping.items())]
+    from ..stages.triples import TRIPLE_SCHEMA
+    if not rows:
+        return ray.data.from_arrow(TRIPLE_SCHEMA.empty_table())
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=TRIPLE_SCHEMA))
+
+
+# -------------------------------------------------------------- pipeline
+def webkg_triples(sf_dir: str, domain: str = DOMAIN,
+                  canonicalize: bool = True,
+                  linker_concurrency: int = 2) -> "ray.data.Dataset":
+    """Full flagship: returns the deduped triple Dataset (columnar)."""
+    pages = build_pages(sf_dir)
+    # fractional num_cpus: the two actor pools must NOT reserve every
+    # logical CPU or the downstream shuffle's aggregator actors starve
+    # and the pipeline deadlocks (observed at num_cpus=4); 0.5 leaves
+    # headroom for read/shuffle tasks at any session size
+    pages = pages.map_batches(HtmlTextExtractor, batch_format="pyarrow",
+                              concurrency=linker_concurrency, num_cpus=0.5)
+    pages = pages.map_batches(stringify({"doc_id": INT, "n_chars": INT}),
+                              batch_format="pyarrow")
+    rs = page_ruleset(domain)
+    base = pages.map_batches(TripleGenerator(rs), batch_format="pyarrow")
+
+    alias_ref = ray.put(dict(ALIASES))
+    mentions = (pages.map_batches(MentionPairs(), batch_format="pyarrow")
+                .map_batches(EntityLinker, batch_format="pyarrow",
+                             fn_constructor_kwargs={
+                                 "alias_source": alias_ref,
+                                 "input_col": "mention",
+                                 "output_col": "canonical"},
+                             concurrency=linker_concurrency, num_cpus=0.5)
+                .map_batches(MentionTripleMint(domain), batch_format="pyarrow"))
+
+    triples = base.union(mentions)
+
+    if canonicalize:
+        mapping = exact_dup_canonical_map(pages, domain)
+        if mapping:
+            from ..stages.canonicalize import apply_canonical_map
+            triples = apply_canonical_map(triples, mapping)
+            triples = triples.union(sameas_from_map(mapping))
+    return dedup_triples(triples)
+
+
+def webkg_terms(sf_dir: str, domain: str = DOMAIN, **kw) -> "ray.data.Dataset":
+    """(s, p, o) rendered-term form of the flagship output."""
+    return webkg_triples(sf_dir, domain, **kw).map_batches(
+        triples_to_terms, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ SQL oracle
+def webkg_oracle_sql(domain: str = DOMAIN, docs: str = "documents") -> str:
+    """DuckDB mirror of the full flagship over the ``documents`` view.
+
+    The pages table is a deterministic function of documents (see
+    sources/pages.py) and text extraction inverts it byte-for-byte, so
+    the oracle works directly on documents: url/lang/source/n_chars per
+    the grammar, mention triples via string_split + gazetteer + alias
+    CASE, canonicalization via min(url-URI) over identical-text groups.
+    """
+    rs = page_ruleset(domain)
+    # canonical page URI: min over identical-text partition, of the minted URI
+    url_expr = f"('https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR))"
+    uri_expr = _uri_sql(domain, url_expr)
+    base = (f"(SELECT *, {url_expr} AS _url, "
+            f"MIN({uri_expr}) OVER (PARTITION BY text) AS _canon_uri, "
+            f"{uri_expr} AS _self_uri FROM {docs})")
+    # the grammar runs over the canonicalized subject: url cell value is
+    # only used sanitized-at-mint (pkey raw quirk doesn't bite: url label
+    # literal keeps the RAW member url... but canonicalization REWRITES
+    # the minted subject IRI, not the label; mirror by emitting labels
+    # from the raw url and rewriting only IRI positions.
+    colmap = {"url": "_url", "lang": "lang", "source": "source",
+              "n_chars": "CAST(n_chars AS VARCHAR)"}
+    base_sql = ruleset_to_sql(rs, base, colmap)
+    # rewrite IRI occurrences of non-canonical page URIs:
+    rewritten = (
+        "SELECT CASE WHEN s = m.member THEN m.canon ELSE s END AS s, p, "
+        "CASE WHEN o = '<'||m.member||'>' THEN '<'||m.canon||'>' ELSE o END AS o "
+        f"FROM ({base_sql}) t LEFT JOIN "
+        f"(SELECT DISTINCT _self_uri AS member, _canon_uri AS canon "
+        f"FROM {base} WHERE _self_uri <> _canon_uri) m "
+        "ON t.s = m.member OR t.o = '<'||m.member||'>'"
+    )
+    # mention triples (aliased) + owl:sameAs pairs
+    in_list = ", ".join(sql_quote(t) for t in sorted(LEXICON))
+    whens = " ".join(f"WHEN {sql_quote(k)} THEN {sql_quote(v)}"
+                     for k, v in sorted(ALIASES.items()))
+    canon_tok = f"(CASE tok {whens} ELSE tok END)"
+    tok_src = (f"(SELECT _canon_uri AS pkuri, "
+               f"unnest(string_split(text, ' ')) AS tok FROM {base})")
+    tv = _uri_sql(domain, canon_tok)
+    ct = domain + format_uri("entity")
+    colt = domain + format_uri("mentions")
+    pktu = domain + format_uri("web_page")
+    mention_sql = f"""
+SELECT {tv} AS s, {sql_quote(RDFS_LABEL)} AS p, {_plain_lit_sql(canon_tok)} AS o
+FROM {tok_src} WHERE tok IN ({in_list})
+UNION ALL
+SELECT {tv} AS s, {sql_quote(RDF_TYPE)} AS p, {sql_quote(f'<{ct}>')} AS o
+FROM {tok_src} WHERE tok IN ({in_list})
+UNION ALL
+SELECT pkuri AS s, {sql_quote(colt)} AS p, {_iri_term(tv)} AS o
+FROM {tok_src} WHERE tok IN ({in_list})
+UNION ALL
+SELECT {sql_quote(ct)} AS s, {sql_quote(RDFS_LABEL)} AS p, {sql_quote(render_literal("entity"))} AS o WHERE EXISTS (SELECT 1 FROM {tok_src} WHERE tok IN ({in_list}))
+UNION ALL
+SELECT {sql_quote(colt)} AS s, {sql_quote(RDFS_LABEL)} AS p, {sql_quote(render_literal("mentions"))} AS o WHERE EXISTS (SELECT 1 FROM {tok_src} WHERE tok IN ({in_list}))
+UNION ALL
+SELECT {sql_quote(colt)} AS s, {sql_quote("http://www.w3.org/2000/01/rdf-schema#domain")} AS p, {sql_quote(f'<{pktu}>')} AS o WHERE EXISTS (SELECT 1 FROM {tok_src} WHERE tok IN ({in_list}))
+UNION ALL
+SELECT {sql_quote(colt)} AS s, {sql_quote("http://www.w3.org/2000/01/rdf-schema#range")} AS p, {sql_quote(f'<{ct}>')} AS o WHERE EXISTS (SELECT 1 FROM {tok_src} WHERE tok IN ({in_list}))
+"""
+    sameas_sql = (
+        f"SELECT member AS s, {sql_quote(OWL_SAMEAS)} AS p, "
+        f"'<'||canon||'>' AS o FROM (SELECT DISTINCT _self_uri AS member, "
+        f"_canon_uri AS canon FROM {base} WHERE _self_uri <> _canon_uri)"
+    )
+    return (f"SELECT DISTINCT s, p, o FROM (\n({rewritten})\nUNION ALL\n"
+            f"{mention_sql}\nUNION ALL\n{sameas_sql}\n)")

@@ -297,6 +297,68 @@ class LiteralRule(Rule):
 
 
 @dataclass
+class MultiValueRule(Rule):
+    """Engine extension: multi-valued cell split into one entity per token
+    — generalizes v1's space-split cell expansion
+    (/root/reference/csv2rdf/csv2rdf.py:255-268, the author's own
+    "should be parameterizable" TODO at :254) with the v5 object-column
+    triple pattern per token. Programmatic-only (no ini syntax; the
+    reference grammar cannot express it).
+
+    ``separator`` splits the cell; empty tokens are dropped; when
+    ``lexicon`` is set, only tokens in it survive (the web-pipeline's
+    entity-mention gazetteer). Each surviving token t emits the OBJECT
+    pattern: label(t), type(t, celltype), (pkey, columntype, t) +
+    the same schema triples as a URIRule object column."""
+
+    separator: str = " "
+    lexicon: frozenset[str] | None = None
+
+    @property
+    def effective_role(self) -> str:
+        return OBJECT
+
+    def tokens(self, cell: str) -> list[str]:
+        toks = [t for t in cell.split(self.separator) if t != ""]
+        if self.lexicon is not None:
+            toks = [t for t in toks if t in self.lexicon]
+        return toks
+
+    def row_triples(self, cell, pk, pkt):
+        out: list[Triple] = []
+        ct = self.uri(self.celltype)
+        colt = self.uri(self.columntype)
+        pkv = self.uri(pk)
+        for t in self.tokens(cell):
+            tv = self.uri(t)
+            out.append((tv, RDFS_LABEL, KIND_LIT, t, ""))
+            out.append((tv, RDF_TYPE, KIND_URI, ct, ""))
+            out.append((pkv, colt, KIND_URI, tv, ""))
+        return out
+
+    def constant_triples(self):
+        ct = self.uri(self.celltype)
+        colt = self.uri(self.columntype)
+        return [
+            (ct, RDFS_LABEL, KIND_LIT, self.celltype, ""),
+            (colt, RDFS_LABEL, KIND_LIT, self.columntype, ""),
+        ]
+
+    def domain_range_triples(self, pkt: str) -> list[Triple]:
+        colt = self.uri(self.columntype)
+        return [
+            (colt, RDFS_DOMAIN, KIND_URI, self.uri(pkt), ""),
+            (colt, RDFS_RANGE, KIND_URI, self.uri(self.celltype), ""),
+        ]
+
+    def ontology_requirements(self):
+        return [
+            "Cell type: " + render_iri(self.uri(self.celltype)),
+            "Column type: " + render_iri(self.uri(self.columntype)),
+        ]
+
+
+@dataclass
 class RuleSet:
     """Compiled grammar: ordered rules + mapping lists + the pkey rule.
 
@@ -331,7 +393,7 @@ class RuleSet:
         pkt = self.pkey_type
         for rule in self.rules.values():
             out.extend(rule.constant_triples())
-            if isinstance(rule, (URIRule, LiteralRule)):
+            if isinstance(rule, (URIRule, LiteralRule, MultiValueRule)):
                 out.extend(rule.domain_range_triples(pkt))
         # de-dup preserving order
         seen: set[Triple] = set()

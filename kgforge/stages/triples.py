@@ -41,6 +41,7 @@ from ..rules import (
     ALTER_PREFIX,
     Alteration,
     LiteralRule,
+    MultiValueRule,
     PKeyRule,
     Rule,
     RuleSet,
@@ -222,6 +223,34 @@ class TripleGenerator:
                 else:
                     emit(pkv, _const_col(colt, n), _const_col(KIND_URI, n), cv,
                          _const_col("", n))
+            elif isinstance(rule, MultiValueRule):
+                # vectorized token explosion: split → flatten with parent
+                # indices → lexicon membership filter
+                split = pc.split_pattern(cell, pattern=rule.separator)
+                flat = split.flatten()
+                parents = pc.list_parent_indices(split)
+                tok_mask = pc.not_equal(flat, "")
+                if rule.lexicon is not None:
+                    tok_mask = pc.and_(
+                        tok_mask,
+                        pc.is_in(flat, value_set=pa.array(sorted(rule.lexicon),
+                                                          type=pa.string())),
+                    )
+                toks = flat.filter(tok_mask)
+                m = len(toks)
+                if m == 0:
+                    continue  # no surviving token → rule did not fire
+                pk_tok = pk.take(parents.filter(tok_mask))
+                tv = mint_uris(rule.domain, toks)
+                ct = rule.uri(rule.celltype)
+                colt = rule.uri(rule.columntype)
+                pkv = mint_uris(rule.domain, pk_tok)
+                emit(tv, _const_col("http://www.w3.org/2000/01/rdf-schema#label", m),
+                     _const_col(KIND_LIT, m), toks, _const_col("", m))
+                emit(tv, _const_col("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", m),
+                     _const_col(KIND_URI, m), _const_col(ct, m), _const_col("", m))
+                emit(pkv, _const_col(colt, m), _const_col(KIND_URI, m), tv,
+                     _const_col("", m))
             elif isinstance(rule, LiteralRule):
                 colt = rule.uri(rule.columntype)
                 pkv = mint_uris(rule.domain, pk)
@@ -232,7 +261,7 @@ class TripleGenerator:
 
             if self.emit_schema_triples:
                 consts = list(rule.constant_triples())
-                if isinstance(rule, (URIRule, LiteralRule)):
+                if isinstance(rule, (URIRule, LiteralRule, MultiValueRule)):
                     consts.extend(rule.domain_range_triples(pkt))
                 emit_const_rows(consts)
 

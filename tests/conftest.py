@@ -25,6 +25,11 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # small-session tuning: default min_parallelism (200) shreds tiny test
+    # datasets into hundreds of blocks, and the hash-shuffle aggregator
+    # pool (64 actors, 300s waits) dwarfs a 4-CPU session
+    ctx.min_parallelism = 8
+    ctx.max_hash_shuffle_aggregators = 4
     yield ray
     ray.shutdown()
 
