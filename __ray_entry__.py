@@ -26,6 +26,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from kgforge.ops import ann, dedup, multimodal, relational, text
     from kgforge.pipelines import tabular, webkg
 
     q: dict[str, Callable[[str], Any]] = {}
@@ -40,10 +41,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- ontology-requirements side output (S7,A2)
     q["kg_requirements_part"] = lambda sf: tabular.table_requirements(sf, "part")
 
+    # --- text analysis (langid, quality, token counting, fingerprints)
+    q["text_stats"] = text.text_stats
+    q["lang_id"] = text.lang_id
+    q["lang_token_summary"] = text.lang_token_summary
+    q["doc_fingerprints"] = text.fingerprints          # rows-only
+
+    # --- dedup family
+    q["dedup_exact"] = dedup.exact_dedup
+    q["dedup_minhash"] = dedup.minhash_dedup           # rows-only
+    q["dedup_simhash"] = dedup.simhash_dedup           # rows-only
+
+    # --- similarity search
+    q["ann_topk"] = ann.ann_topk
+    q["embedding_dup_pairs"] = ann.embedding_dup_pairs  # rows-only
+
+    # --- relational (pre-agg groupby, broadcast join, session windows)
+    q["pricing_summary"] = relational.pricing_summary
+    q["top_revenue_orders"] = relational.top_revenue_orders
+    q["sessionize"] = relational.sessionize
+    q["event_type_counts"] = relational.event_type_counts
+
+    # --- multimodal plumbing (actor-pool featurizer over binary column)
+    q["media_feature_stats"] = multimodal.media_feature_stats  # rows-only
+
     return q
 
 
 def oracle_sql() -> dict[str, str]:
+    from kgforge.ops import ann, dedup, relational, text
     from kgforge.pipelines import tabular, webkg
 
     o: dict[str, str] = {}
@@ -51,4 +77,16 @@ def oracle_sql() -> dict[str, str]:
     for t in ("nation", "customer", "part", "supplier"):
         o[f"kg_{t}"] = tabular.table_kg_sql(t)
     o["kg_requirements_part"] = tabular.table_requirements_sql("part")
+    o["text_stats"] = text.TEXT_STATS_SQL
+    o["lang_id"] = text.LANG_ID_SQL
+    o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL
+    o["dedup_exact"] = dedup.EXACT_DEDUP_SQL
+    o["ann_topk"] = ann.ann_topk_sql()
+    o["pricing_summary"] = relational.PRICING_SUMMARY_SQL
+    o["top_revenue_orders"] = relational.top_revenue_orders_sql()
+    o["sessionize"] = relational.SESSIONIZE_SQL
+    o["event_type_counts"] = relational.EVENT_TYPE_COUNTS_SQL
+    # doc_fingerprints / dedup_minhash / dedup_simhash /
+    # embedding_dup_pairs / media_feature_stats: non-SQL-expressible
+    # (sketches, LSH, hashing) → rows-only checks by design
     return o

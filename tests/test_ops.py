@@ -1,0 +1,146 @@
+"""Training-data ops: dedup family, text analysis, ANN, relational,
+multimodal plumbing. SQL-comparable ops are checked against DuckDB at
+sf0.001; sketch/LSH ops are checked for determinism + known dups."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events", "lineitem", "orders",
+              "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _match(ds, sql, con):
+    df = ds.to_pandas()
+    odf = con.sql(sql).df()
+    cols = sorted(df.columns)
+    assert sorted(odf.columns) == cols, (sorted(odf.columns), cols)
+    a = set(map(tuple, df[cols].astype(str).itertuples(index=False)))
+    b = set(map(tuple, odf[cols].astype(str).itertuples(index=False)))
+    assert a == b, (sorted(a - b)[:3], sorted(b - a)[:3])
+
+
+def test_text_stats_vs_sql(ray_session):
+    from kgforge.ops import text as T
+    _match(T.text_stats(SF), T.TEXT_STATS_SQL, _con())
+
+
+def test_lang_id_vs_sql(ray_session):
+    from kgforge.ops import text as T
+    _match(T.lang_id(SF), T.LANG_ID_SQL, _con())
+
+
+def test_exact_dedup_vs_sql_and_finds_known_dups(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+    from kgforge.ops import dedup as D
+    _match(D.exact_dedup(SF), D.EXACT_DEDUP_SQL, _con())
+    # planted duplicates: 6 docs, 2 distinct texts
+    df = pd.DataFrame({"doc_id": range(6),
+                       "text": ["aa bb cc", "dd ee ff"] * 3})
+    p = tmp_path / "documents.parquet"
+    df.to_parquet(p)
+    out = D.exact_dedup(str(tmp_path)).to_pandas()
+    assert len(out) == 2 and sorted(out["n_dups"]) == [3, 3]
+    assert sorted(out["doc_id"]) == [0, 1]  # min id kept
+
+
+def test_minhash_finds_planted_near_dups(ray_session, tmp_path):
+    import pandas as pd
+    from kgforge.ops import dedup as D
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("kappa", "lambda", 1)          # high jaccard
+    far = "one two three four five six seven eight nine ten " * 4
+    df = pd.DataFrame({"doc_id": [10, 20, 30],
+                       "text": [base, near, far]})
+    df.to_parquet(tmp_path / "documents.parquet")
+    pairs = D.minhash_dedup(str(tmp_path), threshold=0.5).to_pandas()
+    assert set(map(tuple, pairs[["a", "b"]].itertuples(index=False))) == {(10, 20)}
+    # determinism across runs
+    pairs2 = D.minhash_dedup(str(tmp_path), threshold=0.5).to_pandas()
+    assert pairs.sort_values(["a", "b"]).equals(pairs2.sort_values(["a", "b"]))
+
+
+def test_simhash_near_dup_and_hamming(ray_session, tmp_path):
+    import pandas as pd
+    from kgforge.ops import dedup as D
+    base = " ".join(f"tok{i}" for i in range(60))
+    far = "totally different words " * 15
+    # identical texts → hamming 0 → guaranteed through 4-band blocking
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, base, far]})
+    df.to_parquet(tmp_path / "documents.parquet")
+    pairs = D.simhash_dedup(str(tmp_path), max_hamming=3).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+    assert (1, 2) in got and not any(3 in p for p in got)
+    assert (pairs.set_index(["a", "b"]).loc[(1, 2), "hamming"] == 0).all()
+
+
+def test_ann_topk_vs_sql(ray_session):
+    from kgforge.ops import ann as A
+    _match(A.ann_topk(SF), A.ann_topk_sql(), _con())
+
+
+def test_embedding_dup_pairs_planted(ray_session, tmp_path):
+    import pandas as pd
+    from kgforge.ops import ann as A
+    v = np.arange(8, dtype=np.float32)
+    rows = [
+        {"vec_id": 1, "embedding": v.tolist()},
+        {"vec_id": 2, "embedding": (v * 2.0).tolist()},   # same direction
+        {"vec_id": 3, "embedding": (v[::-1]).tolist()},   # different
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "embeddings.parquet")
+    pairs = A.embedding_dup_pairs(str(tmp_path), threshold=0.999).to_pandas()
+    assert set(map(tuple, pairs[["a", "b"]].itertuples(index=False))) == {(1, 2)}
+
+
+def test_pricing_summary_vs_sql(ray_session):
+    from kgforge.ops import relational as R
+    _match(R.pricing_summary(SF), R.PRICING_SUMMARY_SQL, _con())
+
+
+def test_top_revenue_orders_vs_sql(ray_session):
+    from kgforge.ops import relational as R
+    _match(R.top_revenue_orders(SF), R.top_revenue_orders_sql(), _con())
+
+
+def test_sessionize_vs_sql(ray_session):
+    from kgforge.ops import relational as R
+    _match(R.sessionize(SF), R.SESSIONIZE_SQL, _con())
+
+
+def test_winnowing_deterministic_and_shared_fps(ray_session, tmp_path):
+    import pandas as pd
+    from kgforge.ops import text as T
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [shared + " tail1 tail2", "head0 " + shared],
+    })
+    df.to_parquet(tmp_path / "documents.parquet")
+    fp = T.fingerprints(str(tmp_path)).to_pandas()
+    s1 = set(fp[fp.doc_id == 1]["fp"])
+    s2 = set(fp[fp.doc_id == 2]["fp"])
+    assert s1 & s2, "shared passage must share fingerprints"
+
+
+def test_media_pipeline_stub(ray_session):
+    from kgforge.ops import multimodal as M
+    out = M.media_features(SF).limit(50).to_pandas()
+    assert len(out) == 50
+    assert all(len(f) == M.FEATURE_DIM for f in out["feature"])
+    with pytest.raises(NotImplementedError):
+        M.DecodeStub(fake=False)
+    # determinism of the fake featurizer
+    a = M.media_feature_stats(SF).to_pandas().sort_values("media_id")
+    b = M.media_feature_stats(SF).to_pandas().sort_values("media_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
