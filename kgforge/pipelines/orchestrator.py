@@ -1,0 +1,74 @@
+"""Multi-source run orchestration — the reference's main() / orchestrator.
+
+Mirrors the two multi-source modes:
+- v2..v5: one store (output dir) per active source
+  (csv2rdf-v5/csv2rdf-v5.py:556-568)
+- v1: all sources accumulated into ONE shared store
+  (csv2rdf/csv2rdf.py:275-290) = Dataset.union before dedup (A4)
+
+Each source: compile its grammar, read its CSV, generate triples, dedup,
+write sorted N-Triples + Parquet + the global ontology-requirements side
+output (S7: ONE file across all sources, like the reference's DEFINE
+list, csv2rdf-v5.py:570-571).
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+
+from ..rules import RuleSet, SourceConfig, compile_grammar, read_options
+from ..sinks.ntriples_sink import write_graph, write_requirements
+from ..sources.csvsource import read_csv_source
+from ..stages.dedup import dedup_triples, distinct
+from ..stages.triples import OntologyRequirements, TripleGenerator
+
+
+def source_triples(source: SourceConfig,
+                   base_dir: str = ".") -> tuple["ray.data.Dataset",
+                                                 "ray.data.Dataset"]:
+    """One source -> (columnar triples pre-dedup, requirements)."""
+    grammar_path = source.semantics
+    if not os.path.isabs(grammar_path):
+        grammar_path = os.path.join(base_dir, grammar_path)
+    rs = compile_grammar(grammar_path, source.domain)
+    file_path = source.file
+    if not os.path.isabs(file_path):
+        file_path = os.path.join(base_dir, file_path)
+    ds = read_csv_source(file_path, source.delimiter)
+    triples = ds.map_batches(TripleGenerator(rs), batch_format="pyarrow")
+    reqs = ds.map_batches(OntologyRequirements(rs), batch_format="pyarrow")
+    return triples, reqs
+
+
+def run_sources(options_path: str, out_dir: str,
+                union_stores: bool = False) -> list[str]:
+    """Run every active source of an options file.
+
+    union_stores=False → one graph dir per source (v5 semantics);
+    union_stores=True  → single unioned graph (v1 orchestrator, A4).
+    Returns the list of written graph dirs."""
+    base_dir = os.path.dirname(os.path.abspath(options_path))
+    sources = read_options(options_path)
+    os.makedirs(out_dir, exist_ok=True)
+    written: list[str] = []
+    all_reqs: "ray.data.Dataset | None" = None
+    union: "ray.data.Dataset | None" = None
+    for src in sources:
+        triples, reqs = source_triples(src, base_dir)
+        all_reqs = reqs if all_reqs is None else all_reqs.union(reqs)
+        if union_stores:
+            union = triples if union is None else union.union(triples)
+        else:
+            dest = os.path.join(out_dir, src.name)
+            write_graph(dedup_triples(triples), dest)
+            written.append(dest)
+    if union_stores and union is not None:
+        dest = os.path.join(out_dir, "union")
+        write_graph(dedup_triples(union), dest)
+        written.append(dest)
+    if all_reqs is not None:
+        write_requirements(distinct(all_reqs, ["requirement"]),
+                           os.path.join(out_dir, "to-define-in-ontology.txt"))
+    return written

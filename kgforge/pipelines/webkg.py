@@ -214,19 +214,34 @@ def sameas_from_map(mapping: dict[str, str]) -> "ray.data.Dataset":
 
 
 # -------------------------------------------------------------- pipeline
-def webkg_triples(sf_dir: str, domain: str = DOMAIN,
-                  canonicalize: bool = True,
-                  linker_concurrency: int = 2) -> "ray.data.Dataset":
-    """Full flagship: returns the deduped triple Dataset (columnar)."""
+def build_prepared_pages(sf_dir: str,
+                         extractor_concurrency: int = 2
+                         ) -> "ray.data.Dataset":
+    """pages + extracted text + stringified metadata (the input half of
+    the flagship; partition-filterable on doc_id for resumable runs)."""
     pages = build_pages(sf_dir)
-    # fractional num_cpus: the two actor pools must NOT reserve every
-    # logical CPU or the downstream shuffle's aggregator actors starve
-    # and the pipeline deadlocks (observed at num_cpus=4); 0.5 leaves
-    # headroom for read/shuffle tasks at any session size
-    pages = pages.map_batches(HtmlTextExtractor, batch_format="pyarrow",
-                              concurrency=linker_concurrency, num_cpus=0.5)
-    pages = pages.map_batches(stringify({"doc_id": INT, "n_chars": INT}),
-                              batch_format="pyarrow")
+    # extractor state is just compiled regexes — shipped pre-compiled in
+    # the pickled instance, so elastic stateless TASKS beat an actor
+    # pool here (no pool-spawn latency, no reserved CPUs); the linker
+    # below is the true actor-pool stage (it holds a loaded table)
+    pages = pages.map_batches(HtmlTextExtractor(), batch_format="pyarrow")
+    return pages.map_batches(stringify({"doc_id": INT, "n_chars": INT}),
+                             batch_format="pyarrow")
+
+
+def webkg_triples_from_pages(pages: "ray.data.Dataset",
+                             domain: str = DOMAIN,
+                             canonicalize: bool = True,
+                             linker_concurrency: tuple[int, int] | int = (1, 16)
+                             ) -> "ray.data.Dataset":
+    """The transform half: prepared pages -> deduped triples."""
+    # `pages` feeds THREE consumers (grammar triples, mention path,
+    # dup-detection) and Ray re-executes a lazy prefix per consumer —
+    # materialize once (object-store backed, spills to disk under
+    # pressure). For runs where even spilled pages are unwanted, the
+    # partitioned runner (state/manifest.py) bounds this to one
+    # partition at a time.
+    pages = pages.materialize()
     rs = page_ruleset(domain)
     base = pages.map_batches(TripleGenerator(rs), batch_format="pyarrow")
 
@@ -249,6 +264,16 @@ def webkg_triples(sf_dir: str, domain: str = DOMAIN,
             triples = apply_canonical_map(triples, mapping)
             triples = triples.union(sameas_from_map(mapping))
     return dedup_triples(triples)
+
+
+def webkg_triples(sf_dir: str, domain: str = DOMAIN,
+                  canonicalize: bool = True,
+                  linker_concurrency: tuple[int, int] | int = (1, 16)
+                  ) -> "ray.data.Dataset":
+    """Full flagship: returns the deduped triple Dataset (columnar)."""
+    pages = build_prepared_pages(sf_dir)
+    return webkg_triples_from_pages(pages, domain, canonicalize,
+                                    linker_concurrency)
 
 
 def webkg_terms(sf_dir: str, domain: str = DOMAIN, **kw) -> "ray.data.Dataset":

@@ -1,46 +1,81 @@
 """Exact distinct / triple dedup — the Ray-native replacement for
 rdflib ``Graph.add`` set semantics (csv2rdf-v5/csv2rdf-v5.py:153-157).
 
-Two-phase: (1) a vectorized per-batch local distinct inside
-``map_batches`` (the combiner — a triple repeated a million times in a
-block costs one output row, so hot keys reach the shuffle at
-cardinality ≤ num_blocks, which is the skew answer for *duplicate*
-skew), then (2) one global multi-key ``groupby().aggregate(Count)``
-(hash/sort shuffle) whose distinct key rows are the answer. The count
-column doubles as the dedup-hit counter for lineage metrics.
+Three phases, all vectorized:
+
+1. **Local combine** — per-batch Arrow ``Table.group_by`` distinct
+   inside ``map_batches`` (C++): a triple repeated a million times in a
+   block reaches the shuffle once, which is the whole answer to
+   *duplicate-key* skew.
+2. **Bucket** — a deterministic vectorized row hash
+   (``hash_pandas_object``) mod NUM_BUCKETS becomes the shuffle key, so
+   the exchange moves rows keyed by ONE small int, and downstream group
+   count is NUM_BUCKETS, not the row-key cardinality. (Ray's
+   sort-aggregate iterates groups in Python — keying the shuffle by the
+   full tuple would put the per-distinct-row loop on the critical path;
+   bucketing keeps Python off the hot path entirely.)
+3. **Per-bucket distinct** — ``groupby("_bucket").map_groups`` with an
+   Arrow group_by distinct per bucket (again C++).
+
+Buckets are hash-balanced; NUM_BUCKETS bounds reduce parallelism and
+should track cluster width (default 64).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count
 
 TRIPLE_KEYS = ["s", "p", "o_kind", "o_lex", "o_dt"]
+NUM_BUCKETS = 64
+
+
+def _arrow_distinct(batch: pa.Table, keys: list[str]) -> pa.Table:
+    return batch.select(keys).group_by(keys).aggregate([])
 
 
 def local_distinct(keys: list[str]):
     """map_batches fn: per-batch distinct over ``keys`` (Arrow group_by)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        return batch.select(keys).group_by(keys).aggregate([])
+        return _arrow_distinct(batch, keys)
 
     return fn
 
 
-def distinct(ds: "ray.data.Dataset", keys: list[str],
-             batch_size: int | None = 65536) -> "ray.data.Dataset":
-    """Global exact distinct on ``keys``: local combine → shuffle → final.
+def _row_hash(batch: pa.Table, keys: list[str]) -> pd.Series:
+    """Deterministic vectorized row hash (fixed hash_key, no process
+    salt — identical at any parallelism, resume-safe)."""
+    df = batch.select(keys).to_pandas()
+    return pd.util.hash_pandas_object(df, index=False)
 
-    Output columns are exactly ``keys`` (plus none) with one row per
-    distinct key tuple. Scales as a standard pre-aggregated groupby: the
-    all-to-all exchange only moves already-locally-distinct rows.
-    """
-    combined = ds.map_batches(local_distinct(keys), batch_format="pyarrow",
-                              batch_size=batch_size)
-    agg = combined.groupby(keys).aggregate(Count(alias_name="_dup_n"))
-    return agg.drop_columns(["_dup_n"])
+
+def distinct(ds: "ray.data.Dataset", keys: list[str],
+             num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Global exact distinct on ``keys``; output columns = ``keys``.
+
+    ``num_buckets`` bounds reduce-side parallelism. It should track the
+    DATA volume, not the session: each reduce task carries fixed
+    scheduling cost (~100ms-class), so at single-node bench scale a
+    small count wins, while a cluster run wants ≈ total cores. Default:
+    module NUM_BUCKETS, overridable via env KGFORGE_NUM_BUCKETS."""
+    if num_buckets is None:
+        import os
+        num_buckets = int(os.environ.get("KGFORGE_NUM_BUCKETS", NUM_BUCKETS))
+
+    def combine_and_bucket(batch: pa.Table) -> pa.Table:
+        d = _arrow_distinct(batch, keys)
+        bucket = (_row_hash(d, keys) % num_buckets).astype("int32")
+        return d.append_column("_bucket", pa.array(bucket.values))
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        return _arrow_distinct(group, keys)
+
+    combined = ds.map_batches(combine_and_bucket, batch_format="pyarrow")
+    return combined.groupby("_bucket").map_groups(bucket_distinct,
+                                                 batch_format="pyarrow")
 
 
 def dedup_triples(ds: "ray.data.Dataset") -> "ray.data.Dataset":

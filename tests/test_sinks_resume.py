@@ -1,0 +1,119 @@
+"""Sinks, CLI orchestrator, and the crash/resume manifest flow."""
+
+import csv
+import glob
+import os
+import shutil
+
+import pytest
+
+from conftest import DOMAIN, catalog_rows
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def cli_workspace(tmp_path, grammar_path):
+    header, rows = catalog_rows(80)
+    csv_path = tmp_path / "cat.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f, delimiter=";")
+        w.writerow(header)
+        w.writerows(rows)
+    shutil.copy(grammar_path, tmp_path / "grammar.ini")
+    conf = tmp_path / "conf.ini"
+    conf.write_text(
+        "[catalog]\n"
+        "file = cat.csv\n"
+        f"domain = {DOMAIN}\n"
+        "delimiter = ;\n"
+        "semantics = grammar.ini\n"
+        "active = True\n"
+        "[off]\n"
+        "file = missing.csv\n"
+        f"domain = {DOMAIN}\n"
+        "delimiter = ,\n"
+        "semantics = grammar.ini\n"
+        "active = False\n")
+    return tmp_path, header, rows
+
+
+def test_orchestrator_matches_oracle(ray_session, cli_workspace):
+    from kgforge.oracle import OracleGrammar, sorted_ntriples
+    from kgforge.pipelines.orchestrator import run_sources
+    tmp_path, header, rows = cli_workspace
+    out = tmp_path / "out"
+    written = run_sources(str(tmp_path / "conf.ini"), str(out))
+    assert written == [str(out / "catalog")]
+    og = OracleGrammar(str(tmp_path / "grammar.ini"), DOMAIN)
+    store, define = og.parse_rows(header, rows)
+    lines = []
+    for f in sorted(glob.glob(str(out / "catalog" / "graph.nt" / "*"))):
+        lines += open(f).read().splitlines()
+    assert lines == sorted_ntriples(store)          # byte-identical, sorted
+    reqs = open(out / "to-define-in-ontology.txt").read().splitlines()
+    assert set(reqs) == set(define)
+    # parquet mirror rows == nt lines
+    import ray.data as rd
+    assert rd.read_parquet(
+        str(out / "catalog" / "triples.parquet")).count() == len(lines)
+
+
+def test_orchestrator_union_mode(ray_session, cli_workspace, tmp_path):
+    """v1 semantics (A4): two sources into one shared deduped store."""
+    from kgforge.pipelines.orchestrator import run_sources
+    ws, header, rows = cli_workspace
+    conf2 = ws / "conf2.ini"
+    conf2.write_text(
+        "[s1]\nfile = cat.csv\n"
+        f"domain = {DOMAIN}\ndelimiter = ;\nsemantics = grammar.ini\n"
+        "active = True\n"
+        "[s2]\nfile = cat.csv\n"
+        f"domain = {DOMAIN}\ndelimiter = ;\nsemantics = grammar.ini\n"
+        "active = True\n")
+    out = ws / "out_union"
+    written = run_sources(str(conf2), str(out), union_stores=True)
+    assert written == [str(out / "union")]
+    # same file twice + set semantics → union size == single-source size
+    from kgforge.oracle import OracleGrammar
+    og = OracleGrammar(str(ws / "grammar.ini"), DOMAIN)
+    store, _ = og.parse_rows(header, rows)
+    lines = []
+    for f in sorted(glob.glob(str(out / "union" / "graph.nt" / "*"))):
+        lines += open(f).read().splitlines()
+    assert len(lines) == len(store)
+
+
+def test_partitioned_run_crash_resume(ray_session, tmp_path):
+    from kgforge.pipelines.webkg import webkg_triples
+    from kgforge.stages.triples import triples_to_terms
+    from kgforge.state.manifest import (Manifest, merged_triples,
+                                        partitioned_kg_run)
+    out = str(tmp_path / "run")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        partitioned_kg_run(SF, out, num_partitions=3, fail_after=1)
+    assert sorted(Manifest.load(out).completed()) == [0]
+    m = partitioned_kg_run(SF, out, num_partitions=3)   # resume
+    assert sorted(m.completed()) == [0, 1, 2]
+    assert all(r["rows_in"] > 0 and r["triples_out"] > 0
+               for r in m.records.values())
+    merged = merged_triples(out).map_batches(
+        triples_to_terms, batch_format="pyarrow").to_pandas()
+    single = webkg_triples(SF, canonicalize=False).map_batches(
+        triples_to_terms, batch_format="pyarrow").to_pandas()
+    a = set(map(tuple, merged[["s", "p", "o"]].itertuples(index=False)))
+    b = set(map(tuple, single[["s", "p", "o"]].itertuples(index=False)))
+    assert a == b
+
+    # idempotence: rerun on a complete manifest does nothing
+    before = os.path.getmtime(os.path.join(out, "manifest.jsonl"))
+    partitioned_kg_run(SF, out, num_partitions=3)
+    assert os.path.getmtime(os.path.join(out, "manifest.jsonl")) == before
+
+
+def test_csv_source_ragged_rows(ray_session, tmp_path):
+    from kgforge.sources.csvsource import read_csv_source
+    p = tmp_path / "r.csv"
+    p.write_text("a;b;c\n1;2;3\n4;5\n6;7;8;9\n")
+    df = read_csv_source(str(p), ";").to_pandas()
+    assert df["c"].tolist() == ["3", "", "8"]
