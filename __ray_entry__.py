@@ -41,6 +41,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- ontology-requirements side output (S7,A2)
     q["kg_requirements_part"] = lambda sf: tabular.table_requirements(sf, "part")
 
+    # --- grammar-less default mode (M13) + null-value filter (M5)
+    q["kg_default_events"] = tabular.default_kg_events
+    # --- v3 subClassOf/subPropertyOf chain mode (§2.4 v3 extras)
+    q["kg_part_v3chains"] = tabular.v3_chain_kg_part
+
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
     q["lang_id"] = text.lang_id
@@ -77,6 +82,8 @@ def oracle_sql() -> dict[str, str]:
     for t in ("nation", "customer", "part", "supplier"):
         o[f"kg_{t}"] = tabular.table_kg_sql(t)
     o["kg_requirements_part"] = tabular.table_requirements_sql("part")
+    o["kg_default_events"] = tabular.default_kg_events_sql()
+    o["kg_part_v3chains"] = tabular.v3_chain_kg_part_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

@@ -25,10 +25,14 @@ XSD_NS = "http://www.w3.org/2001/XMLSchema#"
 OWL_NS = "http://www.w3.org/2002/07/owl#"
 
 RDF_TYPE = RDF_NS + "type"
+RDF_PROPERTY = RDF_NS + "Property"
 RDFS_LABEL = RDFS_NS + "label"
 RDFS_DOMAIN = RDFS_NS + "domain"
 RDFS_RANGE = RDFS_NS + "range"
 RDFS_LITERAL = RDFS_NS + "Literal"
+RDFS_CLASS = RDFS_NS + "Class"
+RDFS_SUBCLASSOF = RDFS_NS + "subClassOf"
+RDFS_SUBPROPERTYOF = RDFS_NS + "subPropertyOf"
 OWL_SAMEAS = OWL_NS + "sameAs"
 
 XSD_STRING = XSD_NS + "string"

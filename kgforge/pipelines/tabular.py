@@ -198,3 +198,73 @@ def table_requirements_sql(table: str, domain: str = KG_DOMAIN) -> str:
     grammar, specs = TABLE_KG[table]
     rs = compile_grammar(grammar, domain)
     return ontology_requirements_sql(rs, table, _colmap(rs, specs))
+
+
+# ---------------------------------------------------- default mode (M13)
+from ..rules import default_ruleset
+from ..stages.prepare import TIMESTAMP
+
+EVENTS_SPECS = {"event_id": INT, "ts": TIMESTAMP, "user_id": INT,
+                "event_type": STRING, "value": FLOAT(2), "props": STRING}
+EVENTS_NULLS = frozenset({"NONE", "-"})
+
+
+def _events_default_ruleset(domain: str = KG_DOMAIN) -> RuleSet:
+    return default_ruleset(domain, list(EVENTS_SPECS), "event_id",
+                           pkey_type="event", null_values=EVENTS_NULLS)
+
+
+def default_kg_events(sf_dir: str, domain: str = KG_DOMAIN
+                      ) -> "ray.data.Dataset":
+    """Grammar-less conversion (M13, csv2rdf/csv2rdf.py:90-132) of the
+    events table + the v1 FORGET null-value filter (M5)."""
+    rs = _events_default_ruleset(domain)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=list(EVENTS_SPECS))
+    ds = ds.map_batches(stringify(EVENTS_SPECS), batch_format="pyarrow")
+    ds = ds.map_batches(TripleGenerator(rs), batch_format="pyarrow")
+    return dedup_triples(ds).map_batches(triples_to_terms,
+                                         batch_format="pyarrow")
+
+
+def default_kg_events_sql(domain: str = KG_DOMAIN) -> str:
+    rs = _events_default_ruleset(domain)
+    colmap = {sec: EVENTS_SPECS[r.source_column].sql_expr(r.source_column)
+              for sec, r in rs.rules.items()}
+    return ruleset_to_sql(rs, "events", colmap)
+
+
+# -------------------------------------------------- v3 type-chain mode
+PART_V3_GRAMMAR = """
+[p_name]
+cellrole = pkey
+celltype = part
+
+[p_type]
+cellrole = object
+celltype = part_type,classification,concept
+columntype = type_of,relates_to
+
+[p_brand]
+cellrole = object
+celltype = brand,naming_scheme
+columntype = branded_as,labelling
+"""
+
+
+def v3_chain_kg_part(sf_dir: str, domain: str = KG_DOMAIN
+                     ) -> "ray.data.Dataset":
+    """v3 subClassOf/subPropertyOf chain mode
+    (csv2rdf-v3/csv2rdf-v3.py:263-281) over the part table."""
+    rs = compile_grammar(PART_V3_GRAMMAR, domain, type_chains=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_name", "p_type", "p_brand"])
+    ds = ds.map_batches(TripleGenerator(rs), batch_format="pyarrow")
+    return dedup_triples(ds).map_batches(triples_to_terms,
+                                         batch_format="pyarrow")
+
+
+def v3_chain_kg_part_sql(domain: str = KG_DOMAIN) -> str:
+    rs = compile_grammar(PART_V3_GRAMMAR, domain, type_chains=True)
+    colmap = {sec: f'"{r.source_column}"' for sec, r in rs.rules.items()}
+    return ruleset_to_sql(rs, "part", colmap)

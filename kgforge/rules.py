@@ -37,11 +37,15 @@ from dataclasses import dataclass, field
 from .ntriples import (
     KIND_LIT,
     KIND_URI,
+    RDF_PROPERTY,
     RDF_TYPE,
+    RDFS_CLASS,
     RDFS_DOMAIN,
     RDFS_LABEL,
     RDFS_LITERAL,
     RDFS_RANGE,
+    RDFS_SUBCLASSOF,
+    RDFS_SUBPROPERTYOF,
     XSD_DATE,
     XSD_FLOAT,
     XSD_INTEGER,
@@ -216,7 +220,18 @@ class PKeyRule(Rule):
 
 @dataclass
 class URIRule(Rule):
-    """URI-valued column (csv2rdf-v5.py:218-318)."""
+    """URI-valued column (csv2rdf-v5.py:218-318).
+
+    ``chain_class`` / ``chain_prop``: v3's type-chain extension
+    (csv2rdf-v3/csv2rdf-v3.py:263-281): the comma-separated
+    celltypes/columntypes lists become ``x a rdfs:Class|rdf:Property``
+    plus ``x_i rdfs:subClassOf|subPropertyOf x_{i+1}`` chains. Empty
+    (the default) in v5-parity mode. v3 quirk preserved: chain URIs are
+    minted from the RAW list entries — NO sanitizer
+    (``URIRef(domain + lst[i])``, csv2rdf-v3.py:266-268)."""
+
+    chain_class: tuple[str, ...] = ()
+    chain_prop: tuple[str, ...] = ()
 
     @property
     def effective_role(self) -> str:
@@ -246,10 +261,20 @@ class URIRule(Rule):
         # resolved in RuleSet.constant_triples().
         ct = self.uri(self.celltype)
         colt = self.uri(self.columntype)
-        return [
+        out = [
             (ct, RDFS_LABEL, KIND_LIT, self.celltype, ""),
             (colt, RDFS_LABEL, KIND_LIT, self.columntype, ""),
         ]
+        # v3 chains (raw, unsanitized URIs — see class docstring)
+        for lst, meta, sub in ((self.chain_class, RDFS_CLASS, RDFS_SUBCLASSOF),
+                               (self.chain_prop, RDF_PROPERTY,
+                                RDFS_SUBPROPERTYOF)):
+            for t in lst:
+                out.append((self.domain + t, RDF_TYPE, KIND_URI, meta, ""))
+            for a, b in zip(lst, lst[1:]):
+                out.append((self.domain + a, sub, KIND_URI,
+                            self.domain + b, ""))
+        return out
 
     def domain_range_triples(self, pkt: str) -> list[Triple]:
         ct = self.uri(self.celltype)
@@ -359,15 +384,42 @@ class MultiValueRule(Rule):
 
 
 @dataclass
+class DefaultTypeRule(Rule):
+    """Grammar-less mode (M13): types the row subject —
+    ``subject rdf:type U(type)`` (csv2rdf/csv2rdf.py:113-117). The
+    reference mints subjects from the LINE NUMBER (order-dependent,
+    unusable under parallelism); we key on an explicit pkey column,
+    documented deviation."""
+
+    def row_triples(self, cell, pk, pkt):
+        return [(self.uri(cell), RDF_TYPE, KIND_URI, self.uri(self.celltype), "")]
+
+
+@dataclass
+class DefaultCellRule(Rule):
+    """Grammar-less mode (M13): one ``(subject, U(header), "cell")``
+    PLAIN literal per non-empty cell (csv2rdf/csv2rdf.py:118-121 — v1
+    default literals carry no datatype)."""
+
+    def row_triples(self, cell, pk, pkt):
+        return [(self.uri(pk), self.uri(self.columntype), KIND_LIT, cell, "")]
+
+
+@dataclass
 class RuleSet:
     """Compiled grammar: ordered rules + mapping lists + the pkey rule.
 
-    Mirrors Grammar.__init__ (csv2rdf-v5.py:346-430)."""
+    Mirrors Grammar.__init__ (csv2rdf-v5.py:346-430).
+
+    ``null_values``: v1's FORGET list (csv2rdf/csv2rdf.py:142,241-243):
+    cells whose exact value is in this set are skipped like empties —
+    configurable generalization of the hardcoded ['NONE', '-', '']."""
 
     domain: str
     rules: dict[str, Rule]            # section -> rule, grammar order
     lists: dict[str, dict[str, str]]  # '*name*' -> {lowercase key: value}
     pkey: PKeyRule
+    null_values: frozenset[str] = frozenset()
 
     @property
     def pkey_type(self) -> str:
@@ -430,9 +482,15 @@ def _read_config(text_or_path: str) -> configparser.ConfigParser:
     return config
 
 
-def compile_grammar(text_or_path: str, domain: str) -> RuleSet:
+def compile_grammar(text_or_path: str, domain: str,
+                    type_chains: bool = False) -> RuleSet:
     """Grammar factory — transcription of Grammar.__init__
-    (csv2rdf-v5.py:346-430). Accepts a path or inline ini text."""
+    (csv2rdf-v5.py:346-430). Accepts a path or inline ini text.
+
+    ``type_chains=True`` enables the v3 extension: comma-separated
+    celltype/columntype values become subClassOf/subPropertyOf chains
+    (first element plays the v5 single-type role). Default False =
+    exact v5 parity (v5 would sanitize the commas into '_')."""
     config = _read_config(text_or_path)
     lists: dict[str, dict[str, str]] = {}
     for section in config.sections():
@@ -461,9 +519,19 @@ def compile_grammar(text_or_path: str, domain: str) -> RuleSet:
                 opts[COLUMNTYPE],
             )
         else:
+            celltype, columntype = opts[CELLTYPE], opts[COLUMNTYPE]
+            chain_c: tuple[str, ...] = ()
+            chain_p: tuple[str, ...] = ()
+            if type_chains:
+                cts = tuple(celltype.split(","))
+                colts = tuple(columntype.split(","))
+                celltype, columntype = cts[0], colts[0]
+                if len(cts) > 1 or len(colts) > 1:
+                    chain_c, chain_p = cts, colts
             rules[section] = URIRule(
-                domain, section, role, opts[CELLTYPE], opts[COLUMNTYPE],
+                domain, section, role, celltype, columntype,
                 alteration=parse_alteration(role, lists),
+                chain_class=chain_c, chain_prop=chain_p,
             )
     if pkey is None:
         raise GrammarError("pkey not found in grammar file")
@@ -504,17 +572,23 @@ def read_options(text_or_path: str) -> list[SourceConfig]:
 
 
 def default_ruleset(domain: str, columns: list[str], pkey_column: str,
-                    pkey_type: str = "row") -> RuleSet:
-    """Grammar-less mode analogue of the v1/v2 default parser
-    (csv2rdf/csv2rdf.py:90-132): every column becomes a plain-string
-    predicate off the pkey. The reference mints subjects from the line
-    number (csv2rdf/csv2rdf.py:116) — order-dependent and unusable at
-    web scale, so our default keys on an explicit ``pkey_column``."""
+                    pkey_type: str = "row",
+                    null_values: frozenset[str] = frozenset()) -> RuleSet:
+    """Grammar-less mode (M13) — the v1/v2 default parser
+    (csv2rdf/csv2rdf.py:90-132): ``subject a U(pkey_type)`` + one
+    ``(subject, U(header), "cell")`` PLAIN literal per non-empty cell.
+    The reference mints subjects from the line number
+    (csv2rdf/csv2rdf.py:116) — order-dependent and unusable at web
+    scale, so our default keys on an explicit ``pkey_column``
+    (documented deviation). ``null_values`` enables the v1 FORGET
+    filter (M5)."""
     rules: dict[str, Rule] = {}
     pkey = PKeyRule(domain, pkey_column, PKEY, pkey_type, "")
-    rules[pkey_column] = pkey
+    rules[pkey_column] = DefaultTypeRule(domain, pkey_column, PKEY,
+                                         pkey_type, "")
     for col in columns:
         if col == pkey_column:
             continue
-        rules[col] = LiteralRule(domain, col, OBJECT, XSD_STRING, col)
-    return RuleSet(domain=domain, rules=rules, lists={}, pkey=pkey)
+        rules[col] = DefaultCellRule(domain, col, OBJECT, "", col)
+    return RuleSet(domain=domain, rules=rules, lists={}, pkey=pkey,
+                   null_values=null_values)

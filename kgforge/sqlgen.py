@@ -28,6 +28,8 @@ from .rules import (
     ALTER_NONE,
     ALTER_PREFIX,
     Alteration,
+    DefaultCellRule,
+    DefaultTypeRule,
     LiteralRule,
     MultiValueRule,
     PKeyRule,
@@ -135,6 +137,10 @@ def ruleset_to_sql(rs: RuleSet, table: str, colmap: dict[str, str],
     pk_expr = colmap[rs.pkey.section]
     pkt = rs.pkey_type
     pkv_uri = _uri_sql(rs.domain, pk_expr)
+    null_filter = ""
+    if rs.null_values:
+        in_list = ", ".join(sql_quote(v) for v in sorted(rs.null_values))
+        null_filter = f" AND {{cell}} NOT IN ({in_list})"
     selects: list[str] = []
 
     def sel(s: str, p: str, o: str, where: str) -> None:
@@ -148,12 +154,13 @@ def ruleset_to_sql(rs: RuleSet, table: str, colmap: dict[str, str],
         selects.append(
             f"SELECT {sql_quote(s)} AS s, {sql_quote(p)} AS p, "
             f"{sql_quote(o_term)} AS o WHERE EXISTS (SELECT 1 FROM {table} "
-            f"WHERE {nonempty_sql(guard_expr)})"
+            f"WHERE {nonempty_sql(guard_expr)}"
+            f"{null_filter.format(cell=guard_expr)})"
         )
 
     for rule in rs.rules.values():
         cell = colmap[rule.section]
-        fired = nonempty_sql(cell)
+        fired = nonempty_sql(cell) + null_filter.format(cell=cell)
         if isinstance(rule, PKeyRule):
             cv = _uri_sql(rs.domain, cell)
             ct = rule.uri(rule.celltype)
@@ -171,10 +178,11 @@ def ruleset_to_sql(rs: RuleSet, table: str, colmap: dict[str, str],
                 sel(cv, sql_quote(colt), _iri_term(pkv_uri), fired)
             else:
                 sel(pkv_uri, sql_quote(colt), _iri_term(cv), fired)
-            const_row(ct, RDFS_LABEL, render_literal(rule.celltype), cell)
-            const_row(colt, RDFS_LABEL, render_literal(rule.columntype), cell)
-            for s_, p_, kind_, lex_, dt_ in rule.domain_range_triples(pkt):
-                const_row(s_, p_, f"<{lex_}>", cell)
+            for s_, p_, kind_, lex_, dt_ in (rule.constant_triples() +
+                                             rule.domain_range_triples(pkt)):
+                o_term = (f"<{lex_}>" if kind_ == "u"
+                          else render_literal(lex_, dt_ or None))
+                const_row(s_, p_, o_term, cell)
         elif isinstance(rule, MultiValueRule):
             ct = rule.uri(rule.celltype)
             colt = rule.uri(rule.columntype)
@@ -216,6 +224,13 @@ def ruleset_to_sql(rs: RuleSet, table: str, colmap: dict[str, str],
             const_row(colt, RDFS_LABEL, render_literal(rule.columntype), cell)
             for s_, p_, kind_, lex_, dt_ in rule.domain_range_triples(pkt):
                 const_row(s_, p_, f"<{lex_}>", cell)
+        elif isinstance(rule, DefaultTypeRule):
+            cv = _uri_sql(rs.domain, cell)
+            sel(cv, sql_quote(RDF_TYPE),
+                sql_quote(f"<{rule.uri(rule.celltype)}>"), fired)
+        elif isinstance(rule, DefaultCellRule):
+            colt = rule.uri(rule.columntype)
+            sel(pkv_uri, sql_quote(colt), _plain_lit_sql(cell), fired)
         else:  # pragma: no cover
             raise TypeError(type(rule))
 

@@ -41,7 +41,12 @@ class ColumnSpec:
             out = np.char.mod(f"%.{self.digits}f", np_vals)
             return pa.array(out, type=pa.string())
         if self.kind == "timestamp":
-            return pc.strftime(arr, format="%Y-%m-%d %H:%M:%S")
+            # Arrow's %S emits fractional seconds; floor to seconds
+            # first so the bytes match DuckDB's strftime %S (plain cast
+            # refuses lossy truncation)
+            floored = pc.floor_temporal(arr, unit="second")
+            return pc.strftime(floored.cast(pa.timestamp("s")),
+                               format="%Y-%m-%d %H:%M:%S")
         if self.kind == "date":
             return pc.strftime(arr, format="%Y-%m-%d")
         raise ValueError(self.kind)

@@ -40,6 +40,8 @@ from ..rules import (
     ALTER_NONE,
     ALTER_PREFIX,
     Alteration,
+    DefaultCellRule,
+    DefaultTypeRule,
     LiteralRule,
     MultiValueRule,
     PKeyRule,
@@ -192,6 +194,11 @@ class TripleGenerator:
             mask = pc.not_equal(pc.utf8_trim_whitespace(cells), "")
             mask = pc.and_kleene(mask, pc.is_valid(cells))
             mask = pc.fill_null(mask, False)
+            if rs.null_values:
+                # v1 FORGET-value filter (M5, csv2rdf/csv2rdf.py:241-243)
+                mask = pc.and_(mask, pc.invert(pc.is_in(
+                    cells, value_set=pa.array(sorted(rs.null_values),
+                                              type=pa.string()))))
             n = pc.sum(mask).as_py() or 0
             if n == 0:
                 continue  # rule never fired in this batch → no schema triples
@@ -256,6 +263,15 @@ class TripleGenerator:
                 pkv = mint_uris(rule.domain, pk)
                 emit(pkv, _const_col(colt, n), _const_col(KIND_LIT, n), cell,
                      _const_col(rule.celltype, n))
+            elif isinstance(rule, DefaultTypeRule):
+                cv = mint_uris(rule.domain, cell)
+                emit(cv, _const_col("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", n),
+                     _const_col(KIND_URI, n),
+                     _const_col(rule.uri(rule.celltype), n), _const_col("", n))
+            elif isinstance(rule, DefaultCellRule):
+                pkv = mint_uris(rule.domain, pk)
+                emit(pkv, _const_col(rule.uri(rule.columntype), n),
+                     _const_col(KIND_LIT, n), cell, _const_col("", n))
             else:  # pragma: no cover
                 raise TypeError(f"unknown rule type {type(rule)}")
 
