@@ -136,6 +136,28 @@ def _label_fingerprint(labels: "ray.data.Dataset") -> int:
     return labels.map_batches(h, batch_format="pyarrow").sum("h")
 
 
+def skolem_canonical_map(labels: "ray.data.Dataset", domain: str
+                         ) -> dict[str, str]:
+    """Alternative canonical policy: every member of a component maps to
+    a deterministic SKOLEM IRI derived from the component's full sorted
+    membership (RFC 7.2-style .well-known/genid). Unlike min-member
+    canonicalization, no member is privileged — the blank-node-free
+    equivalent of merging into a fresh node. Deterministic across runs
+    and parallelism (content-hash, no RNG, no ordinals)."""
+    members: dict[str, list[str]] = {}
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        for n, c in zip(b["node"].to_pylist(), b["canon"].to_pylist()):
+            members.setdefault(c, []).append(n)
+    mapping: dict[str, str] = {}
+    for canon, nodes in members.items():
+        if len(nodes) < 2:
+            continue
+        skolem = skolem_iri(domain, "\x00".join(sorted(nodes)))
+        for n in nodes:
+            mapping[n] = skolem
+    return mapping
+
+
 def canonical_map_from_components(labels: "ray.data.Dataset") -> dict[str, str]:
     """Collect node→canon for nodes whose canon differs (the only ones a
     rewrite needs) — small: bounded by total duplicate mass."""

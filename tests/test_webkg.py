@@ -92,6 +92,23 @@ def test_skolem_deterministic():
     assert a.startswith("https://d/.well-known/genid/")
 
 
+def test_skolem_canonical_map(ray_session):
+    import ray.data as rd
+    from kgforge.stages.canonicalize import (connected_components,
+                                             skolem_canonical_map)
+    edges = rd.from_items([{"a": "x", "b": "y"}, {"a": "y", "b": "z"}])
+    labels = connected_components(edges)
+    m = skolem_canonical_map(labels, "https://d/")
+    assert set(m) == {"x", "y", "z"}
+    # all members of the component share ONE skolem IRI
+    assert len(set(m.values())) == 1
+    sk = next(iter(m.values()))
+    assert sk.startswith("https://d/.well-known/genid/")
+    # deterministic across recomputation
+    m2 = skolem_canonical_map(connected_components(edges), "https://d/")
+    assert m == m2
+
+
 @pytest.mark.slow
 def test_flagship_matches_duckdb_oracle(ray_session):
     from kgforge.pipelines.webkg import webkg_oracle_sql, webkg_terms
