@@ -77,21 +77,48 @@ def _perm_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
     return a.astype(np.uint64), b.astype(np.uint64)
 
 
+_MIX = [np.uint64(0x9E3779B97F4A7C15), np.uint64(0xBF58476D1CE4E5B9),
+        np.uint64(0x94D049BB133111EB), np.uint64(0xD6E8FEB86659FD93)]
+
+
+def _crc_per_token(tokens: pa.Array) -> np.ndarray:
+    """crc32 of each token, computed once per UNIQUE token (corpus
+    vocabularies are small relative to token count)."""
+    import zlib
+    enc = pc.dictionary_encode(tokens)
+    uniq = np.array([zlib.crc32(t.encode()) if t is not None else 0
+                     for t in enc.dictionary.to_pylist()], dtype=np.uint64)
+    return uniq[enc.indices.to_numpy(zero_copy_only=False)]
+
+
+def _mix_kgram(th: np.ndarray, k: int) -> np.ndarray:
+    """Rolling k-gram hash over a flat token-hash array: deterministic
+    multiply-xor mix of k consecutive hashes (wrapping uint64 semantics
+    — not a universal hash, but stable, seedless, resume-safe)."""
+    if len(th) < k:
+        return np.zeros(0, dtype=np.uint64)
+    g = th[: len(th) - k + 1] * _MIX[0]
+    for j in range(1, k):
+        g = (g ^ th[j : len(th) - k + 1 + j]) * _MIX[j % len(_MIX)]
+    return g
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Gram-hash set of one doc (shared by signature and Jaccard verify)."""
     import zlib
     toks = [t for t in text.split(" ") if t]
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.array([zlib.crc32(g.encode()) for g in grams],
-                              dtype=np.uint64))
+    th = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+    if 0 < len(th) < k:
+        th = np.pad(th, (0, k - len(th)))  # short doc: single padded gram
+    return np.unique(_mix_kgram(th, k))
 
 
 class MinHashBands:
-    """doc -> (band, band_hash, doc_id) rows. n_perm minhashes from one
-    crc32 shingle-hash set via (a*x+b) mod p universal hashing; bands of
-    r rows concatenated+hashed."""
+    """doc -> (band, band_hash, doc_id) rows, fully vectorized over the
+    batch: per-unique-token crc32 → flat rolling k-gram mix with
+    doc-boundary masking → (a*x+b) mod p minhash via
+    ``np.minimum.reduceat`` over doc slices → arithmetic band combine.
+    No per-doc Python loop."""
 
     def __init__(self, n_perm: int = 64, bands: int = 16, k: int = 3):
         assert n_perm % bands == 0
@@ -103,38 +130,109 @@ class MinHashBands:
         sh = _shingle_hashes(text, self.k)
         if len(sh) == 0:
             return np.zeros(self.n_perm, dtype=np.uint64)
-        # (n_perm, n_shingles) without materializing when large: chunked
         vals = (np.multiply.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    def _signatures_batch(self, texts: pa.Array) -> np.ndarray:
+        split = pc.split_pattern(texts, pattern=" ")
+        flat = split.flatten()
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        parents = pc.list_parent_indices(split).filter(nonempty)
+        th = _crc_per_token(flat)
+        par = parents.to_numpy(zero_copy_only=False)
+        n_docs = len(texts)
+        counts = np.bincount(par, minlength=n_docs)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        k = self.k
+        grams = _mix_kgram(th, k) if len(th) >= k else np.zeros(0, np.uint64)
+        # valid gram start positions: those not crossing a doc boundary
+        pos = np.arange(len(grams))
+        gram_doc = par[pos] if len(grams) else np.zeros(0, np.int64)
+        valid = (pos + k - 1 < ends[gram_doc]) if len(grams) else np.zeros(0, bool)
+        grams, gram_doc = grams[valid], gram_doc[valid]
+        sigs = np.full((n_docs, self.n_perm), np.uint64(0), dtype=np.uint64)
+        if len(grams):
+            # reduceat needs contiguous doc runs — grams are already in
+            # doc order because tokens are
+            run_starts = np.searchsorted(gram_doc, np.arange(n_docs))
+            have = np.bincount(gram_doc, minlength=n_docs) > 0
+            vals = (self.a[:, None] * grams[None, :] + self.b[:, None]) % _MERSENNE
+            # guard: reduceat index == len(vals) for trailing empty docs
+            rs = np.clip(run_starts, 0, max(len(grams) - 1, 0))
+            mins = np.minimum.reduceat(vals, rs, axis=1).T  # (n_docs, n_perm)
+            sigs[have] = mins[have]
+        # short docs (< k tokens) fall back to the padded-gram scalar path
+        short = counts < k
+        if short.any():
+            txts = texts.to_pylist()
+            for i in np.flatnonzero(short):
+                sigs[i] = self.signature(txts[i])
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, bands, bhashes = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            sig = self.signature(text)
-            for bi in range(self.bands):
-                chunk = sig[bi * self.r:(bi + 1) * self.r]
-                h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                doc_ids.append(doc_id)
-                bands.append(bi)
-                bhashes.append(h)
+        texts = batch["text"].combine_chunks().cast(pa.string())
+        n = len(texts)
+        sigs = self._signatures_batch(texts)
+        # arithmetic band combine (vectorized md5 replacement)
+        resh = sigs.reshape(n, self.bands, self.r)
+        bh = resh[:, :, 0] * _MIX[0]
+        for j in range(1, self.r):
+            bh = (bh ^ resh[:, :, j]) * _MIX[j % len(_MIX)]
+        doc_ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), self.bands)
+        band_idx = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table({
             "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "band": pa.array(bands, type=pa.int32()),
-            "band_hash": pa.array(bhashes, type=pa.string()),
+            "band": pa.array(band_idx, type=pa.int32()),
+            "band_hash": pa.array(bh.reshape(-1).astype(np.int64),
+                                  type=pa.int64()),
         })
 
 
-def _bucket_pairs(batch) -> pa.Table:
-    """map_groups fn: all doc pairs inside one (band, band_hash) bucket."""
-    ids = sorted(batch["doc_id"].to_pylist())
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table({"a": pa.array(a, type=pa.int64()),
-                     "b": pa.array(b, type=pa.int64())})
+def dup_key_pairs(ds: "ray.data.Dataset", key_cols: list[str],
+                  id_col: str, num_buckets: int = 64) -> "ray.data.Dataset":
+    """All (a, b) id pairs sharing identical ``key_cols`` values.
+
+    High-cardinality keys never become Ray groups (the sort-aggregate
+    iterates groups in Python): rows shuffle by ``hash(key) %
+    num_buckets`` and each bucket finds its duplicate-key runs with one
+    numpy lexsort — Python touches only the duplicated runs."""
+    import pandas as pd
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        sel = batch.select(key_cols + [id_col])
+        h = pd.util.hash_pandas_object(sel.select(key_cols).to_pandas(),
+                                       index=False)
+        return sel.append_column(
+            "_bucket", pa.array((h % num_buckets).astype("int32").values))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        df = group.select(key_cols + [id_col]).to_pandas()
+        df = df.sort_values(key_cols + [id_col], kind="mergesort")
+        keys = df[key_cols].astype(str).agg("\x00".join, axis=1).values
+        ids = df[id_col].values
+        # run boundaries over sorted keys
+        change = np.empty(len(keys), dtype=bool)
+        if len(keys):
+            change[0] = True
+            change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(keys))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                run = ids[s:e]
+                for i in range(len(run)):
+                    for j in range(i + 1, len(run)):
+                        a_out.append(run[i])
+                        b_out.append(run[j])
+        return pa.table({"a": pa.array(a_out, type=pa.int64()),
+                         "b": pa.array(b_out, type=pa.int64())})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(bucket_pairs, batch_format="pyarrow"))
 
 
 def minhash_candidates(sf_dir: str, n_perm: int = 64, bands: int = 16,
@@ -144,8 +242,7 @@ def minhash_candidates(sf_dir: str, n_perm: int = 64, bands: int = 16,
                                columns=["doc_id", "text"])
     bands_ds = ds.map_batches(MinHashBands(n_perm, bands, k),
                               batch_format="pyarrow")
-    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow")
+    pairs = dup_key_pairs(bands_ds, ["band", "band_hash"], "doc_id")
     from ..stages.dedup import distinct
     return distinct(pairs, ["a", "b"])
 
@@ -242,32 +339,47 @@ def simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
 def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
     """Near-dup pairs by simhash: band-blocked candidates (pigeonhole: a
     ≤3-bit-different pair shares ≥1 of 4 16-bit bands) verified by
-    popcount."""
+    popcount.
+
+    Verification fetches signatures through a broadcast doc→sig map
+    (16B/doc — fine to ~1e8 docs/node; beyond that, swap the broadcast
+    for a hash-partitioned join of candidates against signatures keyed
+    on doc_id)."""
+    import ray
+
     sigs = simhash_signatures(sf_dir)
 
-    def pairs_from_bucket(batch) -> pa.Table:
-        rows = sorted(zip(batch["doc_id"].to_pylist(),
-                          batch["simhash"].to_pylist()))
-        a, b, d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                x = (rows[i][1] ^ rows[j][1]) & 0xFFFFFFFFFFFFFFFF
-                ham = bin(x).count("1")
-                if ham <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    d.append(ham)
-        return pa.table({"a": pa.array(a, type=pa.int64()),
-                         "b": pa.array(b, type=pa.int64()),
-                         "hamming": pa.array(d, type=pa.int64())})
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), 4)
+        band_idx = np.tile(np.arange(4, dtype=np.int64), n)
+        vals = np.stack([batch[f"band{b}"].to_numpy(zero_copy_only=False)
+                         for b in range(4)], axis=1).reshape(-1)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "band_idx": pa.array(band_idx, type=pa.int64()),
+                         "band_val": pa.array(vals, type=pa.int64())})
 
-    parts = []
-    for band in range(4):
-        parts.append(
-            sigs.groupby(f"band{band}").map_groups(pairs_from_bucket,
-                                                   batch_format="pyarrow"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
+    cands = dup_key_pairs(sigs.map_batches(explode, batch_format="pyarrow"),
+                          ["band_idx", "band_val"], "doc_id")
     from ..stages.dedup import distinct
-    return distinct(out, ["a", "b", "hamming"])
+    cands = distinct(cands, ["a", "b"])
+
+    sig_map: dict[int, int] = {}
+    for b in sigs.iter_batches(batch_format="pyarrow"):
+        sig_map.update(zip(b["doc_id"].to_pylist(), b["simhash"].to_pylist()))
+    ref = ray.put(sig_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        xa = np.array([m[x] for x in a], dtype=np.int64).view(np.uint64)
+        xb = np.array([m[x] for x in b], dtype=np.int64).view(np.uint64)
+        ham = np.array([bin(int(x)).count("1") for x in (xa ^ xb)],
+                       dtype=np.int64)
+        keep = ham <= max_hamming
+        return pa.table({"a": pa.array(a[keep], type=pa.int64()),
+                         "b": pa.array(b[keep], type=pa.int64()),
+                         "hamming": pa.array(ham[keep], type=pa.int64())})
+
+    return cands.map_batches(verify, batch_format="pyarrow")
