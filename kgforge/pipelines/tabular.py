@@ -234,6 +234,43 @@ def default_kg_events_sql(domain: str = KG_DOMAIN) -> str:
     return ruleset_to_sql(rs, "events", colmap)
 
 
+# ------------------------------------------------ v1 legacy grammar mode
+V1_ORDERS_GRAMMAR = """o_orderkey,subject1|order
+o_custkey,subject2|customer|S|ordered_by
+o_orderstatus,literal
+o_totalprice,literal
+o_orderdate,ignore
+o_orderpriority,subject2|priority|R
+"""
+
+V1_ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                  "o_totalprice", "o_orderdate", "o_orderpriority"]
+V1_ORDERS_SPECS = {"o_orderkey": INT, "o_custkey": INT,
+                   "o_orderstatus": STRING, "o_totalprice": FLOAT(2),
+                   "o_orderdate": TIMESTAMP, "o_orderpriority": STRING}
+
+
+def v1_kg_orders(sf_dir: str, domain: str = KG_DOMAIN) -> "ray.data.Dataset":
+    """v1 legacy semantic grammar (csv2rdf/csv2rdf.py:135-268) over the
+    orders table: positional binding, 'A_' URI interposition, unsanitized
+    values, FORGET filter, space-split subject2 cells, S/R directions."""
+    from ..functions.v1grammar import V1TripleGenerator, compile_v1_grammar
+    g = compile_v1_grammar(V1_ORDERS_GRAMMAR, domain)
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=V1_ORDERS_COLS)
+    ds = ds.map_batches(stringify(V1_ORDERS_SPECS), batch_format="pyarrow")
+    ds = ds.map_batches(V1TripleGenerator(g), batch_format="pyarrow")
+    return dedup_triples(ds).map_batches(triples_to_terms,
+                                         batch_format="pyarrow")
+
+
+def v1_kg_orders_sql(domain: str = KG_DOMAIN) -> str:
+    from ..functions.v1grammar import compile_v1_grammar, v1_to_sql
+    g = compile_v1_grammar(V1_ORDERS_GRAMMAR, domain)
+    exprs = [V1_ORDERS_SPECS[c].sql_expr(c) for c in V1_ORDERS_COLS]
+    return v1_to_sql(g, "orders", exprs)
+
+
 # -------------------------------------------------- v3 type-chain mode
 PART_V3_GRAMMAR = """
 [p_name]
