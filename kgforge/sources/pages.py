@@ -39,26 +39,44 @@ def wrap_html(text: str, doc_id: int) -> bytes:
 
 
 class PageBuilder:
-    """map_batches fn: documents rows -> pages rows (vectorized)."""
+    """map_batches fn: documents rows -> pages rows (vectorized — the
+    whole page template is assembled with Arrow string kernels; only the
+    final utf-8 encode materializes Python bytes objects, which the
+    binary column requires)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         doc_id = batch["doc_id"].combine_chunks()
         ids = doc_id.to_numpy()
-        src = batch["source"].combine_chunks().to_pandas()
-        text = batch["text"].combine_chunks().to_pandas()
-        url = ("https://" + src + ".example.org/doc/" +
-               pd.Series(ids).astype(str).values)
+        id_str = doc_id.cast(pa.string())
+        src = batch["source"].combine_chunks().cast(pa.string())
+        text = batch["text"].combine_chunks().cast(pa.string())
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://"), src, pa.scalar(".example.org/doc/"),
+            id_str, "")
         ts = pa.array(EPOCH_US + ids.astype(np.int64) * TS_STEP_S * 1_000_000,
                       type=pa.timestamp("us"))
-        esc = (text.str.replace("&", "&amp;", regex=False)
-                   .str.replace("<", "&lt;", regex=False)
-                   .str.replace(">", "&gt;", regex=False))
-        html = [wrap_html_from_escaped(e, int(i)) for e, i in zip(esc, ids)]
+        esc = pc.replace_substring(text, pattern="&", replacement="&amp;")
+        esc = pc.replace_substring(esc, pattern="<", replacement="&lt;")
+        esc = pc.replace_substring(esc, pattern=">", replacement="&gt;")
+        head = pc.binary_join_element_wise(
+            pa.scalar("<html><head><title>doc "), id_str,
+            pa.scalar("</title><style>p{margin:0}</style></head><body>"), "")
+        junk = pc.if_else(pa.array(ids % 97 == 0),
+                          pa.scalar("\x00JUNK\x00"), pa.scalar(""))
+        page = pc.binary_join_element_wise(
+            head, junk, pa.scalar("<p>"), esc,
+            pa.scalar("</p><script>var tracked=true;</script></body></html>"),
+            "")
+        # encode + splice the raw 0xFF byte into the junk comment (it is
+        # not valid utf-8 so it cannot travel inside the string kernel)
+        raw = [p.encode().replace(b"\x00JUNK\x00", b"<!-- \xff bad byte -->")
+               for p in page.to_pylist()]
         return pa.table(
             {
-                "url": pa.array(url, type=pa.string()),
+                "url": url.cast(pa.string()),
                 "warc_ts": ts,
-                "html": pa.array(html, type=pa.binary()),
+                "html": pa.array(raw, type=pa.binary()),
                 "lang": batch["lang"],
                 "doc_id": batch["doc_id"],
                 "source": batch["source"],
