@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_part_v3chains"] = tabular.v3_chain_kg_part
     # --- v1 legacy semantic grammar (§2.4 v1 extras, M11 space-split)
     q["kg_orders_v1"] = tabular.v1_kg_orders
+    # --- v2 dialect (role permutations, rdf:type chains, descr comments)
+    q["kg_customer_v2"] = tabular.v2_kg_customer
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -106,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_default_events"] = tabular.default_kg_events_sql()
     o["kg_part_v3chains"] = tabular.v3_chain_kg_part_sql()
     o["kg_orders_v1"] = tabular.v1_kg_orders_sql()
+    o["kg_customer_v2"] = tabular.v2_kg_customer_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

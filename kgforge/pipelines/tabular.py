@@ -271,6 +271,61 @@ def v1_kg_orders_sql(domain: str = KG_DOMAIN) -> str:
     return v1_to_sql(g, "orders", exprs)
 
 
+# ------------------------------------------------------ v2 dialect mode
+V2_CUSTOMER_GRAMMAR = """
+[c_name]
+cell = pkey
+celltypes = customer,legal_entity,RDFS:RESOURCE
+
+[c_mktsegment]
+cell = subject
+column = predicate
+celltypes = segment,concept
+columntypes = in_segment,relation,RDF:PROPERTY
+
+[c_nationkey]
+cell = object,prefix(nk_)
+column = predicate
+celltypes = nation_ref
+columntypes = nation_key_ref
+
+[c_acctbal]
+cell = object
+celltypes = string
+column = predicate
+columntypes = unused
+
+[c_custkey]
+cell = ignore
+"""
+
+V2_CUSTOMER_SPECS = {"c_name": STRING, "c_mktsegment": STRING,
+                     "c_nationkey": INT, "c_acctbal": FLOAT(2)}
+
+
+def v2_kg_customer(sf_dir: str, domain: str = KG_DOMAIN
+                   ) -> "ray.data.Dataset":
+    """v2 dialect (csv2rdf-v2/csv2rdf-v2.py): sanitize-first cells,
+    role permutations, rdf:type chains with RDFS:RESOURCE/RDF:PROPERTY,
+    pkey-description comments."""
+    from ..functions.v2grammar import V2TripleGenerator, compile_v2_grammar
+    g = compile_v2_grammar(V2_CUSTOMER_GRAMMAR, domain)
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=list(V2_CUSTOMER_SPECS))
+    ds = ds.map_batches(stringify(V2_CUSTOMER_SPECS), batch_format="pyarrow")
+    ds = ds.map_batches(V2TripleGenerator(g), batch_format="pyarrow")
+    return dedup_triples(ds).map_batches(triples_to_terms,
+                                         batch_format="pyarrow")
+
+
+def v2_kg_customer_sql(domain: str = KG_DOMAIN) -> str:
+    from ..functions.v2grammar import compile_v2_grammar, v2_to_sql
+    g = compile_v2_grammar(V2_CUSTOMER_GRAMMAR, domain)
+    exprs = {sec: V2_CUSTOMER_SPECS[c.source_column].sql_expr(c.source_column)
+             for sec, c in g.columns.items()}
+    return v2_to_sql(g, "customer", exprs)
+
+
 # -------------------------------------------------- v3 type-chain mode
 PART_V3_GRAMMAR = """
 [p_name]
