@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pricing_summary"] = relational.pricing_summary
     q["top_revenue_orders"] = relational.top_revenue_orders
     q["sessionize"] = relational.sessionize
+    q["tumbling_counts"] = relational.tumbling_counts
     q["event_type_counts"] = relational.event_type_counts
 
     # --- multimodal plumbing (actor-pool featurizer over binary column)
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
     o["pricing_summary"] = relational.PRICING_SUMMARY_SQL
     o["top_revenue_orders"] = relational.top_revenue_orders_sql()
     o["sessionize"] = relational.SESSIONIZE_SQL
+    o["tumbling_counts"] = relational.TUMBLING_COUNTS_SQL
     o["event_type_counts"] = relational.EVENT_TYPE_COUNTS_SQL
     # doc_fingerprints / dedup_minhash / dedup_simhash /
     # embedding_dup_pairs / media_feature_stats: non-SQL-expressible

@@ -219,6 +219,52 @@ FROM per_session GROUP BY user_id
 """
 
 
+def tumbling_counts(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset":
+    """Tumbling event-time windows: count + value cents per (event_type,
+    hour window). Window assignment is a pure vectorized map
+    (epoch // window), so no ordering assumption at all — the groupby
+    key IS the window; pre-aggregated per batch before the shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(batch["ts"].cast(pa.int64()),
+                          pa.scalar(1_000_000, type=pa.int64()))
+        win = pc.multiply(pc.floor(pc.divide(epoch.cast(pa.float64()),
+                                             pa.scalar(float(window_s)))),
+                          pa.scalar(float(window_s))).cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "window_start": win,
+                      "value": batch["value"]})
+        return t.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "window_start"])
+           .aggregate(Sum("value_sum", alias_name="v"),
+                      Sum("value_count", alias_name="n_events")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"].cast(pa.int64()),
+            "n_events": batch["n_events"].cast(pa.int64()),
+            "value_cents": pc.round(pc.multiply(batch["v"],
+                                                pa.scalar(100.0))
+                                    ).cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+TUMBLING_COUNTS_SQL = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 def event_type_counts(sf_dir: str) -> "ray.data.Dataset":
     """Pre-aggregated groupby count by event_type."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
