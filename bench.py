@@ -129,7 +129,7 @@ def run_bench() -> dict:
     return out
 
 
-SCALE_REPLICAS = int(os.environ.get("GRAFT_SCALE_REPLICAS", "16"))
+SCALE_REPLICAS = int(os.environ.get("GRAFT_SCALE_REPLICAS", "64"))
 
 
 def _build_scale_input() -> str:
@@ -184,9 +184,15 @@ def run_scaling() -> dict:
     # 1.00 at 4→16 on identical input)
     lo_n = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi_n = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    once(lo_n)  # untimed warm run: page cache + pyc
-    lo = once(lo_n)
-    hi = once(hi_n)
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    once(hi_n)  # untimed warm run: page cache + pyc
+    # min-of-N per level: single-box runs show 20-40% wall-time noise
+    # (OS scheduling, object-store placement); the minimum is the
+    # defensible capability estimate for BOTH levels symmetrically
+    lo = min((once(lo_n) for _ in range(reps)),
+             key=lambda d: d["queries"]["webkg"])
+    hi = min((once(hi_n) for _ in range(reps)),
+             key=lambda d: d["queries"]["webkg"])
     t_lo, t_hi = lo["queries"]["webkg"], hi["queries"]["webkg"]
     eff = (t_lo / t_hi) / (hi_n / lo_n)
     return {

@@ -263,7 +263,7 @@ def webkg_triples_from_pages(pages: "ray.data.Dataset",
             from ..stages.canonicalize import apply_canonical_map
             triples = apply_canonical_map(triples, mapping)
             triples = triples.union(sameas_from_map(mapping))
-    return dedup_triples(triples)
+    return dedup_triples(triples, domain=domain)
 
 
 def webkg_triples(sf_dir: str, domain: str = DOMAIN,
