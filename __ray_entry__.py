@@ -82,7 +82,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- similarity search
     q["ann_topk"] = ann.ann_topk
-    q["embedding_dup_pairs"] = ann.embedding_dup_pairs  # rows-only
+    # rows-only; synthetic embeddings have max pairwise cosine ~0.51, so
+    # the production-style 0.98 threshold would (correctly) return zero
+    # rows — 0.45 keeps the machinery observable; semantics pinned by
+    # the planted-pair test
+    q["embedding_dup_pairs"] = (
+        lambda sf: ann.embedding_dup_pairs(sf, threshold=0.45))
 
     # --- relational (pre-agg groupby, broadcast join, session windows)
     q["pricing_summary"] = relational.pricing_summary

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Production entrypoint for the web-KG pipeline — the script you'd hand
+to ``ray job submit`` on a real cluster:
+
+    ray job submit --working-dir . -- \
+        python scripts/run_webkg_job.py --input <sf_dir> --out /data/kg \
+        --partitions 256 [--resume]
+
+In the sandbox it runs against the local session. The run is resumable:
+partition-addressed outputs + manifest (kgforge/state/manifest.py);
+re-running with the same --out skips completed partitions. After all
+partitions land, the merged deduped graph is materialized as sorted
+N-Triples + Parquet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="dir with documents.parquet")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--skip-merge", action="store_true",
+                    help="leave per-partition outputs only")
+    args = ap.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
+    from kgforge.sinks.ntriples_sink import write_graph
+    from kgforge.state.manifest import merged_triples, partitioned_kg_run
+
+    t0 = time.time()
+    manifest = partitioned_kg_run(args.input, args.out,
+                                  num_partitions=args.partitions)
+    totals = {
+        "partitions": len(manifest.records),
+        "rows_in": sum(r["rows_in"] for r in manifest.records.values()),
+        "triples_out": sum(r["triples_out"] for r in manifest.records.values()),
+    }
+    if not args.skip_merge:
+        write_graph(merged_triples(args.out), f"{args.out}/merged")
+    totals["wall_s"] = round(time.time() - t0, 2)
+    print(json.dumps(totals))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
