@@ -14,15 +14,27 @@ from __future__ import annotations
 import pyarrow as pa
 
 import ray.data
-from ray.data.datasource import BlockBasedFileDatasink
+from ray.data.datasource import BlockBasedFileDatasink, FilenameProvider
 
 from ..stages.triples import triples_to_terms
+
+
+class _SortableNames(FilenameProvider):
+    """Deterministic, lexicographically-ordered shard names — the
+    default provider prefixes a per-run UUID, which breaks
+    concatenation order for a globally sorted graph (and breaks
+    byte-identical resume output)."""
+
+    def get_filename_for_block(self, block, write_uuid, task_index,
+                               block_index) -> str:
+        return f"part-{task_index:06d}-{block_index:06d}.nt"
 
 
 class NTriplesDatasink(BlockBasedFileDatasink):
     """One ``.nt`` file per (sorted) block."""
 
     def __init__(self, path: str, **kwargs):
+        kwargs.setdefault("filename_provider", _SortableNames())
         super().__init__(path, file_format="nt", **kwargs)
 
     def write_block_to_file(self, block, file) -> None:
