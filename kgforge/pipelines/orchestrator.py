@@ -28,15 +28,27 @@ from ..stages.triples import OntologyRequirements, TripleGenerator
 def source_triples(source: SourceConfig,
                    base_dir: str = ".") -> tuple["ray.data.Dataset",
                                                  "ray.data.Dataset"]:
-    """One source -> (columnar triples pre-dedup, requirements)."""
-    grammar_path = source.semantics
-    if not os.path.isabs(grammar_path):
-        grammar_path = os.path.join(base_dir, grammar_path)
-    rs = compile_grammar(grammar_path, source.domain)
+    """One source -> (columnar triples pre-dedup, requirements).
+
+    Dual-mode routing like v2/v4 main() (csv2rdf-v4/csv2rdf-v4.py:
+    671-677): a source WITHOUT a semantics file goes through the
+    grammar-less default parser (M13) — every column a plain literal
+    off the pkey, which is the FIRST CSV column (documented deviation
+    from the reference's order-dependent line-number subjects)."""
     file_path = source.file
     if not os.path.isabs(file_path):
         file_path = os.path.join(base_dir, file_path)
     ds = read_csv_source(file_path, source.delimiter)
+    if source.semantics:
+        grammar_path = source.semantics
+        if not os.path.isabs(grammar_path):
+            grammar_path = os.path.join(base_dir, grammar_path)
+        rs = compile_grammar(grammar_path, source.domain)
+    else:
+        from ..rules import default_ruleset
+        cols = ds.schema().names
+        rs = default_ruleset(source.domain, cols, cols[0],
+                             pkey_type=source.name)
     triples = ds.map_batches(TripleGenerator(rs), batch_format="pyarrow")
     reqs = ds.map_batches(OntologyRequirements(rs), batch_format="pyarrow")
     return triples, reqs
