@@ -19,8 +19,6 @@ hand-written mention/canonicalization SQL mirror.
 
 from __future__ import annotations
 
-import hashlib
-
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -162,12 +160,17 @@ class _TextHashUri:
         self.domain = domain
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # vectorized deterministic 64-bit text hash (internal grouping
+        # key only — the SQL mirror partitions by the text itself, so
+        # the hash function is free to choose; hash_pandas_object uses a
+        # fixed key, no process salt)
+        import pandas as pd
         from ..stages.triples import mint_uris
         text = batch["text"].combine_chunks().cast(pa.string())
         url = batch["url"].combine_chunks().cast(pa.string())
-        h = pa.array([hashlib.md5(t.encode()).hexdigest()
-                      for t in text.to_pylist()], type=pa.string())
-        return pa.table({"h": h, "uri": mint_uris(self.domain, url)})
+        h = pd.util.hash_pandas_object(text.to_pandas(), index=False)
+        return pa.table({"h": pa.array(h.values.astype("int64")),
+                         "uri": mint_uris(self.domain, url)})
 
 
 def exact_dup_canonical_map(pages_with_text: "ray.data.Dataset",

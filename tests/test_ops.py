@@ -144,3 +144,8 @@ def test_media_pipeline_stub(ray_session):
     a = M.media_feature_stats(SF).to_pandas().sort_values("media_id")
     b = M.media_feature_stats(SF).to_pandas().sort_values("media_id")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_tumbling_counts_vs_sql(ray_session):
+    from kgforge.ops import relational as R
+    _match(R.tumbling_counts(SF), R.TUMBLING_COUNTS_SQL, _con())

@@ -132,3 +132,31 @@ def test_tabular_kg_matches_sql(ray_session):
     got = set(map(tuple, df[["s", "p", "o"]].itertuples(index=False)))
     want = set(map(tuple, odf[["s", "p", "o"]].itertuples(index=False)))
     assert got == want
+
+
+def test_flagship_canonicalizes_duplicate_pages(ray_session, tmp_path):
+    """Planted duplicate texts: subjects merge to the min page-URI and
+    owl:sameAs triples are emitted (sf testdata has no dups, so this is
+    the only e2e exercise of the flagship's canonicalization arm)."""
+    import pandas as pd
+    from kgforge.pipelines.webkg import webkg_triples
+    from kgforge.stages.triples import triples_to_terms
+    df = pd.DataFrame({
+        "doc_id": [3, 1, 2],
+        "text": ["same words here", "same words here", "other text"],
+        "lang": ["en", "en", "de"],
+        "source": ["s1", "s2", "s3"],
+        "n_chars": [15, 15, 10],
+    })
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = webkg_triples(str(tmp_path)).map_batches(
+        triples_to_terms, batch_format="pyarrow").to_pandas()
+    triples = set(map(tuple, out[["s", "p", "o"]].itertuples(index=False)))
+    sameas = {(s, o) for s, p, o in triples if p.endswith("sameAs")}
+    # doc 1 (s2) and doc 3 (s1) share text; canonical = min minted URI
+    assert len(sameas) == 1
+    member, canon = next(iter(sameas))
+    assert canon[1:-1] < member  # canonical is the lexicographic min
+    # the non-canonical page URI no longer appears as a subject of facts
+    assert not any(s == member and "in_language" in p
+                   for s, p, o in triples)
