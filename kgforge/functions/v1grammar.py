@@ -31,7 +31,6 @@ import io
 import os
 from dataclasses import dataclass, field
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

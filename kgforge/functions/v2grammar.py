@@ -34,8 +34,7 @@ from ..ntriples import (KIND_LIT, KIND_URI, RDF_NS, RDF_TYPE, RDFS_NS)
 from ..rules import (Alteration, GrammarError, _read_config,
                      parse_alteration)
 from ..sqlgen import _plain_lit_sql, alteration_sql, sql_quote
-from ..stages.triples import (TRIPLE_SCHEMA, _const_col, apply_alteration,
-                              _map_via_dictionary)
+from ..stages.triples import (TRIPLE_SCHEMA, _const_col, apply_alteration)
 
 V2_SANITIZE_CHARS = [" ", "-", "/", "(", ")", ",", '"', "'"]
 _V2_SET = frozenset(V2_SANITIZE_CHARS)

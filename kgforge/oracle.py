@@ -33,7 +33,6 @@ from .ntriples import (
     XSD_STRING,
     render_iri,
     render_literal,
-    triple_line,
 )
 
 _GRAMMAR_TYPES = {

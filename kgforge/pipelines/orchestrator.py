@@ -18,7 +18,7 @@ import os
 
 import ray.data
 
-from ..rules import RuleSet, SourceConfig, compile_grammar, read_options
+from ..rules import SourceConfig, compile_grammar, read_options
 from ..sinks.ntriples_sink import write_graph, write_requirements
 from ..sources.csvsource import read_csv_source
 from ..stages.dedup import dedup_triples, distinct

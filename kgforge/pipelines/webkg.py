@@ -39,7 +39,6 @@ from ..sqlgen import (
     _iri_term,
     _plain_lit_sql,
     _uri_sql,
-    nonempty_sql,
     ruleset_to_sql,
     sql_quote,
 )

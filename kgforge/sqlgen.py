@@ -35,7 +35,6 @@ from .rules import (
     PKeyRule,
     RuleSet,
     URIRule,
-    format_uri,
 )
 
 # DuckDB/RE2 char class equal to rules.SANITIZE_CHARS; single quotes

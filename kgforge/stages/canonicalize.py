@@ -35,7 +35,6 @@ import ray.data
 from ray.data.aggregate import Min
 
 from ..ntriples import OWL_SAMEAS
-from .dedup import distinct
 
 
 def skolem_iri(domain: str, content: str) -> str:

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import re
 
-import pandas as pd
 import pyarrow as pa
 
 _SCRIPT_STYLE_COMMENT = r"(?s)<script\b.*?</script>|<style\b.*?</style>|<!--.*?-->"

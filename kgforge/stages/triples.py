@@ -45,11 +45,9 @@ from ..rules import (
     LiteralRule,
     MultiValueRule,
     PKeyRule,
-    Rule,
     RuleSet,
     SANITIZE_REGEX,
     URIRule,
-    format_uri,
 )
 
 TRIPLE_SCHEMA = pa.schema(
