@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- ontology-requirements side output (S7,A2)
     q["kg_requirements_part"] = lambda sf: tabular.table_requirements(sf, "part")
+    # --- multi-source union store (A4, v1 orchestrator semantics)
+    q["kg_union_nation_supplier"] = tabular.union_kg_terms
 
     # --- grammar-less default mode (M13) + null-value filter (M5)
     q["kg_default_events"] = tabular.default_kg_events
@@ -111,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
     for t in ("nation", "customer", "part", "supplier"):
         o[f"kg_{t}"] = tabular.table_kg_sql(t)
     o["kg_requirements_part"] = tabular.table_requirements_sql("part")
+    o["kg_union_nation_supplier"] = tabular.union_kg_sql()
     o["kg_default_events"] = tabular.default_kg_events_sql()
     o["kg_part_v3chains"] = tabular.v3_chain_kg_part_sql()
     o["kg_orders_v1"] = tabular.v1_kg_orders_sql()

@@ -31,7 +31,22 @@ def _sf_label(path: str) -> str:
     return base[2:] if base.startswith("sf") else base
 
 
+def _preflight() -> None:
+    """Stray Ray workers from crashed sessions skew results 2-4x
+    (measured); warn on stderr — stdout stays one JSON line."""
+    try:
+        out = subprocess.run(["pgrep", "-c", "-f", "ray::"],
+                             capture_output=True, text=True).stdout.strip()
+        if out and int(out) > 0:
+            print(f"WARNING: {out} leftover ray:: processes detected — "
+                  "results will be noisy (kill them and rerun)",
+                  file=sys.stderr)
+    except Exception:
+        pass
+
+
 def run_bench() -> dict:
+    _preflight()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray
 

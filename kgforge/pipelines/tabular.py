@@ -200,6 +200,33 @@ def table_requirements_sql(table: str, domain: str = KG_DOMAIN) -> str:
     return ontology_requirements_sql(rs, table, _colmap(rs, specs))
 
 
+def union_kg_terms(sf_dir: str, tables: tuple[str, ...] = ("nation", "supplier"),
+                   domain: str = KG_DOMAIN) -> "ray.data.Dataset":
+    """A4 multi-source union (v1 orchestrator semantics,
+    csv2rdf/csv2rdf.py:275-290): several sources accumulate into ONE
+    deduped store."""
+    from ..stages.dedup import dedup_triples as _dedup
+    from ..stages.triples import TripleGenerator as _TG
+    union = None
+    for t in tables:
+        grammar, specs = TABLE_KG[t]
+        rs = compile_grammar(grammar, domain)
+        needed = sorted({r.source_column for r in rs.rules.values()})
+        ds = ray.data.read_parquet(f"{sf_dir}/{t}.parquet", columns=needed)
+        ds = ds.map_batches(stringify({c: specs[c] for c in needed}),
+                            batch_format="pyarrow")
+        ds = ds.map_batches(_TG(rs), batch_format="pyarrow")
+        union = ds if union is None else union.union(ds)
+    return _dedup(union).map_batches(triples_to_terms, batch_format="pyarrow")
+
+
+def union_kg_sql(tables: tuple[str, ...] = ("nation", "supplier"),
+                 domain: str = KG_DOMAIN) -> str:
+    parts = [f"({table_kg_sql(t, domain)})" for t in tables]
+    return ("SELECT DISTINCT s, p, o FROM (\n" +
+            "\nUNION ALL\n".join(parts) + "\n)")
+
+
 # ---------------------------------------------------- default mode (M13)
 from ..rules import default_ruleset
 from ..stages.prepare import TIMESTAMP
