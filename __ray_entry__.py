@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- similarity search
     q["ann_topk"] = ann.ann_topk
+    q["ann_ivf_topk"] = ann.ivf_topk                   # rows-only (approx)
     # rows-only; synthetic embeddings have max pairwise cosine ~0.51, so
     # the production-style 0.98 threshold would (correctly) return zero
     # rows — 0.45 keeps the machinery observable; semantics pinned by

@@ -135,6 +135,103 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+# --------------------------------------------------------------- IVF ANN
+def _splitmix_unit(n: int, dim: int) -> np.ndarray:
+    idx = np.arange(n * dim, dtype=np.uint64)
+    z = (idx + np.uint64(0x51ED2701)) * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = z ^ (z >> np.uint64(27))
+    return ((z.astype(np.float64) / float(2**64)) - 0.5).reshape(n, dim)
+
+
+def train_ivf_centroids(sf_dir: str, n_lists: int = 16,
+                        sample_rows: int = 4096,
+                        iters: int = 3) -> np.ndarray:
+    """Deterministic IVF training: k-means over a bounded head sample
+    (small side — reading a few thousand vectors on the driver is the
+    idiomatic 'train on a sample' step; the full corpus never
+    materializes). Init = fixed splitmix directions; Lloyd iterations
+    are plain matmuls. No RNG state → identical centroids every run."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    m = _normalize(np.array(t["embedding"].to_pylist()[:sample_rows],
+                            dtype=np.float64))
+    dim = m.shape[1]
+    cents = _normalize(_splitmix_unit(n_lists, dim))
+    for _ in range(iters):
+        assign = (m @ cents.T).argmax(axis=1)
+        for c in range(n_lists):
+            sel = m[assign == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+class IvfAssign:
+    """map_batches: vec -> nearest-centroid list id (broadcast centroids)."""
+
+    def __init__(self, cents_ref):
+        self.cents = (ray.get(cents_ref)
+                      if not isinstance(cents_ref, np.ndarray) else cents_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch))
+        lists = (m @ self.cents.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+
+def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
+             n_lists: int = 16, nprobe: int = 4) -> "ray.data.Dataset":
+    """IVF approximate top-k: score only vectors whose inverted list is
+    in the UNION of each query's ``nprobe`` nearest lists (a superset of
+    per-query probing → recall at least as high). Same output schema as
+    ``ann_topk``; recall < 1 by design (tested vs the brute-force
+    baseline). The probed-list filter happens INSIDE map_batches, so
+    non-probed rows are dropped before scoring — at scale, partitioning
+    the corpus by ivf_list turns this into a partition-pruned read."""
+    if query_ids is None:
+        query_ids = [0, 1, 2]
+    cents = train_ivf_centroids(sf_dir, n_lists)
+    q = _normalize(query_matrix(sf_dir, query_ids))
+    probe_lists = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    probed: set[int] = set(probe_lists.reshape(-1).tolist())
+    cents_ref = ray.put(cents)
+    q_ref = ray.put(q * 1.0)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(IvfAssign, batch_format="pyarrow",
+                              fn_constructor_kwargs={"cents_ref": cents_ref},
+                              concurrency=2, num_cpus=0.5)
+
+    probed_arr = pa.array(sorted(probed), type=pa.int32())
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch["ivf_list"], value_set=probed_arr))
+
+    candidates = assigned.map_batches(keep_probed, batch_format="pyarrow")
+    partials = candidates.map_batches(
+        BatchTopK, batch_format="pyarrow",
+        fn_constructor_kwargs={"q_ref": q_ref, "query_ids": query_ids, "k": k},
+        concurrency=2, num_cpus=0.5)
+    import pandas as pd
+    frames = [b.to_pandas()
+              for b in partials.iter_batches(batch_format="pyarrow")]
+    allc = (pd.concat(frames, ignore_index=True) if frames else
+            pd.DataFrame(columns=["query_id", "vec_id", "sim4"]))
+    allc = allc[allc["query_id"] != allc["vec_id"]]
+    allc = allc.sort_values(["query_id", "sim4", "vec_id"],
+                            ascending=[True, False, True])
+    allc["rank"] = allc.groupby("query_id").cumcount() + 1
+    allc = allc[allc["rank"] <= k].reset_index(drop=True)
+    if len(allc):
+        allc = allc.astype({"query_id": "int64", "vec_id": "int64",
+                            "rank": "int64"})
+    return ray.data.from_pandas(allc[["query_id", "vec_id", "rank", "sim4"]])
+
+
 # ------------------------------------------------------- LSH-bucketed ANN
 def _projection(dim: int, n_bits: int = 12) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (no RNG state): values
@@ -143,7 +240,7 @@ def _projection(dim: int, n_bits: int = 12) -> np.ndarray:
     z = (idx + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = z ^ (z >> np.uint64(27))
-    u = (z.astype(np.float64) / 2**64) - 0.5
+    u = (z.astype(np.float64) / float(2**64)) - 0.5
     return u.reshape(dim, n_bits)
 
 

@@ -149,3 +149,19 @@ def test_media_pipeline_stub(ray_session):
 def test_tumbling_counts_vs_sql(ray_session):
     from kgforge.ops import relational as R
     _match(R.tumbling_counts(SF), R.TUMBLING_COUNTS_SQL, _con())
+
+
+def test_ivf_topk_recall_vs_bruteforce(ray_session):
+    from kgforge.ops import ann as A
+    exact = A.ann_topk(SF, k=10).to_pandas()
+    approx = A.ivf_topk(SF, k=10, n_lists=8, nprobe=4).to_pandas()
+    # deterministic across runs
+    approx2 = A.ivf_topk(SF, k=10, n_lists=8, nprobe=4).to_pandas()
+    assert approx.equals(approx2)
+    # recall@10 against brute force, averaged over queries
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
