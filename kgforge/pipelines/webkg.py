@@ -172,47 +172,47 @@ class _TextHashUri:
                          "uri": mint_uris(self.domain, url)})
 
 
-def exact_dup_canonical_map(pages_with_text: "ray.data.Dataset",
-                            domain: str = DOMAIN) -> dict[str, str]:
-    """Pages sharing identical extracted text merge into one entity:
-    canonical = lexicographic min page-URI per text group. One
-    groupby-aggregate shuffle on the text hash; only DUPLICATE groups
-    (bounded by duplicate mass, tiny vs corpus) reach the driver."""
-    hashed = pages_with_text.map_batches(_TextHashUri(domain),
-                                         batch_format="pyarrow")
+def exact_dup_mapping(hashed: "ray.data.Dataset",
+                      num_partitions: int | None = None
+                      ) -> "ray.data.Dataset":
+    """(h, uri) page hashes -> (member, canon) mapping *Dataset*: pages
+    sharing identical extracted text merge into one entity, canonical =
+    lexicographic min page-URI per text group. One groupby-aggregate
+    shuffle on the text hash plus one hash-partitioned join of the page
+    hashes back onto the duplicate groups — nothing reaches the driver,
+    so duplicate mass may be any fraction of the corpus (on Common Crawl
+    it is tens of percent)."""
+    from ..stages.canonicalize import (default_shuffle_partitions,
+                                       drop_empty_blocks)
+    nparts = num_partitions or default_shuffle_partitions()
     agg = hashed.groupby("h").aggregate(Count(alias_name="n"),
                                         Min("uri", alias_name="canon"))
-    dup = agg.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)),
-                          batch_format="pyarrow")
-    canon_by_h = {}
-    for b in dup.iter_batches(batch_format="pyarrow"):
-        canon_by_h.update(zip(b["h"].to_pylist(), b["canon"].to_pylist()))
-    if not canon_by_h:
-        return {}
-    ref = ray.put(set(canon_by_h))
 
-    def members(batch: pa.Table) -> pa.Table:
-        keep = ray.get(ref)
-        mask = pa.array([x in keep for x in batch["h"].to_pylist()])
-        return batch.filter(mask)
+    def dup_groups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n"], 1)).select(["h", "canon"])
 
-    mapping = {}
-    for b in hashed.map_batches(members, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
-        for h, uri in zip(b["h"].to_pylist(), b["uri"].to_pylist()):
-            canon = canon_by_h[h]
-            if uri != canon:
-                mapping[uri] = canon
-    return mapping
+    # sanitize: the sort-aggregate emits schema-less empty blocks that
+    # break the hash join (see canonicalize.drop_empty_blocks)
+    dup = drop_empty_blocks(
+        agg.map_batches(dup_groups, batch_format="pyarrow"),
+        pa.schema([("h", pa.int64()), ("canon", pa.string())]))
+    mapping_schema = pa.schema([("member", pa.string()),
+                                ("canon", pa.string())])
+    if dup.count() == 0:
+        # no duplicate groups: short-circuit (Ray's hash join crashes on
+        # a zero-row side, and there is nothing to map anyway)
+        return ray.data.from_arrow(mapping_schema.empty_table())
+    joined = hashed.join(dup, join_type="inner", num_partitions=nparts,
+                         on=("h",))
 
+    def members(t: pa.Table) -> pa.Table:
+        uri = t["uri"].combine_chunks().cast(pa.string())
+        canon = t["canon"].combine_chunks().cast(pa.string())
+        mask = pc.invert(pc.equal(uri, canon))
+        return pa.table({"member": uri.filter(mask),
+                         "canon": canon.filter(mask)})
 
-def sameas_from_map(mapping: dict[str, str]) -> "ray.data.Dataset":
-    rows = [{"s": m, "p": OWL_SAMEAS, "o_kind": "u", "o_lex": c, "o_dt": ""}
-            for m, c in sorted(mapping.items())]
-    from ..stages.triples import TRIPLE_SCHEMA
-    if not rows:
-        return ray.data.from_arrow(TRIPLE_SCHEMA.empty_table())
-    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=TRIPLE_SCHEMA))
+    return joined.map_batches(members, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- pipeline
@@ -231,24 +231,87 @@ def build_prepared_pages(sf_dir: str,
                              batch_format="pyarrow")
 
 
+# tagged union of the three derived streams one pages pass produces:
+#   tag 't': a grammar triple        (s, p, o_kind, o_lex, o_dt)
+#   tag 'm': a mention pair          (s=page url, p=mention token)
+#   tag 'h': a text-hash row         (s=page URI, h=64-bit text hash)
+COMBINED_SCHEMA = pa.schema([
+    ("tag", pa.string()), ("s", pa.string()), ("p", pa.string()),
+    ("o_kind", pa.string()), ("o_lex", pa.string()), ("o_dt", pa.string()),
+    ("h", pa.int64()),
+])
+
+
+class CombinedEmit:
+    """ONE pass over prepared pages emitting all three derived streams
+    as a tagged union (COMBINED_SCHEMA). The full pages corpus
+    (html+text) is consumed exactly once and never materialized; only
+    this far smaller derived table fans out to the three downstream
+    consumers (grammar triples, mention linking, dup detection) — the
+    peak object-store footprint is bounded by derived-data size, not the
+    corpus."""
+
+    def __init__(self, ruleset: RuleSet, domain: str, lexicon=LEXICON):
+        self.gen = TripleGenerator(ruleset)
+        self.pairs = MentionPairs(lexicon)
+        self.hasher = _TextHashUri(domain)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.gen(batch)
+        m = self.pairs(batch)
+        h = self.hasher(batch)
+        nt, nm, nh = t.num_rows, m.num_rows, h.num_rows
+
+        def cat(parts):
+            return pa.concat_arrays([p.combine_chunks() if
+                                     isinstance(p, pa.ChunkedArray) else p
+                                     for p in parts])
+
+        snull = lambda n: pa.nulls(n, pa.string())
+        tag = cat([_const_col("t", nt), _const_col("m", nm),
+                   _const_col("h", nh)])
+        s = cat([t["s"], m["url"], h["uri"]])
+        p = cat([t["p"], m["mention"], snull(nh)])
+        o_kind = cat([t["o_kind"], snull(nm + nh)])
+        o_lex = cat([t["o_lex"], snull(nm + nh)])
+        o_dt = cat([t["o_dt"], snull(nm + nh)])
+        hcol = cat([pa.nulls(nt + nm, pa.int64()), h["h"]])
+        return pa.Table.from_arrays([tag, s, p, o_kind, o_lex, o_dt, hcol],
+                                    schema=COMBINED_SCHEMA)
+
+
+def _tagged(combined: "ray.data.Dataset", tag: str, cols: list[str],
+            names: list[str]) -> "ray.data.Dataset":
+    """Select one tagged stream back out of the combined table."""
+    def fn(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["tag"], tag)).select(cols)
+        return t.rename_columns(names)
+    return combined.map_batches(fn, batch_format="pyarrow")
+
+
 def webkg_triples_from_pages(pages: "ray.data.Dataset",
                              domain: str = DOMAIN,
                              canonicalize: bool = True,
                              linker_concurrency: tuple[int, int] | int = (1, 16)
                              ) -> "ray.data.Dataset":
-    """The transform half: prepared pages -> deduped triples."""
-    # `pages` feeds THREE consumers (grammar triples, mention path,
-    # dup-detection) and Ray re-executes a lazy prefix per consumer —
-    # materialize once (object-store backed, spills to disk under
-    # pressure). For runs where even spilled pages are unwanted, the
-    # partitioned runner (state/manifest.py) bounds this to one
-    # partition at a time.
-    pages = pages.materialize()
+    """The transform half: prepared pages -> deduped triples.
+
+    The pages stream feeds THREE consumers (grammar triples, mention
+    path, dup-detection). Ray re-executes a lazy prefix per consumer, so
+    a naive fan-out would run extraction 3× — and materializing the full
+    pages corpus instead would put html+text in the object store. The
+    ``CombinedEmit`` pass resolves both: one streaming pass over pages
+    emits the tagged union of the three small derived streams, and only
+    THAT is materialized for fan-out."""
     rs = page_ruleset(domain)
-    base = pages.map_batches(TripleGenerator(rs), batch_format="pyarrow")
+    combined = pages.map_batches(CombinedEmit(rs, domain),
+                                 batch_format="pyarrow").materialize()
+
+    base = _tagged(combined, "t", ["s", "p", "o_kind", "o_lex", "o_dt"],
+                   ["s", "p", "o_kind", "o_lex", "o_dt"])
 
     alias_ref = ray.put(dict(ALIASES))
-    mentions = (pages.map_batches(MentionPairs(), batch_format="pyarrow")
+    mentions = (_tagged(combined, "m", ["s", "p"], ["url", "mention"])
                 .map_batches(EntityLinker, batch_format="pyarrow",
                              fn_constructor_kwargs={
                                  "alias_source": alias_ref,
@@ -260,11 +323,18 @@ def webkg_triples_from_pages(pages: "ray.data.Dataset",
     triples = base.union(mentions)
 
     if canonicalize:
-        mapping = exact_dup_canonical_map(pages, domain)
-        if mapping:
-            from ..stages.canonicalize import apply_canonical_map
-            triples = apply_canonical_map(triples, mapping)
-            triples = triples.union(sameas_from_map(mapping))
+        from ..stages.canonicalize import (apply_canonical_mapping,
+                                           drop_empty_blocks,
+                                           sameas_from_mapping)
+        hashed = _tagged(combined, "h", ["h", "s"], ["h", "uri"])
+        # the mapping feeds three consumers (two rewrite joins + sameAs
+        # emission) — materialize it once; it is (member, canon) pairs
+        # over duplicate pages only, distributed in the object store
+        mapping = drop_empty_blocks(
+            exact_dup_mapping(hashed).materialize(),
+            pa.schema([("member", pa.string()), ("canon", pa.string())]))
+        triples = apply_canonical_mapping(triples, mapping)
+        triples = triples.union(sameas_from_mapping(mapping))
     return dedup_triples(triples, domain=domain)
 
 
@@ -309,14 +379,17 @@ def webkg_oracle_sql(domain: str = DOMAIN, docs: str = "documents") -> str:
     colmap = {"url": "_url", "lang": "lang", "source": "source",
               "n_chars": "CAST(n_chars AS VARCHAR)"}
     base_sql = ruleset_to_sql(rs, base, colmap)
-    # rewrite IRI occurrences of non-canonical page URIs:
+    # rewrite IRI occurrences of non-canonical page URIs — one
+    # independent LEFT JOIN per position (s, o), so a triple carrying
+    # members in BOTH positions rewrites both without row duplication
     rewritten = (
-        "SELECT CASE WHEN s = m.member THEN m.canon ELSE s END AS s, p, "
-        "CASE WHEN o = '<'||m.member||'>' THEN '<'||m.canon||'>' ELSE o END AS o "
-        f"FROM ({base_sql}) t LEFT JOIN "
-        f"(SELECT DISTINCT _self_uri AS member, _canon_uri AS canon "
-        f"FROM {base} WHERE _self_uri <> _canon_uri) m "
-        "ON t.s = m.member OR t.o = '<'||m.member||'>'"
+        f"WITH _m AS (SELECT DISTINCT _self_uri AS member, _canon_uri AS canon "
+        f"FROM {base} WHERE _self_uri <> _canon_uri) "
+        "SELECT COALESCE(ms.canon, t.s) AS s, t.p, "
+        "CASE WHEN mo.member IS NOT NULL THEN '<'||mo.canon||'>' ELSE t.o END AS o "
+        f"FROM ({base_sql}) t "
+        "LEFT JOIN _m ms ON t.s = ms.member "
+        "LEFT JOIN _m mo ON t.o = '<'||mo.member||'>'"
     )
     # mention triples (aliased) + owl:sameAs pairs
     in_list = ", ".join(sql_quote(t) for t in sorted(LEXICON))

@@ -56,32 +56,53 @@ def test_entity_linker_miss_passthrough(ray_session):
                                             "apache_spark"]
 
 
+def _mapping_dict(mapping_ds):
+    df = mapping_ds.to_pandas()
+    return dict(zip(df["member"], df["canon"]))
+
+
 def test_connected_components_chain(ray_session):
     import ray.data as rd
     from kgforge.stages.canonicalize import (
-        canonical_map_from_components, connected_components)
+        canonical_mapping_from_components, connected_components)
     # chain a-b-c-d plus isolated pair x-y: canon = min member
     edges = rd.from_items([
         {"a": "b", "b": "c"}, {"a": "a", "b": "b"}, {"a": "c", "b": "d"},
         {"a": "y", "b": "x"},
     ])
     labels = connected_components(edges)
-    m = canonical_map_from_components(labels)
+    m = _mapping_dict(canonical_mapping_from_components(labels))
     assert m == {"b": "a", "c": "a", "d": "a", "y": "x"}
 
 
-def test_apply_canonical_map(ray_session):
+def test_apply_canonical_mapping(ray_session):
     import ray.data as rd
-    from kgforge.stages.canonicalize import apply_canonical_map
+    from kgforge.stages.canonicalize import apply_canonical_mapping
     t = rd.from_items([
         {"s": "B", "p": "pred", "o_kind": "u", "o_lex": "C", "o_dt": ""},
         {"s": "A", "p": "lab", "o_kind": "l", "o_lex": "B", "o_dt": ""},
     ])
-    out = apply_canonical_map(t, {"B": "A", "C": "A"}).to_pandas()
+    mapping = rd.from_items([{"member": "B", "canon": "A"},
+                             {"member": "C", "canon": "A"}])
+    out = apply_canonical_mapping(t, mapping).to_pandas()
     out = out.sort_values(["s", "p"]).reset_index(drop=True)
-    # URI positions rewritten; literal o untouched
+    # URI positions rewritten; literal o untouched even though its
+    # lexical form ("B") equals a member IRI
     assert out.loc[1, "s"] == "A" and out.loc[1, "o_lex"] == "A"
     assert out.loc[0, "s"] == "A" and out.loc[0, "o_lex"] == "B"
+
+
+def test_apply_canonical_mapping_empty(ray_session):
+    import ray.data as rd
+    import pyarrow as pa_
+    from kgforge.stages.canonicalize import apply_canonical_mapping
+    t = rd.from_items([
+        {"s": "B", "p": "pred", "o_kind": "u", "o_lex": "C", "o_dt": ""}])
+    empty = rd.from_arrow(pa_.table(
+        {"member": pa_.array([], type=pa_.string()),
+         "canon": pa_.array([], type=pa_.string())}))
+    out = apply_canonical_mapping(t, empty).to_pandas()
+    assert out.loc[0, "s"] == "B" and out.loc[0, "o_lex"] == "C"
 
 
 def test_skolem_deterministic():
@@ -92,20 +113,21 @@ def test_skolem_deterministic():
     assert a.startswith("https://d/.well-known/genid/")
 
 
-def test_skolem_canonical_map(ray_session):
+def test_skolem_canonical_mapping(ray_session):
     import ray.data as rd
     from kgforge.stages.canonicalize import (connected_components,
-                                             skolem_canonical_map)
+                                             skolem_canonical_mapping)
     edges = rd.from_items([{"a": "x", "b": "y"}, {"a": "y", "b": "z"}])
     labels = connected_components(edges)
-    m = skolem_canonical_map(labels, "https://d/")
+    m = _mapping_dict(skolem_canonical_mapping(labels, "https://d/"))
     assert set(m) == {"x", "y", "z"}
     # all members of the component share ONE skolem IRI
     assert len(set(m.values())) == 1
     sk = next(iter(m.values()))
     assert sk.startswith("https://d/.well-known/genid/")
     # deterministic across recomputation
-    m2 = skolem_canonical_map(connected_components(edges), "https://d/")
+    m2 = _mapping_dict(skolem_canonical_mapping(
+        connected_components(edges), "https://d/"))
     assert m == m2
 
 
