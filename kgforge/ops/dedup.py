@@ -30,14 +30,21 @@ from ray.data.aggregate import Count, Min
 
 # ------------------------------------------------------------------ exact
 class Md5Key:
+    """md5 per UNIQUE value (dictionary-encoded): duplicate-heavy
+    corpora hash each distinct text once per batch, not once per row.
+    (md5 itself matches the DuckDB oracle and has no vectorized kernel.)"""
+
     def __init__(self, col: str):
         self.col = col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = batch[self.col].to_pylist()
-        h = pa.array([hashlib.md5(v.encode()).hexdigest() for v in vals],
-                     type=pa.string())
-        return batch.append_column("h", h)
+        enc = pc.dictionary_encode(
+            batch[self.col].combine_chunks().cast(pa.string()))
+        uniq = pa.array([hashlib.md5(v.encode()).hexdigest()
+                         if v is not None else None
+                         for v in enc.dictionary.to_pylist()],
+                        type=pa.string())
+        return batch.append_column("h", uniq.take(enc.indices))
 
 
 def exact_dedup(sf_dir: str, col: str = "text") -> "ray.data.Dataset":
@@ -254,73 +261,146 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _shingle_sets_batch(texts: pa.Array, k: int) -> list[np.ndarray]:
+    """UNIQUE k-gram hash set per text, vectorized over the batch (same
+    flat crc→rolling-mix machinery as MinHashBands; docs shorter than k
+    tokens fall back to the scalar padded-gram spec)."""
+    split = pc.split_pattern(texts, pattern=" ")
+    flat = split.flatten()
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    parents = pc.list_parent_indices(split).filter(nonempty)
+    th = _crc_per_token(flat)
+    par = parents.to_numpy(zero_copy_only=False)
+    n = len(texts)
+    counts = np.bincount(par, minlength=n)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    grams = _mix_kgram(th, k) if len(th) >= k else np.zeros(0, np.uint64)
+    pos = np.arange(len(grams))
+    gram_doc = par[pos] if len(grams) else np.zeros(0, np.int64)
+    valid = (pos + k - 1 < ends[gram_doc]) if len(grams) else np.zeros(0, bool)
+    grams, gram_doc = grams[valid], gram_doc[valid]
+    g_counts = np.bincount(gram_doc, minlength=n)
+    g_ends = np.cumsum(g_counts)
+    g_starts = g_ends - g_counts
+    out: list[np.ndarray] = []
+    txts = None
+    for i in range(n):
+        if 0 < counts[i] < k:            # short doc: padded-gram fallback
+            if txts is None:
+                txts = texts.to_pylist()
+            out.append(_shingle_hashes(txts[i], k))
+        else:
+            out.append(np.unique(grams[g_starts[i]:g_ends[i]]))
+    return out
+
+
 def minhash_dedup(sf_dir: str, threshold: float = 0.7, n_perm: int = 64,
                   bands: int = 16, k: int = 3) -> "ray.data.Dataset":
-    """Verified near-dup pairs (a, b, jaccard_pct:int). The verify stage
-    fetches pair texts via a broadcast id→text map built from the SAME
-    dataset — valid while near-dup candidate mass ≪ corpus; at larger
-    dup mass swap in a hash-partitioned join keyed on doc_id."""
-    import ray
-    cands = minhash_candidates(sf_dir, n_perm, bands, k)
+    """Verified near-dup pairs (a, b, jaccard_pct:int).
+
+    The verify stage fetches pair texts through TWO hash-partitioned
+    joins of the candidate pairs against the documents table (a-side,
+    then b-side) — no broadcast, no driver collect, so candidate/dup
+    mass may be any fraction of the corpus (at 100 TB Common Crawl it is
+    double-digit percent). The joins also act as semi-joins: only
+    documents with a candidate row ship their text."""
+    from ..stages.canonicalize import (SANITIZE_BATCH,
+                                       default_shuffle_partitions,
+                                       drop_empty_blocks)
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    cands = drop_empty_blocks(
+        minhash_candidates(sf_dir, n_perm, bands, k).materialize(),
+        pair_schema)
+    if cands.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {"a": pa.array([], type=pa.int64()),
+             "b": pa.array([], type=pa.int64()),
+             "jaccard_pct": pa.array([], type=pa.int64())}))
+    nparts = default_shuffle_partitions()
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    # candidate ids only (small) -> broadcast text lookup
-    need: set[int] = set()
-    for b in cands.iter_batches(batch_format="pyarrow"):
-        need.update(b["a"].to_pylist())
-        need.update(b["b"].to_pylist())
-    need_ref = ray.put(need)
 
-    def keep_needed(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = pa.array([i in wanted for i in batch["doc_id"].to_pylist()])
-        return batch.filter(mask)
-
-    texts = {}
-    for b in docs.map_batches(keep_needed,
-                              batch_format="pyarrow").iter_batches(
-                                  batch_format="pyarrow"):
-        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
-    text_ref = ray.put(texts)
+    j1 = cands.join(docs, join_type="inner", num_partitions=nparts,
+                    on=("a",), right_on=("doc_id",))
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            ["text_a" if c == "text" else c for c in t.schema.names]),
+        batch_format="pyarrow", batch_size=SANITIZE_BATCH)
+    j2 = j1.join(docs, join_type="inner", num_partitions=nparts,
+                 on=("b",), right_on=("doc_id",))
 
     def verify(batch: pa.Table) -> pa.Table:
-        t = ray.get(text_ref)
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        sets_a = _shingle_sets_batch(
+            batch["text_a"].combine_chunks().cast(pa.string()), k)
+        sets_b = _shingle_sets_batch(
+            batch["text"].combine_chunks().cast(pa.string()), k)
         out_a, out_b, out_j = [], [], []
-        for x, y in zip(a, b):
-            j = ngram_jaccard(t[x], t[y], k)
+        for i in range(len(a)):
+            sa, sb = sets_a[i], sets_b[i]
+            if not len(sa) and not len(sb):
+                j = 1.0
+            else:
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                j = inter / (len(sa) + len(sb) - inter)
             if j >= threshold:
-                out_a.append(x)
-                out_b.append(y)
+                out_a.append(a[i])
+                out_b.append(b[i])
                 out_j.append(int(round(j * 100)))
         return pa.table({"a": pa.array(out_a, type=pa.int64()),
                          "b": pa.array(out_b, type=pa.int64()),
                          "jaccard_pct": pa.array(out_j, type=pa.int64())})
 
-    return cands.map_batches(verify, batch_format="pyarrow")
+    return j2.map_batches(verify, batch_format="pyarrow",
+                          batch_size=SANITIZE_BATCH)
 
 
 # ---------------------------------------------------------------- SimHash
+def _crc2_per_token(tokens: pa.Array) -> np.ndarray:
+    """64-bit token hash = crc32(t) << 32 | crc32(t + '#'), computed once
+    per UNIQUE token."""
+    import zlib
+    enc = pc.dictionary_encode(tokens)
+    uniq_toks = enc.dictionary.to_pylist()
+    hi = np.array([zlib.crc32(t.encode()) if t is not None else 0
+                   for t in uniq_toks], dtype=np.uint64)
+    lo = np.array([zlib.crc32((t + "#").encode()) if t is not None else 0
+                   for t in uniq_toks], dtype=np.uint64)
+    uniq = (hi << np.uint64(32)) | lo
+    return uniq[enc.indices.to_numpy(zero_copy_only=False)]
+
+
 class SimHash:
     """64-bit simhash over crc32 token hashes; emits (doc_id, simhash,
-    band16_0..3) for Hamming-≤3 blocking."""
+    band16_0..3) for Hamming-≤3 blocking. Fully vectorized over the
+    batch: per-unique-token hashing, one (tokens × 64) bit unpack, and a
+    per-doc ``np.add.reduceat`` — no per-doc Python loop."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import zlib
-        ids = batch["doc_id"].to_pylist()
-        sims = np.zeros(len(ids), dtype=np.uint64)
-        for i, text in enumerate(batch["text"].to_pylist()):
-            toks = [t for t in text.split(" ") if t]
-            if not toks:
-                continue
-            hs = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
-            hs = (hs << np.uint64(32)) | np.array(
-                [zlib.crc32((t + "#").encode()) for t in toks], dtype=np.uint64)
+        texts = batch["text"].combine_chunks().cast(pa.string())
+        n = len(texts)
+        split = pc.split_pattern(texts, pattern=" ")
+        flat = split.flatten()
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        par = (pc.list_parent_indices(split).filter(nonempty)
+               .to_numpy(zero_copy_only=False))
+        sims = np.zeros(n, dtype=np.uint64)
+        if len(flat):
+            hs = _crc2_per_token(flat)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) &
                     np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            sims[i] = np.packbits((v > 0)[::-1]).view(">u8")[0]
+            contrib = 2 * bits - 1                      # (tokens, 64)
+            counts = np.bincount(par, minlength=n)
+            run_starts = np.clip(np.cumsum(counts) - counts, 0,
+                                 max(len(hs) - 1, 0))
+            v = np.add.reduceat(contrib, run_starts, axis=0)  # (n, 64)
+            have = counts > 0
+            packed = np.packbits((v > 0)[:, ::-1], axis=1).view(">u8").ravel()
+            sims[have] = packed[have].astype(np.uint64)
         out = {"doc_id": batch["doc_id"],
                "simhash": pa.array(sims.astype(np.int64), type=pa.int64())}
         for b in range(4):
@@ -336,18 +416,28 @@ def simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(SimHash(), batch_format="pyarrow")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR bit-twiddling over uint64)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = ((x & np.uint64(0x3333333333333333)) +
+         ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
 def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
     """Near-dup pairs by simhash: band-blocked candidates (pigeonhole: a
     ≤3-bit-different pair shares ≥1 of 4 16-bit bands) verified by
     popcount.
 
-    Verification fetches signatures through a broadcast doc→sig map
-    (16B/doc — fine to ~1e8 docs/node; beyond that, swap the broadcast
-    for a hash-partitioned join of candidates against signatures keyed
-    on doc_id)."""
-    import ray
-
-    sigs = simhash_signatures(sf_dir)
+    Verification fetches signatures through TWO hash-partitioned joins
+    of the candidate pairs against the signature table (a-side then
+    b-side) — no broadcast, no driver collect, any dup mass."""
+    from ..stages.canonicalize import (SANITIZE_BATCH,
+                                       default_shuffle_partitions)
+    # signatures feed candidate generation AND both verify joins —
+    # materialize once (24B/doc in the distributed object store)
+    sigs = simhash_signatures(sf_dir).materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -361,25 +451,38 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
 
     cands = dup_key_pairs(sigs.map_batches(explode, batch_format="pyarrow"),
                           ["band_idx", "band_val"], "doc_id")
+    from ..stages.canonicalize import drop_empty_blocks
     from ..stages.dedup import distinct
-    cands = distinct(cands, ["a", "b"])
+    cands = drop_empty_blocks(
+        distinct(cands, ["a", "b"]).materialize(),
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]))
+    if cands.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {"a": pa.array([], type=pa.int64()),
+             "b": pa.array([], type=pa.int64()),
+             "hamming": pa.array([], type=pa.int64())}))
 
-    sig_map: dict[int, int] = {}
-    for b in sigs.iter_batches(batch_format="pyarrow"):
-        sig_map.update(zip(b["doc_id"].to_pylist(), b["simhash"].to_pylist()))
-    ref = ray.put(sig_map)
+    nparts = default_shuffle_partitions()
+    sig_cols = sigs.select_columns(["doc_id", "simhash"])
+    j1 = cands.join(sig_cols, join_type="inner", num_partitions=nparts,
+                    on=("a",), right_on=("doc_id",))
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            ["sim_a" if c == "simhash" else c for c in t.schema.names]),
+        batch_format="pyarrow", batch_size=SANITIZE_BATCH)
+    j2 = j1.join(sig_cols, join_type="inner", num_partitions=nparts,
+                 on=("b",), right_on=("doc_id",))
 
     def verify(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
-        xa = np.array([m[x] for x in a], dtype=np.int64).view(np.uint64)
-        xb = np.array([m[x] for x in b], dtype=np.int64).view(np.uint64)
-        ham = np.array([bin(int(x)).count("1") for x in (xa ^ xb)],
-                       dtype=np.int64)
+        xa = batch["sim_a"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        xb = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        ham = _popcount64(xa ^ xb)
         keep = ham <= max_hamming
         return pa.table({"a": pa.array(a[keep], type=pa.int64()),
                          "b": pa.array(b[keep], type=pa.int64()),
                          "hamming": pa.array(ham[keep], type=pa.int64())})
 
-    return cands.map_batches(verify, batch_format="pyarrow")
+    return j2.map_batches(verify, batch_format="pyarrow",
+                          batch_size=SANITIZE_BATCH)

@@ -152,38 +152,75 @@ FROM documents GROUP BY lang, source
 class Winnowing:
     """Document fingerprinting: winnowing over rolling k-gram hashes
     (Schleimer et al., SIGMOD 2003 — public algorithm). Emits one row
-    per selected fingerprint (doc_id, pos, fp). Not SQL-expressible →
-    rows-only oracle; determinism guaranteed by fixed k/window/crc32."""
+    per selected fingerprint (doc_id, pos, fp).
+
+    Gram hash = the shared per-unique-token crc32 → multiply-xor rolling
+    mix (ops/dedup._mix_kgram — same spec as MinHash shingles), so the
+    whole batch vectorizes: flat token hashing, boundary-masked gram
+    stream, one global ``sliding_window_view`` argmin with windows that
+    cross a doc boundary masked out, and a reduceat-min path for docs
+    with fewer grams than the window. No per-doc Python loop. Checked
+    against an independent scalar reference (kgforge/scalar_ref.py)."""
 
     def __init__(self, k: int = 5, window: int = 4):
         self.k = k
         self.window = window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import zlib
-        doc_ids, poss, fps = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            toks = [t for t in text.split(" ") if t]
-            if len(toks) < self.k:
-                continue
-            grams = [" ".join(toks[i:i + self.k])
-                     for i in range(len(toks) - self.k + 1)]
-            hs = np.array([zlib.crc32(g.encode()) for g in grams],
-                          dtype=np.int64)
-            if len(hs) <= self.window:
-                sel = {int(np.argmin(hs))}
-            else:
-                sw = np.lib.stride_tricks.sliding_window_view(hs, self.window)
-                sel = set((np.argmin(sw, axis=1) +
-                           np.arange(len(hs) - self.window + 1)).tolist())
-            for p in sorted(sel):
-                doc_ids.append(doc_id)
-                poss.append(p)
-                fps.append(int(hs[p]))
-        return pa.table({"doc_id": pa.array(doc_ids, type=pa.int64()),
-                         "pos": pa.array(poss, type=pa.int64()),
-                         "fp": pa.array(fps, type=pa.int64())})
+        import pyarrow.compute as pc_
+        from .dedup import _crc_per_token, _mix_kgram
+        texts = batch["text"].combine_chunks().cast(pa.string())
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(texts)
+        k, w = self.k, self.window
+        split = pc_.split_pattern(texts, pattern=" ")
+        flat = split.flatten()
+        nonempty = pc_.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        par = (pc_.list_parent_indices(split).filter(nonempty)
+               .to_numpy(zero_copy_only=False))
+        counts = np.bincount(par, minlength=n)
+        ends = np.cumsum(counts)
+        th = _crc_per_token(flat)
+        grams = _mix_kgram(th, k) if len(th) >= k else np.zeros(0, np.uint64)
+        pos = np.arange(len(grams))
+        gram_doc = par[pos] if len(grams) else np.zeros(0, np.int64)
+        valid = (pos + k - 1 < ends[gram_doc]) if len(grams) else \
+            np.zeros(0, bool)
+        grams, gram_doc = grams[valid], gram_doc[valid]
+        if not len(grams):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64()),
+                             "fp": pa.array([], type=pa.int64())})
+        g_counts = np.bincount(gram_doc, minlength=n)
+        g_ends = np.cumsum(g_counts)
+        g_starts = g_ends - g_counts
+        sel_parts = []
+        # long docs (>= w grams): winnowing windows fully inside one doc
+        if len(grams) >= w:
+            wpos = np.arange(len(grams) - w + 1)
+            ok = gram_doc[wpos] == gram_doc[wpos + w - 1]
+            if ok.any():
+                sw = np.lib.stride_tricks.sliding_window_view(grams, w)[ok]
+                sel_parts.append(np.argmin(sw, axis=1) + wpos[ok])
+        # short docs (1..w-1 grams): single first-min fingerprint
+        short = (g_counts > 0) & (g_counts < w)
+        if short.any():
+            rs = np.clip(g_starts, 0, len(grams) - 1)
+            mins = np.minimum.reduceat(grams, rs)
+            is_min = grams == mins[gram_doc]
+            short_pos = np.flatnonzero(is_min & short[gram_doc])
+            # first min per doc: positions are doc-ordered, keep firsts
+            _, first = np.unique(gram_doc[short_pos], return_index=True)
+            sel_parts.append(short_pos[first])
+        sel = np.unique(np.concatenate(sel_parts)) if sel_parts else \
+            np.zeros(0, np.int64)
+        d = gram_doc[sel]
+        return pa.table({
+            "doc_id": pa.array(ids[d], type=pa.int64()),
+            "pos": pa.array(sel - g_starts[d], type=pa.int64()),
+            "fp": pa.array(grams[sel].view(np.int64), type=pa.int64()),
+        })
 
 
 def fingerprints(sf_dir: str) -> "ray.data.Dataset":
