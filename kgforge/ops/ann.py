@@ -38,15 +38,16 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def query_matrix(sf_dir: str, query_ids: list[int]) -> np.ndarray:
-    """Fetch the query vectors (tiny read, filtered at the source)."""
+    """Fetch the query vectors: predicate-pushdown parquet read (only
+    row groups containing the ids are decoded — the full embedding
+    column never reaches the driver)."""
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", list(query_ids))])
     order = {v: i for i, v in enumerate(query_ids)}
-    rows = [(order[v], e) for v, e in zip(t["vec_id"].to_pylist(),
-                                          t["embedding"].to_pylist())
-            if v in order]
-    rows.sort()
+    rows = sorted((order[v], e) for v, e in zip(t["vec_id"].to_pylist(),
+                                                t["embedding"].to_pylist()))
     return np.array([e for _, e in rows], dtype=np.float64)
 
 
@@ -66,13 +67,17 @@ class BatchTopK:
         sims4 = np.round(sims, 4)
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         out_q, out_v, out_s = [], [], []
-        k = min(self.k, len(vec_ids))
         for qi, qid in enumerate(self.query_ids):
-            col = sims4[:, qi]
-            # partial top-k: sort by (-sim, vec_id)
-            idx = np.lexsort((vec_ids, -col))[:k]
+            # exclude the query's own vector BEFORE taking the local
+            # top-k — otherwise its self-similarity (1.0) occupies a
+            # slot and the batch contributes only k-1 real candidates,
+            # silently dropping the true k-th neighbor
+            mask = vec_ids != qid
+            vids = vec_ids[mask]
+            col = sims4[mask, qi]
+            idx = np.lexsort((vids, -col))[:min(self.k, len(vids))]
             out_q.extend([qid] * len(idx))
-            out_v.extend(vec_ids[idx].tolist())
+            out_v.extend(vids[idx].tolist())
             out_s.extend(col[idx].tolist())
         return pa.table({
             "query_id": pa.array(out_q, type=pa.int64()),
@@ -153,8 +158,12 @@ def train_ivf_centroids(sf_dir: str, n_lists: int = 16,
     materializes). Init = fixed splitmix directions; Lloyd iterations
     are plain matmuls. No RNG state → identical centroids every run."""
     import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    m = _normalize(np.array(t["embedding"].to_pylist()[:sample_rows],
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    # bounded head read: only the row groups covering sample_rows are
+    # decoded — the full embedding column never reaches the driver
+    head = next(pf.iter_batches(batch_size=sample_rows,
+                                columns=["embedding"]))
+    m = _normalize(np.array(head["embedding"].to_pylist(),
                             dtype=np.float64))
     dim = m.shape[1]
     cents = _normalize(_splitmix_unit(n_lists, dim))
@@ -265,9 +274,10 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98,
     global. Recall<1 for pairs straddling a hyperplane; acceptable for
     near-dup mining (sim≥0.98 pairs collide with high probability)."""
     import pyarrow.parquet as pq
-    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet",
-                            columns=["embedding"]).slice(0, 1)
-              ["embedding"][0])
+    # dim probe: decode ONE row, not the whole table
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    dim = len(next(pf.iter_batches(batch_size=1,
+                                   columns=["embedding"]))["embedding"][0])
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     bucketed = ds.map_batches(LshBucket(dim, n_bits), batch_format="pyarrow")

@@ -78,52 +78,74 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
-# ------------------------------------------- broadcast join + top-k
+# ----------------------------------------- partitioned joins + top-k
+def topk_rows(ds: "ray.data.Dataset", k: int, sort_cols: list[str],
+              ascending: list[bool]) -> pd.DataFrame:
+    """Distributed top-k: per-batch top-k combiner (each batch emits at
+    most k rows) → tiny driver reduce over ≤ num_batches × k rows. No
+    global sort."""
+    from ..stages.canonicalize import SANITIZE_BATCH
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas()
+              .sort_values(sort_cols, ascending=ascending, kind="mergesort")
+              .head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=SANITIZE_BATCH)
+    frames = [b.to_pandas() for b in parts.iter_batches(batch_format="pyarrow")]
+    if not frames:
+        return pd.DataFrame()
+    top = pd.concat(frames, ignore_index=True)
+    return (top.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            .head(k).reset_index(drop=True))
+
+
 def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10
                        ) -> "ray.data.Dataset":
-    """Q3-shaped: customers of one segment (broadcast semi-join) ⋈
-    orders (broadcast of qualifying order keys) ⋈ lineitem (groupby
-    revenue) → top-k. Both small sides ship once via ray.put; the only
-    shuffle is the groupby on l_orderkey."""
+    """Q3-shaped: segment customers ⋈ orders ⋈ lineitem → top-k revenue.
+
+    Both joins are hash-partitioned (no broadcast side: one segment is
+    ~20% of customers and its orders ~30% of orders — at 100 TB neither
+    is a "small side"). lineitem pre-aggregates per batch (combiner)
+    before anything shuffles; the order-key join then prunes
+    non-qualifying partials BEFORE the global groupby; the final top-k
+    is a per-batch combiner + tiny driver reduce, not a global sort."""
+    from ..stages.canonicalize import (SANITIZE_BATCH,
+                                      default_shuffle_partitions)
+    nparts = default_shuffle_partitions()
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
-    cust_keys = set()
-    for b in cust.iter_batches(batch_format="pyarrow"):
-        seg = b["c_mktsegment"].to_pylist()
-        for ck, s in zip(b["c_custkey"].to_pylist(), seg):
-            if s == segment:
-                cust_keys.add(ck)
-    cust_ref = ray.put(cust_keys)
 
+    def seg_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["c_mktsegment"], segment)).select(
+            ["c_custkey"])
+
+    seg_cust = cust.map_batches(seg_only, batch_format="pyarrow")
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey"])
-
-    def order_filter(batch: pa.Table) -> pa.Table:
-        keys = ray.get(cust_ref)
-        mask = pa.array([c in keys for c in batch["o_custkey"].to_pylist()])
-        return batch.filter(mask)
-
-    okeys = set()
-    for b in orders.map_batches(order_filter,
-                                batch_format="pyarrow").iter_batches(
-                                    batch_format="pyarrow"):
-        okeys.update(b["o_orderkey"].to_pylist())
-    okey_ref = ray.put(okeys)
+    qual = orders.join(seg_cust, join_type="inner", num_partitions=nparts,
+                       on=("o_custkey",), right_on=("c_custkey",))
+    qual = qual.map_batches(lambda t: t.select(["o_orderkey"]),
+                            batch_format="pyarrow",
+                            batch_size=SANITIZE_BATCH)
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def li_partial(batch: pa.Table) -> pa.Table:
-        keep = ray.get(okey_ref)
-        mask = pa.array([k_ in keep for k_ in batch["l_orderkey"].to_pylist()])
-        t = batch.filter(mask)
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        t2 = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t2 = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
         return t2.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
 
-    agg = (li.map_batches(li_partial, batch_format="pyarrow")
+    partials = li.map_batches(li_partial, batch_format="pyarrow")
+    pruned = partials.join(qual, join_type="inner", num_partitions=nparts,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = (pruned.map_batches(lambda t: t, batch_format="pyarrow",
+                              batch_size=SANITIZE_BATCH)
            .groupby("l_orderkey").aggregate(Sum("rev_sum", alias_name="rev_f")))
 
     def cents(batch: pa.Table) -> pa.Table:
@@ -134,10 +156,7 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10
         })
 
     out = agg.map_batches(cents, batch_format="pyarrow")
-    # over-fetch beyond k so boundary ties can be broken deterministically
-    top = out.sort("revenue_cents", descending=True).limit(k + 50).to_pandas()
-    top = top.sort_values(["revenue_cents", "o_orderkey"],
-                          ascending=[False, True]).head(k)
+    top = topk_rows(out, k, ["revenue_cents", "o_orderkey"], [False, True])
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return ray.data.from_pandas(top.reset_index(drop=True))
 
@@ -167,30 +186,57 @@ LIMIT {k}
 SESSION_GAP_S = 1800
 
 
-def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S) -> "ray.data.Dataset":
-    """Per-user session stats from the events stream: partition by
-    user_id (groupby shuffle), sort by ts inside the group, close a
-    session when the gap exceeds ``gap_s``. Ordering assumption
+SESSION_BUCKETS = 64
+
+
+def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S,
+               num_buckets: int = SESSION_BUCKETS) -> "ray.data.Dataset":
+    """Per-user session stats from the events stream.
+
+    Users shuffle by ``user_id % num_buckets`` and each bucket runs ONE
+    vectorized callback over all its users (sort by user/ts/event, numpy
+    diff + cumsum for session breaks, C-level pandas groupby for the
+    rollup) — not one Python callback per user, which is the known
+    Ray-groupby trap at high user cardinality. Ordering assumption
     (documented per the streaming-shaped-workload rule): ts order is
-    established INSIDE each group by the sort, so input block order is
+    established INSIDE each bucket by the sort, so input block order is
     irrelevant."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts", "event_id"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds().fillna(np.inf)
-        starts = (gaps > gap_s).cumsum()  # first row opens session 1
-        n_sessions = int(starts.iloc[-1]) if len(g) else 0
-        sizes = starts.value_counts()
-        return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "n_events": [len(g)],
-            "n_sessions": [n_sessions],
-            "max_session_events": [int(sizes.max())],
-        })
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = (batch["user_id"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "_bucket", pa.array((uid % num_buckets).astype(np.int32)))
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = g["user_id"].to_numpy(dtype=np.int64)
+        tsv = g["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+        if not len(g):
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "n_events": pd.Series(dtype=np.int64),
+                                 "n_sessions": pd.Series(dtype=np.int64),
+                                 "max_session_events": pd.Series(dtype=np.int64)})
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = user[1:] != user[:-1]
+        gap = np.empty(len(g), dtype=np.float64)
+        gap[0] = np.inf
+        gap[1:] = (tsv[1:] - tsv[:-1]) / 1e9
+        new_session = new_user | (gap > gap_s)
+        sid = np.cumsum(new_session)          # globally increasing ids
+        per_sess = (pd.DataFrame({"user_id": user, "sid": sid})
+                    .groupby(["user_id", "sid"], sort=False).size()
+                    .rename("n").reset_index())
+        res = per_sess.groupby("user_id", sort=False)["n"].agg(
+            n_events="sum", n_sessions="count", max_session_events="max")
+        res = res.reset_index().astype(np.int64)
+        return res
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
 
 
 SESSIONIZE_SQL = f"""

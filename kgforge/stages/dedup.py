@@ -82,11 +82,15 @@ def dedup_triples(ds: "ray.data.Dataset",
                   domain: str | None = None) -> "ray.data.Dataset":
     """Distinct set of (s,p,o_kind,o_lex,o_dt) triples.
 
-    When ``domain`` is given, the domain prefix is stripped from s and
-    o_lex on the map side and re-added after the distinct — a pure
-    transport optimization (~40% fewer bytes through the all-to-all
-    exchange, which is the pipeline's scaling limiter). '\x01' marks
-    stripped values; semantics unchanged (verified by the same oracle
+    When ``domain`` is given, the domain prefix is stripped from the IRI
+    positions (s — always an IRI — and o_lex only where o_kind='u') on
+    the map side and re-added after the distinct — a pure transport
+    optimization (~40% fewer bytes through the all-to-all exchange,
+    which is the pipeline's scaling limiter). '\x01' marks stripped
+    values; LITERAL lexical forms are never touched, so crawled text
+    that happens to start with '\x01' or with the domain string cannot
+    be corrupted (an IRI can never start with '\x01' — schemes are
+    alphabetic). Semantics unchanged (verified by the same oracle
     comparisons)."""
     if not domain:
         return distinct(ds, TRIPLE_KEYS)
@@ -95,10 +99,19 @@ def dedup_triples(ds: "ray.data.Dataset",
 
     n = len(domain)
 
+    def _iri_mask(batch: pa.Table, col: str):
+        if col == "s":
+            return None                      # subjects are always IRIs
+        return pc.equal(batch["o_kind"].combine_chunks().cast(pa.string()),
+                        "u")
+
     def strip(batch: pa.Table) -> pa.Table:
         for col in ("s", "o_lex"):
             arr = batch[col].combine_chunks().cast(pa.string())
             pref = pc.equal(pc.utf8_slice_codeunits(arr, 0, n), domain)
+            iri = _iri_mask(batch, col)
+            if iri is not None:
+                pref = pc.and_(pref, iri)
             stripped = pc.binary_join_element_wise(
                 pa.scalar("\x01"), pc.utf8_slice_codeunits(arr, n, 2**30), "")
             out = pc.if_else(pref, stripped, arr)
@@ -110,6 +123,9 @@ def dedup_triples(ds: "ray.data.Dataset",
         for col in ("s", "o_lex"):
             arr = batch[col].combine_chunks().cast(pa.string())
             pref = pc.equal(pc.utf8_slice_codeunits(arr, 0, 1), "\x01")
+            iri = _iri_mask(batch, col)
+            if iri is not None:
+                pref = pc.and_(pref, iri)
             restored = pc.binary_join_element_wise(
                 pa.scalar(domain), pc.utf8_slice_codeunits(arr, 1, 2**30), "")
             out = pc.if_else(pref, restored, arr)

@@ -79,6 +79,19 @@ def partitioned_kg_run(sf_dir: str, out_dir: str, num_partitions: int = 4,
     domain = domain or DOMAIN
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest.load(out_dir)
+    # resume safety: a manifest recorded for a different input dir or
+    # partition count describes an INCOMPATIBLE partition layout —
+    # resuming against it would silently duplicate and drop documents
+    for rec in manifest.records.values():
+        if (rec.get("sf_dir") != sf_dir
+                or rec.get("num_partitions") != num_partitions):
+            raise ValueError(
+                f"manifest at {out_dir} was written for "
+                f"sf_dir={rec.get('sf_dir')!r}, "
+                f"num_partitions={rec.get('num_partitions')}; current run "
+                f"asks for sf_dir={sf_dir!r}, num_partitions="
+                f"{num_partitions}. Use a fresh out_dir (or matching "
+                "arguments) — mixing layouts corrupts the output.")
     done = manifest.completed()
     ran = 0
     for p in range(num_partitions):

@@ -110,6 +110,12 @@ def test_partitioned_run_crash_resume(ray_session, tmp_path):
     partitioned_kg_run(SF, out, num_partitions=3)
     assert os.path.getmtime(os.path.join(out, "manifest.jsonl")) == before
 
+    # resume with an INCOMPATIBLE layout must refuse, not silently mix
+    with pytest.raises(ValueError, match="manifest"):
+        partitioned_kg_run(SF, out, num_partitions=5)
+    with pytest.raises(ValueError, match="manifest"):
+        partitioned_kg_run("/root/testdata/sf0.01", out, num_partitions=3)
+
 
 def test_csv_source_ragged_rows(ray_session, tmp_path):
     from kgforge.sources.csvsource import read_csv_source
