@@ -75,7 +75,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["text_stats"] = text.text_stats
     q["lang_id"] = text.lang_id
     q["lang_token_summary"] = text.lang_token_summary
-    q["doc_fingerprints"] = text.fingerprints          # rows-only
+    # per-doc winnowing rollup (checked against the independent scalar
+    # reference via an embedded expected table — see kgforge/scalar_ref.py)
+    q["doc_fingerprints"] = text.fingerprint_summary
+    q["doc_fingerprints_full"] = text.fingerprints     # raw stream, rows-only
 
     # --- dedup family
     q["dedup_exact"] = dedup.exact_dedup
@@ -129,7 +132,19 @@ def oracle_sql() -> dict[str, str]:
     o["sessionize"] = relational.SESSIONIZE_SQL
     o["tumbling_counts"] = relational.TUMBLING_COUNTS_SQL
     o["event_type_counts"] = relational.EVENT_TYPE_COUNTS_SQL
-    # doc_fingerprints / dedup_minhash / dedup_simhash /
-    # embedding_dup_pairs / media_feature_stats: non-SQL-expressible
-    # (sketches, LSH, hashing) → rows-only checks by design
+    # sha256-based featurizer has an exact DuckDB mirror
+    from kgforge.ops.multimodal import MEDIA_FEATURE_STATS_SQL
+    o["media_feature_stats"] = MEDIA_FEATURE_STATS_SQL
+    # sketch/LSH ops are not SQL-expressible (crc32 / 64-bit mixing) —
+    # their oracle is an INDEPENDENT scalar reference implementation
+    # whose expected output is embedded as a VALUES table keyed by the
+    # input's content key (kgforge/scalar_ref.py)
+    from kgforge import scalar_ref as SR
+    o["doc_fingerprints"] = SR.fingerprint_oracle_sql()
+    o["dedup_minhash"] = SR.minhash_oracle_sql()
+    o["dedup_simhash"] = SR.simhash_oracle_sql()
+    o["ann_ivf_topk"] = SR.ivf_oracle_sql()
+    o["embedding_dup_pairs"] = SR.embedding_dup_oracle_sql()
+    # doc_fingerprints_full: raw per-position stream — rows-only (the
+    # checked summary covers its values via xor/min/max/pos_sum)
     return o

@@ -299,4 +299,13 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98,
     pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,
                                                   batch_format="pyarrow")
     from ..stages.dedup import distinct
-    return distinct(pairs, ["a", "b", "sim4"])
+    # near-dup pair mass is tiny by construction → deliver the result as
+    # a driver-side Arrow table. (Ray's to_pandas on an EMPTY dataset
+    # loses the schema entirely, so a zero-pair corpus would otherwise
+    # fail the driver's schema check.)
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                        ("sim4", pa.float64())])
+    tbls = [t for t in distinct(pairs, ["a", "b", "sim4"])
+            .iter_batches(batch_format="pyarrow") if t.num_columns]
+    return (pa.concat_tables(tbls).cast(schema) if tbls
+            else schema.empty_table())

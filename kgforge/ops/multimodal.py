@@ -104,7 +104,9 @@ def media_features(sf_dir: str, concurrency: int = 2,
 
 def media_feature_stats(sf_dir: str) -> "ray.data.Dataset":
     """SQL-checkable rollup of the fake featurizer output: per media row,
-    feature length + scaled first component (deterministic ints)."""
+    feature length + scaled first component (deterministic ints).
+    Rounding is half-away-from-zero to match DuckDB's round(), so the
+    independent SQL oracle below can reproduce the value exactly."""
     feats = media_features(sf_dir)
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -115,8 +117,27 @@ def media_feature_stats(sf_dir: str) -> "ray.data.Dataset":
             "media_id": batch["media_id"].combine_chunks().cast(pa.int64()),
             "feat_len": pc.list_value_length(lst).cast(pa.int64()),
             "first_milli": pc.round(pc.multiply(first.cast(pa.float64()),
-                                                pa.scalar(1000.0)))
+                                                pa.scalar(1000.0)),
+                                    round_mode="half_towards_infinity")
                              .cast(pa.int64()),
         })
 
     return feats.map_batches(fn, batch_format="pyarrow")
+
+
+# Independent SQL mirror of the fake featurizer: the feature's first
+# component is the first little-endian uint16 of sha256(payload), where
+# payload = utf-8 text bytes (synth_media). DuckDB's sha256(VARCHAR)
+# hashes the same utf-8 bytes; the engine's float32 division
+# (v.astype(float32) / 65535.0) is replicated with FLOAT casts, which
+# DuckDB evaluates in single precision.
+MEDIA_FEATURE_STATS_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST({FEATURE_DIM} AS BIGINT) AS feat_len,
+       CAST(round(CAST(CAST(
+            CAST('0x' || substr(sha256(text), 1, 2) AS INT)
+            + 256 * CAST('0x' || substr(sha256(text), 3, 2) AS INT)
+         AS FLOAT) / CAST(65535 AS FLOAT) AS FLOAT) * 1000.0)
+        AS BIGINT) AS first_milli
+FROM documents
+"""

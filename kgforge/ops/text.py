@@ -227,3 +227,48 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ds.map_batches(Winnowing(), batch_format="pyarrow")
+
+
+class FingerprintSummary:
+    """Per-doc rollup of the winnowing stream: (doc_id, n_fp, fp_xor,
+    fp_min, fp_max, pos_sum). Composes Winnowing INSIDE the same batch
+    fn, so one document's fingerprint rows can never be split across
+    blocks; the rollup is reduceat over doc runs (fp_xor catches any
+    single-value error, which makes this checkable against the scalar
+    reference in kgforge/scalar_ref.py)."""
+
+    def __init__(self, k: int = 5, window: int = 4):
+        self.win = Winnowing(k, window)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fp = self.win(batch)
+        d = fp["doc_id"].to_numpy(zero_copy_only=False)
+        if not len(d):
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in ("doc_id", "n_fp", "fp_xor", "fp_min",
+                                       "fp_max", "pos_sum")})
+        vals = fp["fp"].to_numpy(zero_copy_only=False)
+        poss = fp["pos"].to_numpy(zero_copy_only=False)
+        change = np.empty(len(d), dtype=bool)
+        change[0] = True
+        change[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(change)
+        return pa.table({
+            "doc_id": pa.array(d[starts], type=pa.int64()),
+            "n_fp": pa.array(np.diff(np.append(starts, len(d))),
+                             type=pa.int64()),
+            "fp_xor": pa.array(np.bitwise_xor.reduceat(vals, starts),
+                               type=pa.int64()),
+            "fp_min": pa.array(np.minimum.reduceat(vals, starts),
+                               type=pa.int64()),
+            "fp_max": pa.array(np.maximum.reduceat(vals, starts),
+                               type=pa.int64()),
+            "pos_sum": pa.array(np.add.reduceat(poss, starts),
+                                type=pa.int64()),
+        })
+
+
+def fingerprint_summary(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(FingerprintSummary(), batch_format="pyarrow")

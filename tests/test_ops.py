@@ -133,6 +133,55 @@ def test_winnowing_deterministic_and_shared_fps(ray_session, tmp_path):
     assert s1 & s2, "shared passage must share fingerprints"
 
 
+def _ref_corpus(tmp_path, n=40):
+    """Deterministic dirty corpus: dups, near-dups, short docs, empties."""
+    import pandas as pd
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa", "mu", "nu"]
+    rows = []
+    for i in range(n):
+        if i % 11 == 5:
+            text = ""                       # empty doc
+        elif i % 7 == 3:
+            text = " ".join(words[:i % 4 + 1])   # shorter than k
+        else:
+            base = [words[(i * 3 + j) % len(words)] for j in range(30)]
+            if i % 5 == 0 and i > 0:
+                base = [words[(3 * (i - 1) + j) % len(words)]
+                        for j in range(30)]      # near-dup of i-1's shape
+            text = " ".join(base)
+        rows.append({"doc_id": i, "text": text,
+                     "n_chars": len(text)})
+    df = pd.DataFrame(rows)
+    df.to_parquet(tmp_path / "documents.parquet")
+    return list(zip(df["doc_id"], df["text"]))
+
+
+def test_engine_matches_scalar_reference(ray_session, tmp_path):
+    """Lockstep: the vectorized engine and the independent scalar
+    reference (kgforge/scalar_ref.py) agree on a corpus that is NOT the
+    driver testdata — dups, near-dups, short and empty docs."""
+    from kgforge import scalar_ref as SR
+    from kgforge.ops import dedup as D
+    from kgforge.ops import text as T
+    docs = _ref_corpus(tmp_path)
+    sf = str(tmp_path)
+
+    eng = D.minhash_dedup(sf, threshold=0.5).to_pandas()
+    ref = SR.minhash_pairs_ref(docs, threshold=0.5)
+    assert sorted(map(tuple, eng[["a", "b", "jaccard_pct"]]
+                      .itertuples(index=False))) == ref
+
+    eng = D.simhash_dedup(sf, max_hamming=3).to_pandas()
+    ref = SR.simhash_pairs_ref(docs, max_hamming=3)
+    assert sorted(map(tuple, eng[["a", "b", "hamming"]]
+                      .itertuples(index=False))) == ref
+
+    eng = T.fingerprint_summary(sf).to_pandas().sort_values("doc_id")
+    ref = SR.fingerprint_summary_ref(docs)
+    assert list(map(tuple, eng.itertuples(index=False))) == ref
+
+
 def test_media_pipeline_stub(ray_session):
     from kgforge.ops import multimodal as M
     out = M.media_features(SF).limit(50).to_pandas()
