@@ -23,6 +23,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..sources.readers import read_table
+
 
 def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     lst = batch[col].combine_chunks()
@@ -94,8 +96,7 @@ def ann_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10
         query_ids = [0, 1, 2]
     q = query_matrix(sf_dir, query_ids)
     q_ref = ray.put(q)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = ds.map_batches(
         BatchTopK, batch_format="pyarrow",
         fn_constructor_kwargs={"q_ref": q_ref, "query_ids": query_ids, "k": k},
@@ -208,8 +209,7 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     cents_ref = ray.put(cents)
     q_ref = ray.put(q * 1.0)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     assigned = ds.map_batches(IvfAssign, batch_format="pyarrow",
                               fn_constructor_kwargs={"cents_ref": cents_ref},
                               concurrency=2, num_cpus=0.5)
@@ -278,8 +278,7 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98,
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     dim = len(next(pf.iter_batches(batch_size=1,
                                    columns=["embedding"]))["embedding"][0])
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     bucketed = ds.map_batches(LshBucket(dim, n_bits), batch_format="pyarrow")
 
     def bucket_pairs(batch) -> pa.Table:

@@ -26,6 +26,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+
+from ..sources.readers import read_table
 from ray.data.aggregate import Count, Min
 
 # ------------------------------------------------------------------ exact
@@ -51,8 +53,7 @@ def exact_dedup(sf_dir: str, col: str = "text") -> "ray.data.Dataset":
     """One row per distinct text: (h, doc_id=min, n_dups). Matches
     rdflib-set semantics generalized to documents (first-writer-wins
     replaced by deterministic min-key-wins)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", col])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", col])
     return (ds.map_batches(Md5Key(col), batch_format="pyarrow")
             .groupby("h")
             .aggregate(Min("doc_id", alias_name="doc_id"),
@@ -245,8 +246,7 @@ def dup_key_pairs(ds: "ray.data.Dataset", key_cols: list[str],
 def minhash_candidates(sf_dir: str, n_perm: int = 64, bands: int = 16,
                        k: int = 3) -> "ray.data.Dataset":
     """Distinct candidate pairs from LSH band buckets."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     bands_ds = ds.map_batches(MinHashBands(n_perm, bands, k),
                               batch_format="pyarrow")
     pairs = dup_key_pairs(bands_ds, ["band", "band_hash"], "doc_id")
@@ -319,8 +319,7 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, n_perm: int = 64,
              "b": pa.array([], type=pa.int64()),
              "jaccard_pct": pa.array([], type=pa.int64())}))
     nparts = default_shuffle_partitions()
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     j1 = cands.join(docs, join_type="inner", num_partitions=nparts,
                     on=("a",), right_on=("doc_id",))
@@ -411,8 +410,7 @@ class SimHash:
 
 
 def simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(SimHash(), batch_format="pyarrow")
 
 

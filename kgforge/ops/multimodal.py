@@ -23,6 +23,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ..sources.readers import read_table
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("mime", pa.string()),
@@ -37,8 +39,7 @@ FEATURE_DIM = 16
 def synth_media(sf_dir: str, limit: int | None = None) -> "ray.data.Dataset":
     """Deterministic fake media table derived from documents (payload =
     utf-8 text bytes posing as an opaque blob)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text", "n_chars"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
     if limit:
         ds = ds.limit(limit)
 

@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+from ..sources.readers import read_table
 from ray.data.aggregate import Sum
 
 
@@ -24,9 +26,7 @@ from ray.data.aggregate import Sum
 def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     """Grouped pricing rollup over lineitem with per-batch partial
     aggregation (combiner) before the small groupby shuffle."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity",
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -115,25 +115,21 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10
     from ..stages.canonicalize import (SANITIZE_BATCH,
                                       default_shuffle_partitions)
     nparts = default_shuffle_partitions()
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_mktsegment"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
 
     def seg_only(b: pa.Table) -> pa.Table:
         return b.filter(pc.equal(b["c_mktsegment"], segment)).select(
             ["c_custkey"])
 
     seg_cust = cust.map_batches(seg_only, batch_format="pyarrow")
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_orderkey", "o_custkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     qual = orders.join(seg_cust, join_type="inner", num_partitions=nparts,
                        on=("o_custkey",), right_on=("c_custkey",))
     qual = qual.map_batches(lambda t: t.select(["o_orderkey"]),
                             batch_format="pyarrow",
                             batch_size=SANITIZE_BATCH)
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def li_partial(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(batch["l_extendedprice"],
@@ -201,8 +197,7 @@ def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S,
     (documented per the streaming-shaped-workload rule): ts order is
     established INSIDE each bucket by the sort, so input block order is
     irrelevant."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "ts", "event_id"])
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
     def bucketize(batch: pa.Table) -> pa.Table:
         uid = (batch["user_id"].combine_chunks().cast(pa.int64())
@@ -270,8 +265,7 @@ def tumbling_counts(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset":
     hour window). Window assignment is a pure vectorized map
     (epoch // window), so no ordering assumption at all — the groupby
     key IS the window; pre-aggregated per batch before the shuffle."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "ts", "value"])
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         epoch = pc.divide(batch["ts"].cast(pa.int64()),
@@ -313,8 +307,7 @@ FROM events GROUP BY 1, 2
 
 def event_type_counts(sf_dir: str) -> "ray.data.Dataset":
     """Pre-aggregated groupby count by event_type."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type"])
+    ds = read_table(sf_dir, "events", columns=["event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by(["event_type"]).aggregate([("event_type", "count")])

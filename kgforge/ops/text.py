@@ -15,6 +15,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..sources.readers import read_table
+
 # RE2-safe, shared with the SQL oracles verbatim
 TOKEN_RE = "[^ ]+"                       # whitespace tokens (corpus uses single spaces)
 BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"   # crude BPE-ish word/number/punct split
@@ -67,8 +69,7 @@ FROM documents
 
 
 def text_stats(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(TextStats(), batch_format="pyarrow")
 
 
@@ -117,16 +118,14 @@ LANG_ID_SQL = _langid_sql()
 
 
 def lang_id(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(LangId(), batch_format="pyarrow")
 
 
 def lang_token_summary(sf_dir: str) -> "ray.data.Dataset":
     """Grouped rollup: docs + token mass per (lang, source)."""
     from ray.data.aggregate import Count, Sum
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text", "lang", "source"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
 
     def pre(batch: pa.Table) -> pa.Table:
         text = batch["text"].combine_chunks().cast(pa.string())
@@ -224,8 +223,7 @@ class Winnowing:
 
 
 def fingerprints(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(Winnowing(), batch_format="pyarrow")
 
 
@@ -269,6 +267,5 @@ class FingerprintSummary:
 
 
 def fingerprint_summary(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(FingerprintSummary(), batch_format="pyarrow")

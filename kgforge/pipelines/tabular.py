@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import ray.data
 
+from ..sources.readers import read_table
+
 from ..rules import RuleSet, compile_grammar
 from ..sqlgen import ontology_requirements_sql, ruleset_to_sql
 from ..stages.dedup import dedup_triples
@@ -167,7 +169,7 @@ def table_kg_terms(sf_dir: str, table: str,
     grammar, specs = TABLE_KG[table]
     rs = compile_grammar(grammar, domain)
     needed = sorted({r.source_column for r in rs.rules.values()})
-    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=needed)
+    ds = read_table(sf_dir, table, columns=needed)
     ds = ds.map_batches(stringify({c: specs[c] for c in needed}),
                         batch_format="pyarrow")
     ds = ds.map_batches(TripleGenerator(rs), batch_format="pyarrow")
@@ -187,7 +189,7 @@ def table_requirements(sf_dir: str, table: str,
     grammar, specs = TABLE_KG[table]
     rs = compile_grammar(grammar, domain)
     needed = sorted({r.source_column for r in rs.rules.values()})
-    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=needed)
+    ds = read_table(sf_dir, table, columns=needed)
     ds = ds.map_batches(stringify({c: specs[c] for c in needed}),
                         batch_format="pyarrow")
     ds = ds.map_batches(OntologyRequirements(rs), batch_format="pyarrow")
@@ -212,7 +214,7 @@ def union_kg_terms(sf_dir: str, tables: tuple[str, ...] = ("nation", "supplier")
         grammar, specs = TABLE_KG[t]
         rs = compile_grammar(grammar, domain)
         needed = sorted({r.source_column for r in rs.rules.values()})
-        ds = ray.data.read_parquet(f"{sf_dir}/{t}.parquet", columns=needed)
+        ds = read_table(sf_dir, t, columns=needed)
         ds = ds.map_batches(stringify({c: specs[c] for c in needed}),
                             batch_format="pyarrow")
         ds = ds.map_batches(_TG(rs), batch_format="pyarrow")
@@ -246,8 +248,7 @@ def default_kg_events(sf_dir: str, domain: str = KG_DOMAIN
     """Grammar-less conversion (M13, csv2rdf/csv2rdf.py:90-132) of the
     events table + the v1 FORGET null-value filter (M5)."""
     rs = _events_default_ruleset(domain)
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=list(EVENTS_SPECS))
+    ds = read_table(sf_dir, "events", columns=list(EVENTS_SPECS))
     ds = ds.map_batches(stringify(EVENTS_SPECS), batch_format="pyarrow")
     ds = ds.map_batches(TripleGenerator(rs), batch_format="pyarrow")
     return dedup_triples(ds).map_batches(triples_to_terms,
@@ -283,8 +284,7 @@ def v1_kg_orders(sf_dir: str, domain: str = KG_DOMAIN) -> "ray.data.Dataset":
     values, FORGET filter, space-split subject2 cells, S/R directions."""
     from ..functions.v1grammar import V1TripleGenerator, compile_v1_grammar
     g = compile_v1_grammar(V1_ORDERS_GRAMMAR, domain)
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=V1_ORDERS_COLS)
+    ds = read_table(sf_dir, "orders", columns=V1_ORDERS_COLS)
     ds = ds.map_batches(stringify(V1_ORDERS_SPECS), batch_format="pyarrow")
     ds = ds.map_batches(V1TripleGenerator(g), batch_format="pyarrow")
     return dedup_triples(ds).map_batches(triples_to_terms,
@@ -337,8 +337,7 @@ def v2_kg_customer(sf_dir: str, domain: str = KG_DOMAIN
     pkey-description comments."""
     from ..functions.v2grammar import V2TripleGenerator, compile_v2_grammar
     g = compile_v2_grammar(V2_CUSTOMER_GRAMMAR, domain)
-    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                               columns=list(V2_CUSTOMER_SPECS))
+    ds = read_table(sf_dir, "customer", columns=list(V2_CUSTOMER_SPECS))
     ds = ds.map_batches(stringify(V2_CUSTOMER_SPECS), batch_format="pyarrow")
     ds = ds.map_batches(V2TripleGenerator(g), batch_format="pyarrow")
     return dedup_triples(ds).map_batches(triples_to_terms,
@@ -376,8 +375,7 @@ def v3_chain_kg_part(sf_dir: str, domain: str = KG_DOMAIN
     """v3 subClassOf/subPropertyOf chain mode
     (csv2rdf-v3/csv2rdf-v3.py:263-281) over the part table."""
     rs = compile_grammar(PART_V3_GRAMMAR, domain, type_chains=True)
-    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
-                               columns=["p_name", "p_type", "p_brand"])
+    ds = read_table(sf_dir, "part", columns=["p_name", "p_type", "p_brand"])
     ds = ds.map_batches(TripleGenerator(rs), batch_format="pyarrow")
     return dedup_triples(ds).map_batches(triples_to_terms,
                                          batch_format="pyarrow")

@@ -23,6 +23,8 @@ import pyarrow as pa
 
 import ray.data
 
+from .readers import read_table
+
 EPOCH_US = 1704067200000000  # 2024-01-01T00:00:00Z in µs
 TS_STEP_S = 137
 
@@ -94,8 +96,5 @@ def wrap_html_from_escaped(esc: str, doc_id: int) -> bytes:
 
 def build_pages(sf_dir: str, parallelism: int = -1) -> "ray.data.Dataset":
     """documents.parquet -> pages Dataset (streaming; no materialize)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text", "lang", "source", "n_chars"],
-    )
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"])
     return ds.map_batches(PageBuilder(), batch_format="pyarrow")
