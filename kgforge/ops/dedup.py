@@ -296,16 +296,51 @@ def _shingle_sets_batch(texts: pa.Array, k: int) -> list[np.ndarray]:
     return out
 
 
+def payload_broadcast_limit() -> int:
+    """Adaptive-verify threshold for FAT payloads (document texts):
+    candidate-pair counts at or below this ship the needed texts once
+    via ray.put (hard-bounded: ≤ 2 × limit texts, a few hundred MB);
+    above it the verify runs as hash-partitioned joins. Env override:
+    KGFORGE_TEXT_BROADCAST_LIMIT (0 forces the join path)."""
+    import os
+    return int(os.environ.get("KGFORGE_TEXT_BROADCAST_LIMIT", 100_000))
+
+
+def _pairwise_jaccard_verify(a, b, texts_a, texts_b, threshold: float,
+                             k: int) -> pa.Table:
+    """Shared verify kernel: id + text arrays -> verified
+    (a, b, jaccard_pct) rows."""
+    sets_a = _shingle_sets_batch(texts_a, k)
+    sets_b = _shingle_sets_batch(texts_b, k)
+    out_a, out_b, out_j = [], [], []
+    for i in range(len(a)):
+        sa, sb = sets_a[i], sets_b[i]
+        if not len(sa) and not len(sb):
+            j = 1.0
+        else:
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            out_a.append(a[i])
+            out_b.append(b[i])
+            out_j.append(int(round(j * 100)))
+    return pa.table({"a": pa.array(out_a, type=pa.int64()),
+                     "b": pa.array(out_b, type=pa.int64()),
+                     "jaccard_pct": pa.array(out_j, type=pa.int64())})
+
+
 def minhash_dedup(sf_dir: str, threshold: float = 0.7, n_perm: int = 64,
                   bands: int = 16, k: int = 3) -> "ray.data.Dataset":
     """Verified near-dup pairs (a, b, jaccard_pct:int).
 
-    The verify stage fetches pair texts through TWO hash-partitioned
-    joins of the candidate pairs against the documents table (a-side,
-    then b-side) — no broadcast, no driver collect, so candidate/dup
-    mass may be any fraction of the corpus (at 100 TB Common Crawl it is
-    double-digit percent). The joins also act as semi-joins: only
-    documents with a candidate row ship their text."""
+    The verify stage is size-adaptive on the EXACT candidate-pair count
+    (already computed): at or below ``payload_broadcast_limit()`` the
+    needed texts are fetched with one vectorized is_in semi-filter and
+    shipped once via ray.put — hard-bounded, no shuffle; above it — at
+    100 TB Common Crawl near-dup mass is double-digit percent of the
+    corpus — TWO hash-partitioned joins of the pairs against the
+    documents table (a-side, then b-side) fetch the texts with nothing
+    unbounded ever reaching the driver."""
     from ..stages.canonicalize import (SANITIZE_BATCH,
                                        default_shuffle_partitions,
                                        drop_empty_blocks)
@@ -313,14 +348,43 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, n_perm: int = 64,
     cands = drop_empty_blocks(
         minhash_candidates(sf_dir, n_perm, bands, k).materialize(),
         pair_schema)
-    if cands.count() == 0:
+    n_c = cands.count()
+    if n_c == 0:
         return ray.data.from_arrow(pa.table(
             {"a": pa.array([], type=pa.int64()),
              "b": pa.array([], type=pa.int64()),
              "jaccard_pct": pa.array([], type=pa.int64())}))
-    nparts = default_shuffle_partitions()
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
+    if n_c <= payload_broadcast_limit():
+        import ray
+        need: set[int] = set()
+        for b in cands.iter_batches(batch_format="pyarrow"):
+            need.update(b["a"].to_pylist())
+            need.update(b["b"].to_pylist())
+        need_arr = pa.array(sorted(need), type=pa.int64())
+        texts: dict[int, str] = {}
+        for b in docs.map_batches(
+                lambda t: t.filter(pc.is_in(t["doc_id"],
+                                            value_set=need_arr)),
+                batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"):
+            texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
+        ref = ray.put(texts)
+
+        def verify_bc(batch: pa.Table) -> pa.Table:
+            t = ray.get(ref)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            return _pairwise_jaccard_verify(
+                a, b,
+                pa.array([t[x] for x in a], type=pa.string()),
+                pa.array([t[x] for x in b], type=pa.string()),
+                threshold, k)
+
+        return cands.map_batches(verify_bc, batch_format="pyarrow")
+
+    nparts = default_shuffle_partitions()
     j1 = cands.join(docs, join_type="inner", num_partitions=nparts,
                     on=("a",), right_on=("doc_id",))
     j1 = j1.map_batches(
@@ -331,27 +395,12 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, n_perm: int = 64,
                  on=("b",), right_on=("doc_id",))
 
     def verify(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        sets_a = _shingle_sets_batch(
-            batch["text_a"].combine_chunks().cast(pa.string()), k)
-        sets_b = _shingle_sets_batch(
-            batch["text"].combine_chunks().cast(pa.string()), k)
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(a)):
-            sa, sb = sets_a[i], sets_b[i]
-            if not len(sa) and not len(sb):
-                j = 1.0
-            else:
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                j = inter / (len(sa) + len(sb) - inter)
-            if j >= threshold:
-                out_a.append(a[i])
-                out_b.append(b[i])
-                out_j.append(int(round(j * 100)))
-        return pa.table({"a": pa.array(out_a, type=pa.int64()),
-                         "b": pa.array(out_b, type=pa.int64()),
-                         "jaccard_pct": pa.array(out_j, type=pa.int64())})
+        return _pairwise_jaccard_verify(
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+            batch["text_a"].combine_chunks().cast(pa.string()),
+            batch["text"].combine_chunks().cast(pa.string()),
+            threshold, k)
 
     return j2.map_batches(verify, batch_format="pyarrow",
                           batch_size=SANITIZE_BATCH)
@@ -428,10 +477,12 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
     ≤3-bit-different pair shares ≥1 of 4 16-bit bands) verified by
     popcount.
 
-    Verification fetches signatures through TWO hash-partitioned joins
-    of the candidate pairs against the signature table (a-side then
-    b-side) — no broadcast, no driver collect, any dup mass."""
-    from ..stages.canonicalize import (SANITIZE_BATCH,
+    Verification is size-adaptive on the EXACT candidate count: small
+    sets fetch the needed 8-byte signatures via a hard-bounded broadcast
+    dict; large ones run TWO hash-partitioned joins of the pairs against
+    the signature table (a-side then b-side) — nothing unbounded on the
+    driver at any dup mass."""
+    from ..stages.canonicalize import (SANITIZE_BATCH, broadcast_row_limit,
                                        default_shuffle_partitions)
     # signatures feed candidate generation AND both verify joins —
     # materialize once (24B/doc in the distributed object store)
@@ -454,14 +505,47 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
     cands = drop_empty_blocks(
         distinct(cands, ["a", "b"]).materialize(),
         pa.schema([("a", pa.int64()), ("b", pa.int64())]))
-    if cands.count() == 0:
+    n_c = cands.count()
+    if n_c == 0:
         return ray.data.from_arrow(pa.table(
             {"a": pa.array([], type=pa.int64()),
              "b": pa.array([], type=pa.int64()),
              "hamming": pa.array([], type=pa.int64())}))
 
-    nparts = default_shuffle_partitions()
     sig_cols = sigs.select_columns(["doc_id", "simhash"])
+
+    if n_c <= broadcast_row_limit():
+        import ray
+        need: set[int] = set()
+        for b in cands.iter_batches(batch_format="pyarrow"):
+            need.update(b["a"].to_pylist())
+            need.update(b["b"].to_pylist())
+        need_arr = pa.array(sorted(need), type=pa.int64())
+        sig_map: dict[int, int] = {}
+        for b in sig_cols.map_batches(
+                lambda t: t.filter(pc.is_in(t["doc_id"],
+                                            value_set=need_arr)),
+                batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"):
+            sig_map.update(zip(b["doc_id"].to_pylist(),
+                               b["simhash"].to_pylist()))
+        ref = ray.put(sig_map)
+
+        def verify_bc(batch: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            xa = np.array([m[x] for x in a], dtype=np.int64).view(np.uint64)
+            xb = np.array([m[x] for x in b], dtype=np.int64).view(np.uint64)
+            ham = _popcount64(xa ^ xb)
+            keep = ham <= max_hamming
+            return pa.table({"a": pa.array(a[keep], type=pa.int64()),
+                             "b": pa.array(b[keep], type=pa.int64()),
+                             "hamming": pa.array(ham[keep], type=pa.int64())})
+
+        return cands.map_batches(verify_bc, batch_format="pyarrow")
+
+    nparts = default_shuffle_partitions()
     j1 = cands.join(sig_cols, join_type="inner", num_partitions=nparts,
                     on=("a",), right_on=("doc_id",))
     j1 = j1.map_batches(

@@ -177,14 +177,19 @@ def exact_dup_mapping(hashed: "ray.data.Dataset",
                       ) -> "ray.data.Dataset":
     """(h, uri) page hashes -> (member, canon) mapping *Dataset*: pages
     sharing identical extracted text merge into one entity, canonical =
-    lexicographic min page-URI per text group. One groupby-aggregate
-    shuffle on the text hash plus one hash-partitioned join of the page
-    hashes back onto the duplicate groups — nothing reaches the driver,
-    so duplicate mass may be any fraction of the corpus (on Common Crawl
-    it is tens of percent)."""
-    from ..stages.canonicalize import (default_shuffle_partitions,
+    lexicographic min page-URI per text group.
+
+    One groupby-aggregate shuffle on the text hash finds the duplicate
+    groups, whose EXACT count is then known. Size-adaptive join of the
+    page hashes back onto them (see canonicalize.broadcast_row_limit):
+    a small group table ships once via ray.put and is applied as a
+    vectorized per-batch lookup over the streaming hashed pages (the
+    members themselves never funnel through the driver on either path);
+    a large one — Common Crawl dup mass is tens of percent of the
+    corpus — goes through a hash-partitioned join."""
+    from ..stages.canonicalize import (broadcast_row_limit,
+                                       default_shuffle_partitions,
                                        drop_empty_blocks)
-    nparts = num_partitions or default_shuffle_partitions()
     agg = hashed.groupby("h").aggregate(Count(alias_name="n"),
                                         Min("uri", alias_name="canon"))
 
@@ -198,12 +203,11 @@ def exact_dup_mapping(hashed: "ray.data.Dataset",
         pa.schema([("h", pa.int64()), ("canon", pa.string())]))
     mapping_schema = pa.schema([("member", pa.string()),
                                 ("canon", pa.string())])
-    if dup.count() == 0:
+    n_dup = dup.count()
+    if n_dup == 0:
         # no duplicate groups: short-circuit (Ray's hash join crashes on
         # a zero-row side, and there is nothing to map anyway)
         return ray.data.from_arrow(mapping_schema.empty_table())
-    joined = hashed.join(dup, join_type="inner", num_partitions=nparts,
-                         on=("h",))
 
     def members(t: pa.Table) -> pa.Table:
         uri = t["uri"].combine_chunks().cast(pa.string())
@@ -212,6 +216,26 @@ def exact_dup_mapping(hashed: "ray.data.Dataset",
         return pa.table({"member": uri.filter(mask),
                          "canon": canon.filter(mask)})
 
+    if n_dup <= broadcast_row_limit():
+        canon_by_h: dict[int, str] = {}
+        for b in dup.iter_batches(batch_format="pyarrow"):
+            canon_by_h.update(zip(b["h"].to_pylist(),
+                                  b["canon"].to_pylist()))
+        ref = ray.put(canon_by_h)
+        keys = pa.array(sorted(canon_by_h), type=pa.int64())
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            hit = batch.filter(pc.is_in(batch["h"], value_set=keys))
+            cm = ray.get(ref)
+            canon = pa.array([cm[h] for h in hit["h"].to_pylist()],
+                             type=pa.string())
+            return members(pa.table({"uri": hit["uri"], "canon": canon}))
+
+        return hashed.map_batches(lookup, batch_format="pyarrow")
+
+    nparts = num_partitions or default_shuffle_partitions()
+    joined = hashed.join(dup, join_type="inner", num_partitions=nparts,
+                         on=("h",))
     return joined.map_batches(members, batch_format="pyarrow")
 
 

@@ -75,8 +75,8 @@ def drop_empty_blocks(ds: "ray.data.Dataset",
 def default_shuffle_partitions() -> int:
     """Partition count for hash joins/shuffles: tracks cluster width
     (each partition carries fixed scheduling cost, so small sessions
-    want few; a 256-node cluster wants ≈ total cores). Env override:
-    KGFORGE_JOIN_PARTITIONS."""
+    want few; a 256-node cluster wants ≈ total cores — set
+    KGFORGE_JOIN_PARTITIONS there)."""
     import os
     v = os.environ.get("KGFORGE_JOIN_PARTITIONS")
     if v:
@@ -84,7 +84,20 @@ def default_shuffle_partitions() -> int:
     ncpu = 8
     if ray.is_initialized():
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, min(32, ncpu))
+    return max(2, min(16, ncpu))
+
+
+def broadcast_row_limit() -> int:
+    """Size threshold for the adaptive small-side strategy (the Spark
+    broadcast-hash-join analogue): a side whose EXACT row count (already
+    computed, never guessed) is at or below this limit ships once via
+    ray.put and is applied as a per-batch map — no shuffle, no actor
+    pool. Above it, the operator switches to a hash-partitioned Dataset
+    join. The broadcast side is therefore HARD-BOUNDED: ~2M rows of
+    (string, string) pairs ≈ low hundreds of MB in the object store.
+    Env override: KGFORGE_BROADCAST_LIMIT (0 forces the join path)."""
+    import os
+    return int(os.environ.get("KGFORGE_BROADCAST_LIMIT", 2_000_000))
 
 
 def skolem_iri(domain: str, content: str) -> str:
@@ -242,18 +255,25 @@ def apply_canonical_mapping(triples: "ray.data.Dataset",
                             num_partitions: int | None = None
                             ) -> "ray.data.Dataset":
     """Rewrite s and URI-objects through a (member, canon) mapping
-    *Dataset* via two hash-partitioned left-outer joins (one per IRI
-    position). Both sides shuffle by key — correct at any mapping size
-    (Common Crawl exact-dup mass is tens of percent of the corpus, so a
-    broadcast-dict would not scale). Literal objects are shielded from
-    the o_lex join by a sentinel key, so a literal whose lexical form
-    equals a member IRI is never rewritten.
+    *Dataset*. Size-adaptive (the exact mapping row count is known —
+    ``mapping`` must be materialized):
 
-    ``mapping`` should be small-executed/materialized: an empty mapping
-    short-circuits (Ray's hash join crashes on a zero-row side, and the
-    joins would be pointless anyway)."""
-    if mapping.count() == 0:
+    - count ≤ ``broadcast_row_limit()``: the mapping ships once via
+      ray.put and is applied as a dictionary-encoded per-batch remap —
+      one streaming pass over the triples, no shuffle (the broadcast-
+      hash-join small-side fast path, hard-bounded by the threshold).
+    - larger (Common Crawl exact-dup mass is tens of percent of the
+      corpus): two hash-partitioned left-outer joins, one per IRI
+      position — both sides shuffle by key, correct at ANY mapping size.
+
+    Literal objects are never rewritten on either path (o_kind guard /
+    sentinel join key), even if their lexical form equals a member IRI.
+    An empty mapping short-circuits."""
+    n = mapping.count()
+    if n == 0:
         return triples
+    if n <= broadcast_row_limit():
+        return _apply_mapping_broadcast(triples, mapping)
     nparts = num_partitions or default_shuffle_partitions()
 
     j1 = triples.join(mapping, join_type="left_outer",
@@ -282,6 +302,42 @@ def apply_canonical_mapping(triples: "ray.data.Dataset",
 
     return j2.map_batches(fix_o, batch_format="pyarrow",
                           batch_size=SANITIZE_BATCH)
+
+
+def _apply_mapping_broadcast(triples: "ray.data.Dataset",
+                             mapping: "ray.data.Dataset"
+                             ) -> "ray.data.Dataset":
+    """Small-side fast path: mapping (count-bounded by
+    broadcast_row_limit) → dict shipped once via ray.put, applied over
+    dictionary-encoded uniques per batch."""
+    m: dict[str, str] = {}
+    for b in mapping.iter_batches(batch_format="pyarrow"):
+        m.update(zip(b["member"].to_pylist(), b["canon"].to_pylist()))
+    ref = ray.put(m)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        mm = ray.get(ref)
+
+        def remap(col, guard=None):
+            arr = col.combine_chunks().cast(pa.string())
+            enc = pc.dictionary_encode(arr)
+            uniq = enc.dictionary.to_pylist()
+            mapped = pa.array(
+                [mm.get(u, u) if u is not None else None for u in uniq],
+                type=pa.string()).take(enc.indices)
+            if guard is not None:
+                return pc.if_else(guard, mapped, arr)
+            return mapped
+
+        is_uri = pc.equal(batch["o_kind"].combine_chunks().cast(pa.string()),
+                          "u")
+        batch = batch.set_column(
+            batch.schema.get_field_index("s"), "s", remap(batch["s"]))
+        return batch.set_column(
+            batch.schema.get_field_index("o_lex"), "o_lex",
+            remap(batch["o_lex"], guard=is_uri))
+
+    return triples.map_batches(rewrite, batch_format="pyarrow")
 
 
 def sameas_from_mapping(mapping: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -182,6 +182,29 @@ def test_engine_matches_scalar_reference(ray_session, tmp_path):
     assert list(map(tuple, eng.itertuples(index=False))) == ref
 
 
+def test_engine_matches_scalar_reference_join_path(ray_session, tmp_path,
+                                                   monkeypatch):
+    """Force the hash-join verify path (broadcast limits 0) and confirm
+    identical output — both branches of the size-adaptive verify must
+    agree with the scalar reference."""
+    monkeypatch.setenv("KGFORGE_TEXT_BROADCAST_LIMIT", "0")
+    monkeypatch.setenv("KGFORGE_BROADCAST_LIMIT", "0")
+    from kgforge import scalar_ref as SR
+    from kgforge.ops import dedup as D
+    docs = _ref_corpus(tmp_path)
+    sf = str(tmp_path)
+
+    eng = D.minhash_dedup(sf, threshold=0.5).to_pandas()
+    assert sorted(map(tuple, eng[["a", "b", "jaccard_pct"]]
+                      .itertuples(index=False))) == \
+        SR.minhash_pairs_ref(docs, threshold=0.5)
+
+    eng = D.simhash_dedup(sf, max_hamming=3).to_pandas()
+    assert sorted(map(tuple, eng[["a", "b", "hamming"]]
+                      .itertuples(index=False))) == \
+        SR.simhash_pairs_ref(docs, max_hamming=3)
+
+
 def test_media_pipeline_stub(ray_session):
     from kgforge.ops import multimodal as M
     out = M.media_features(SF).limit(50).to_pandas()

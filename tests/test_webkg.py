@@ -156,10 +156,16 @@ def test_tabular_kg_matches_sql(ray_session):
     assert got == want
 
 
-def test_flagship_canonicalizes_duplicate_pages(ray_session, tmp_path):
+@pytest.mark.parametrize("broadcast_limit", [None, "0"])
+def test_flagship_canonicalizes_duplicate_pages(ray_session, tmp_path,
+                                                monkeypatch,
+                                                broadcast_limit):
     """Planted duplicate texts: subjects merge to the min page-URI and
-    owl:sameAs triples are emitted (sf testdata has no dups, so this is
-    the only e2e exercise of the flagship's canonicalization arm)."""
+    owl:sameAs triples are emitted. Parametrized over the size-adaptive
+    canonicalization strategy: default (broadcast fast path) and
+    limit=0 (forced hash-join path) must agree."""
+    if broadcast_limit is not None:
+        monkeypatch.setenv("KGFORGE_BROADCAST_LIMIT", broadcast_limit)
     import pandas as pd
     from kgforge.pipelines.webkg import webkg_triples
     from kgforge.stages.triples import triples_to_terms
