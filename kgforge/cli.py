@@ -27,6 +27,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="output directory")
     ap.add_argument("--union", action="store_true",
                     help="accumulate all sources into one store (v1 mode)")
+    ap.add_argument("--turtle", action="store_true",
+                    help="also emit prefixed Turtle shards (graph.ttl/), "
+                         "the reference's artifact format")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -40,7 +43,8 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipelines.orchestrator import run_sources
     t0 = time.time()
-    written = run_sources(args.conf, args.out, union_stores=args.union)
+    written = run_sources(args.conf, args.out, union_stores=args.union,
+                          turtle=args.turtle)
     for w in written:
         print(f"wrote {w}")
     print(f"done in {time.time() - t0:.1f}s")

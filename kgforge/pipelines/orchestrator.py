@@ -55,11 +55,15 @@ def source_triples(source: SourceConfig,
 
 
 def run_sources(options_path: str, out_dir: str,
-                union_stores: bool = False) -> list[str]:
+                union_stores: bool = False,
+                turtle: bool = False) -> list[str]:
     """Run every active source of an options file.
 
     union_stores=False → one graph dir per source (v5 semantics);
-    union_stores=True  → single unioned graph (v1 orchestrator, A4).
+    union_stores=True  → single unioned graph (v1 orchestrator, A4);
+    turtle=True        → additionally emit prefixed Turtle shards
+                         (graph.ttl/) — the reference's user-visible
+                         artifact format (csv2rdf-v5.py:158-163).
     Returns the list of written graph dirs."""
     base_dir = os.path.dirname(os.path.abspath(options_path))
     sources = read_options(options_path)
@@ -67,6 +71,15 @@ def run_sources(options_path: str, out_dir: str,
     written: list[str] = []
     all_reqs: "ray.data.Dataset | None" = None
     union: "ray.data.Dataset | None" = None
+
+    def _write(triples: "ray.data.Dataset", dest: str, domain: str) -> None:
+        deduped = dedup_triples(triples)
+        if turtle:
+            deduped = deduped.materialize()  # feeds both sinks
+            from ..sinks.turtle_sink import write_graph_turtle
+            write_graph_turtle(deduped, dest, domain)
+        write_graph(deduped, dest)
+
     for src in sources:
         triples, reqs = source_triples(src, base_dir)
         all_reqs = reqs if all_reqs is None else all_reqs.union(reqs)
@@ -74,11 +87,11 @@ def run_sources(options_path: str, out_dir: str,
             union = triples if union is None else union.union(triples)
         else:
             dest = os.path.join(out_dir, src.name)
-            write_graph(dedup_triples(triples), dest)
+            _write(triples, dest, src.domain)
             written.append(dest)
     if union_stores and union is not None:
         dest = os.path.join(out_dir, "union")
-        write_graph(dedup_triples(union), dest)
+        _write(union, dest, sources[0].domain if sources else None)
         written.append(dest)
     if all_reqs is not None:
         write_requirements(distinct(all_reqs, ["requirement"]),

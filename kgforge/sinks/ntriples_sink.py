@@ -25,9 +25,12 @@ class _SortableNames(FilenameProvider):
     concatenation order for a globally sorted graph (and breaks
     byte-identical resume output)."""
 
+    def __init__(self, suffix: str = "nt"):
+        self.suffix = suffix
+
     def get_filename_for_block(self, block, write_uuid, task_index,
                                block_index) -> str:
-        return f"part-{task_index:06d}-{block_index:06d}.nt"
+        return f"part-{task_index:06d}-{block_index:06d}.{self.suffix}"
 
 
 class NTriplesDatasink(BlockBasedFileDatasink):
