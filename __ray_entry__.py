@@ -87,7 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- similarity search
     q["ann_topk"] = ann.ann_topk
-    q["ann_ivf_topk"] = ann.ivf_topk                   # rows-only (approx)
+    q["ann_ivf_topk"] = ann.ivf_topk
+    # same probe over the PARTITION-PRUNED on-disk IVF layout (reads
+    # only the probed ivf_list= dirs); output identical to ann_ivf_topk
+    q["ann_ivf_indexed"] = ann.ivf_topk_indexed
     # rows-only; synthetic embeddings have max pairwise cosine ~0.51, so
     # the production-style 0.98 threshold would (correctly) return zero
     # rows — 0.45 keeps the machinery observable; semantics pinned by
@@ -144,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_minhash"] = SR.minhash_oracle_sql()
     o["dedup_simhash"] = SR.simhash_oracle_sql()
     o["ann_ivf_topk"] = SR.ivf_oracle_sql()
+    o["ann_ivf_indexed"] = SR.ivf_oracle_sql()
     o["embedding_dup_pairs"] = SR.embedding_dup_oracle_sql()
     # doc_fingerprints_full: raw per-position stream — rows-only (the
     # checked summary covers its values via xor/min/max/pos_sum)

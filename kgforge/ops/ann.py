@@ -88,6 +88,26 @@ class BatchTopK:
         })
 
 
+def _topk_reduce(partials: "ray.data.Dataset", k: int) -> "ray.data.Dataset":
+    """Final reduce over the per-batch top-k candidates: per query,
+    global top-k with (sim desc, vec_id asc) tie-break. Input is tiny
+    (≤ num_batches × k × n_queries rows) by combiner construction."""
+    import pandas as pd
+    frames = [b.to_pandas()
+              for b in partials.iter_batches(batch_format="pyarrow")]
+    allc = (pd.concat(frames, ignore_index=True) if frames else
+            pd.DataFrame(columns=["query_id", "vec_id", "sim4"]))
+    allc = allc[allc["query_id"] != allc["vec_id"]]
+    allc = allc.sort_values(["query_id", "sim4", "vec_id"],
+                            ascending=[True, False, True])
+    allc["rank"] = allc.groupby("query_id").cumcount() + 1
+    allc = allc[allc["rank"] <= k].reset_index(drop=True)
+    if len(allc):
+        allc = allc.astype({"query_id": "int64", "vec_id": "int64",
+                            "rank": "int64"})
+    return ray.data.from_pandas(allc[["query_id", "vec_id", "rank", "sim4"]])
+
+
 def ann_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10
              ) -> "ray.data.Dataset":
     """Exact cosine top-k: (query_id, vec_id, rank, sim4). Self-matches
@@ -101,19 +121,7 @@ def ann_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10
         BatchTopK, batch_format="pyarrow",
         fn_constructor_kwargs={"q_ref": q_ref, "query_ids": query_ids, "k": k},
         concurrency=2, num_cpus=0.5)
-    # final reduce: per query, global top-k over the tiny candidate set
-    import pandas as pd
-    frames = [b.to_pandas() for b in partials.iter_batches(batch_format="pyarrow")]
-    allc = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-        columns=["query_id", "vec_id", "sim4"])
-    allc = allc[allc["query_id"] != allc["vec_id"]]
-    allc = allc.sort_values(["query_id", "sim4", "vec_id"],
-                            ascending=[True, False, True])
-    allc["rank"] = allc.groupby("query_id").cumcount() + 1
-    allc = allc[allc["rank"] <= k].reset_index(drop=True)
-    allc = allc.astype({"query_id": "int64", "vec_id": "int64",
-                        "rank": "int64"})
-    return ray.data.from_pandas(allc[["query_id", "vec_id", "rank", "sim4"]])
+    return _topk_reduce(partials, k)
 
 
 def ann_topk_sql(query_ids: list[int] | None = None, k: int = 10) -> str:
@@ -225,20 +233,78 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
         BatchTopK, batch_format="pyarrow",
         fn_constructor_kwargs={"q_ref": q_ref, "query_ids": query_ids, "k": k},
         concurrency=2, num_cpus=0.5)
-    import pandas as pd
-    frames = [b.to_pandas()
-              for b in partials.iter_batches(batch_format="pyarrow")]
-    allc = (pd.concat(frames, ignore_index=True) if frames else
-            pd.DataFrame(columns=["query_id", "vec_id", "sim4"]))
-    allc = allc[allc["query_id"] != allc["vec_id"]]
-    allc = allc.sort_values(["query_id", "sim4", "vec_id"],
-                            ascending=[True, False, True])
-    allc["rank"] = allc.groupby("query_id").cumcount() + 1
-    allc = allc[allc["rank"] <= k].reset_index(drop=True)
-    if len(allc):
-        allc = allc.astype({"query_id": "int64", "vec_id": "int64",
-                            "rank": "int64"})
-    return ray.data.from_pandas(allc[["query_id", "vec_id", "rank", "sim4"]])
+    return _topk_reduce(partials, k)
+
+
+# -------------------------------------------- IVF partitioned index
+def build_ivf_index(sf_dir: str, index_dir: str | None = None,
+                    n_lists: int = 16) -> str:
+    """Materialize the IVF layout: the embeddings table written as
+    Parquet PARTITIONED BY ``ivf_list`` (one directory per inverted
+    list) plus the trained centroids. A probe then READS only the
+    ``nprobe`` matching partitions — at 100 TB this is the difference
+    between scanning the corpus and scanning nprobe/n_lists of it.
+    Idempotent: an existing index (marker file) is reused."""
+    import hashlib as _hl
+    import os
+
+    import pyarrow.parquet as pq
+    if index_dir is None:
+        key = _hl.md5(f"{os.path.abspath(sf_dir)}:{n_lists}".encode())
+        index_dir = f"/tmp/kgforge_ivf_{key.hexdigest()[:12]}"
+    marker = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return index_dir
+    cents = train_ivf_centroids(sf_dir, n_lists)
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"list_id": pa.array(range(n_lists), type=pa.int32()),
+                  "centroid": pa.array([c.tolist() for c in cents],
+                                       type=pa.list_(pa.float64()))}),
+        os.path.join(index_dir, "centroids.parquet"))
+    from ..sources.readers import read_table
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(IvfAssign, batch_format="pyarrow",
+                              fn_constructor_kwargs={"cents_ref": cents},
+                              concurrency=2, num_cpus=0.5)
+    assigned.write_parquet(os.path.join(index_dir, "vectors"),
+                           partition_cols=["ivf_list"])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def ivf_topk_indexed(sf_dir: str, query_ids: list[int] | None = None,
+                     k: int = 10, n_lists: int = 16, nprobe: int = 4,
+                     index_dir: str | None = None) -> "ray.data.Dataset":
+    """IVF top-k over the PARTITIONED index: only the probed
+    ``ivf_list=`` partition directories are read at all (partition-
+    pruned scan), then the same combiner/reduce as ``ivf_topk``.
+    Output is identical to ``ivf_topk`` (same centroids, assignment,
+    probe set, scoring) — checked by the same oracle."""
+    import os
+
+    import pyarrow.parquet as pq
+    if query_ids is None:
+        query_ids = [0, 1, 2]
+    index_dir = build_ivf_index(sf_dir, index_dir, n_lists)
+    cent_tbl = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cents = np.array(cent_tbl["centroid"].to_pylist(), dtype=np.float64)
+    q = _normalize(query_matrix(sf_dir, query_ids))
+    probe_lists = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    probed = sorted(set(probe_lists.reshape(-1).tolist()))
+    import glob
+    paths = [f for l in probed for f in sorted(glob.glob(
+        os.path.join(index_dir, "vectors", f"ivf_list={l}", "*.parquet")))]
+    candidates = ray.data.read_parquet(paths,
+                                       columns=["vec_id", "embedding"])
+    q_ref = ray.put(q * 1.0)
+    partials = candidates.map_batches(
+        BatchTopK, batch_format="pyarrow",
+        fn_constructor_kwargs={"q_ref": q_ref, "query_ids": query_ids,
+                               "k": k},
+        concurrency=2, num_cpus=0.5)
+    return _topk_reduce(partials, k)
 
 
 # ------------------------------------------------------- LSH-bucketed ANN

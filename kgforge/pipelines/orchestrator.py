@@ -38,12 +38,25 @@ def source_triples(source: SourceConfig,
     file_path = source.file
     if not os.path.isabs(file_path):
         file_path = os.path.join(base_dir, file_path)
-    ds = read_csv_source(file_path, source.delimiter)
+    ordinal_col = "_line" if (not source.semantics and source.ordinal) \
+        else None
+    ds = read_csv_source(file_path, source.delimiter,
+                         ordinal_col=ordinal_col,
+                         ordinal_prefix=source.prefix)
     if source.semantics:
         grammar_path = source.semantics
         if not os.path.isabs(grammar_path):
             grammar_path = os.path.join(base_dir, grammar_path)
         rs = compile_grammar(grammar_path, source.domain)
+    elif ordinal_col:
+        # opt-in conformance mode (`ordinal = True`): the reference's
+        # line-number subjects (csv2rdf/csv2rdf.py:116) — every original
+        # column becomes a plain-literal cell rule, subject = domain +
+        # prefix + line number
+        from ..rules import default_ruleset
+        cols = [c for c in ds.schema().names if c != ordinal_col]
+        rs = default_ruleset(source.domain, cols + [ordinal_col],
+                             ordinal_col, pkey_type=source.type_)
     else:
         from ..rules import default_ruleset
         cols = ds.schema().names

@@ -548,6 +548,13 @@ class SourceConfig:
     delimiter: str
     semantics: str
     active: bool
+    # grammar-less mode extras (v1/v2 default parser options):
+    # ordinal=True restores the reference's line-number subjects
+    # (csv2rdf/csv2rdf.py:116) for small conformance runs — the default
+    # stays pkey-column subjects (order/parallelism-independent)
+    prefix: str = ""
+    type_: str = "row"
+    ordinal: bool = False
 
 
 def read_options(text_or_path: str) -> list[SourceConfig]:
@@ -566,6 +573,9 @@ def read_options(text_or_path: str) -> list[SourceConfig]:
                     delimiter=sec.get("delimiter", ","),
                     semantics=sec.get("semantics", ""),
                     active=True,
+                    prefix=sec.get("prefix", ""),
+                    type_=sec.get("type", "row"),
+                    ordinal=sec.get("ordinal") == "True",
                 )
             )
     return out

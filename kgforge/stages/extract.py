@@ -44,30 +44,35 @@ def extract_text(html: bytes) -> str:
     return s
 
 
-class HtmlTextExtractor:
-    """Actor-pool ``map_batches`` stage: html:binary -> text:string.
+_BODY_NAMED = r"(?s)<body[^>]*>(?P<body>.*)</body>"
 
-    Stateful setup (compiled regexes) once per actor in __init__;
-    per-batch work is pandas C-regex loops — no Python-level row loop.
-    Use: ds.map_batches(HtmlTextExtractor, batch_format="pyarrow",
-                        concurrency=N, batch_size=B)
+
+class HtmlTextExtractor:
+    """``map_batches`` stage: html:binary -> text:string.
+
+    The lossy utf-8 decode (errors='ignore', csv2rdf-v5.py:437 parity)
+    has no Arrow kernel, so it is the one per-row step (C-level
+    ``bytes.decode``); everything after runs as Arrow RE2 kernels over
+    the whole column — no pandas round-trip, no Python-object rebuild.
+    Use: ds.map_batches(HtmlTextExtractor(), batch_format="pyarrow")
     """
 
     def __init__(self, html_col: str = "html", text_col: str = "text"):
         self.html_col = html_col
         self.text_col = text_col
-        self.re_ssc = re.compile(_SCRIPT_STYLE_COMMENT)
-        self.re_body = re.compile(_BODY)
-        self.re_tag = re.compile(_TAG)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raw = batch[self.html_col].combine_chunks().to_pandas()
-        s = raw.str.decode("utf-8", errors="ignore")
-        body = s.str.extract(self.re_body, expand=False)
-        s = body.where(body.notna(), s)
-        s = s.str.replace(self.re_ssc, "", regex=True)
-        s = s.str.replace(self.re_tag, "", regex=True)
+        import pyarrow.compute as pc
+        raw = batch[self.html_col].combine_chunks()
+        decoded = pa.array(
+            [b.decode("utf-8", "ignore") if b is not None else None
+             for b in raw.to_pylist()], type=pa.string())
+        body = pc.struct_field(
+            pc.extract_regex(decoded, pattern=_BODY_NAMED), "body")
+        s = pc.coalesce(body, decoded)
+        s = pc.replace_substring_regex(s, pattern=_SCRIPT_STYLE_COMMENT,
+                                       replacement="")
+        s = pc.replace_substring_regex(s, pattern=_TAG, replacement="")
         for ent, ch in _ENTITIES:
-            s = s.str.replace(ent, ch, regex=False)
-        return batch.append_column(self.text_col,
-                                   pa.array(s.tolist(), type=pa.string()))
+            s = pc.replace_substring(s, pattern=ent, replacement=ch)
+        return batch.append_column(self.text_col, s)

@@ -27,6 +27,39 @@ def test_default_mode_plain_literals_and_type():
     }
 
 
+def test_ordinal_default_mode_matches_reference_semantics(ray_session,
+                                                          tmp_path):
+    """Opt-in `ordinal = True` conformance mode: subjects are minted
+    from the LINE NUMBER exactly like the reference's default parser
+    (csv2rdf/csv2rdf.py:109-121) — domain + prefix + i with i counting
+    from 1 over data rows; every non-empty original cell a plain
+    literal; one type triple per row."""
+    from kgforge.pipelines.orchestrator import source_triples
+    from kgforge.rules import SourceConfig
+    (tmp_path / "t.csv").write_text(
+        "id;name;note\nx1;Alice;\nx2;Bob;hello\n")
+    src = SourceConfig(name="t", file="t.csv", domain=DOMAIN,
+                       delimiter=";", semantics="", active=True,
+                       prefix="r", type_="thing", ordinal=True)
+    triples, _ = source_triples(src, str(tmp_path))
+    out = triples_to_terms(pa.concat_tables(
+        list(triples.iter_batches(batch_format="pyarrow"))))
+    got = set(zip(out["s"].to_pylist(), out["p"].to_pylist(),
+                  out["o"].to_pylist()))
+    # inline transcription of default_csv_parser over the same rows
+    rows = [["x1", "Alice", ""], ["x2", "Bob", "hello"]]
+    preds = [DOMAIN + c for c in ("id", "name", "note")]
+    want = set()
+    for i, row in enumerate(rows, start=1):
+        s = DOMAIN + f"r{i}"
+        want.add((s, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                  f"<{DOMAIN}thing>"))
+        for p, cell in zip(preds, row):
+            if cell:
+                want.add((s, p, f'"{cell}"'))
+    assert got == want
+
+
 def test_null_values_forget_filter():
     # M5 (csv2rdf/csv2rdf.py:142,241-243): FORGET values skipped like empties
     rs = default_ruleset(DOMAIN, ["id", "v"], "id", pkey_type="t",

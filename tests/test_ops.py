@@ -223,6 +223,20 @@ def test_tumbling_counts_vs_sql(ray_session):
     _match(R.tumbling_counts(SF), R.TUMBLING_COUNTS_SQL, _con())
 
 
+def test_ivf_indexed_matches_inline(ray_session, tmp_path):
+    """The partitioned-index probe (reads ONLY the probed ivf_list=
+    partition dirs) returns exactly the inline ivf_topk result."""
+    from kgforge.ops import ann as A
+    inline = A.ivf_topk(SF, k=10, n_lists=8, nprobe=3).to_pandas()
+    indexed = A.ivf_topk_indexed(SF, k=10, n_lists=8, nprobe=3,
+                                 index_dir=str(tmp_path / "ivf")).to_pandas()
+    assert inline.equals(indexed)
+    # the layout really is partition-pruned: one dir per inverted list
+    import glob
+    parts = glob.glob(str(tmp_path / "ivf" / "vectors" / "ivf_list=*"))
+    assert len(parts) > 1
+
+
 def test_ivf_topk_recall_vs_bruteforce(ray_session):
     from kgforge.ops import ann as A
     exact = A.ann_topk(SF, k=10).to_pandas()
