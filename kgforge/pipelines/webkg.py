@@ -24,7 +24,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
 
 from ..ntriples import OWL_SAMEAS, RDF_TYPE, RDFS_LABEL, render_literal
 from ..rules import (
@@ -190,16 +189,32 @@ def exact_dup_mapping(hashed: "ray.data.Dataset",
     from ..stages.canonicalize import (broadcast_row_limit,
                                        default_shuffle_partitions,
                                        drop_empty_blocks)
-    agg = hashed.groupby("h").aggregate(Count(alias_name="n"),
-                                        Min("uri", alias_name="canon"))
+    from ..stages.dedup import NUM_BUCKETS
 
-    def dup_groups(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t["n"], 1)).select(["h", "canon"])
+    # per-batch Arrow combine + bucket-hash shuffle key: Ray's
+    # sort-aggregate iterates GROUPS in Python, so keying the groupby by
+    # the raw hash would put one Python iteration per distinct page on
+    # the critical path; bucketing caps Python at NUM_BUCKETS groups and
+    # keeps the actual aggregation in Arrow C++ (same pattern as
+    # stages/dedup.distinct)
+    def combine(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["h"]).aggregate([("uri", "min"),
+                                             ("h", "count")])
+        hv = t["h"].to_numpy(zero_copy_only=False)
+        import numpy as np
+        return t.append_column(
+            "_bucket", pa.array((hv % NUM_BUCKETS).astype(np.int32)))
 
-    # sanitize: the sort-aggregate emits schema-less empty blocks that
-    # break the hash join (see canonicalize.drop_empty_blocks)
+    def bucket_agg(group: pa.Table) -> pa.Table:
+        t = group.group_by(["h"]).aggregate([("h_count", "sum"),
+                                             ("uri_min", "min")])
+        t = t.filter(pc.greater(t["h_count_sum"], 1))
+        return pa.table({"h": t["h"],
+                         "canon": t["uri_min_min"].cast(pa.string())})
+
     dup = drop_empty_blocks(
-        agg.map_batches(dup_groups, batch_format="pyarrow"),
+        hashed.map_batches(combine, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(bucket_agg, batch_format="pyarrow"),
         pa.schema([("h", pa.int64()), ("canon", pa.string())]))
     mapping_schema = pa.schema([("member", pa.string()),
                                 ("canon", pa.string())])
