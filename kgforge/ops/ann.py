@@ -1,9 +1,11 @@
 """Similarity search over an embedding column (list<float>).
 
 - ``ann_topk``: brute-force cosine top-k — the exactness baseline. The
-  query matrix is broadcast once (ray.put); each batch does ONE numpy
-  matmul and emits only its per-batch top-k candidates (combiner), so
-  the driver-side final reduce sees ≤ num_batches × k × n_queries rows.
+  (tiny) query matrix ships pre-normalized inside the task closure; each
+  batch does ONE numpy matmul and emits only its per-batch top-k
+  candidates (combiner), so the driver-side final reduce sees ≤
+  num_batches × k × n_queries rows. (A large query matrix would instead
+  warrant an actor pool + ray.put to amortize deserialization.)
 - ``lsh_ann_topk``: the scale path — random-hyperplane LSH bucketing
   (deterministic fixed-seed projection), search only the query's bucket
   ring. Recall < 1 by design; rows-only oracle.
@@ -115,12 +117,12 @@ def ann_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10
     if query_ids is None:
         query_ids = [0, 1, 2]
     q = query_matrix(sf_dir, query_ids)
-    q_ref = ray.put(q)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    partials = ds.map_batches(
-        BatchTopK, batch_format="pyarrow",
-        fn_constructor_kwargs={"q_ref": q_ref, "query_ids": query_ids, "k": k},
-        concurrency=2, num_cpus=0.5)
+    # the scorer state (a few query vectors) is tiny — ship the
+    # pre-normalized instance in elastic TASKS; an actor pool only pays
+    # off when the query matrix is big enough to amortize pool spawn
+    partials = ds.map_batches(BatchTopK(q, query_ids, k),
+                              batch_format="pyarrow")
     return _topk_reduce(partials, k)
 
 
@@ -214,13 +216,8 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     q = _normalize(query_matrix(sf_dir, query_ids))
     probe_lists = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
     probed: set[int] = set(probe_lists.reshape(-1).tolist())
-    cents_ref = ray.put(cents)
-    q_ref = ray.put(q * 1.0)
-
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    assigned = ds.map_batches(IvfAssign, batch_format="pyarrow",
-                              fn_constructor_kwargs={"cents_ref": cents_ref},
-                              concurrency=2, num_cpus=0.5)
+    assigned = ds.map_batches(IvfAssign(cents), batch_format="pyarrow")
 
     probed_arr = pa.array(sorted(probed), type=pa.int32())
 
@@ -229,10 +226,8 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
         return batch.filter(pc.is_in(batch["ivf_list"], value_set=probed_arr))
 
     candidates = assigned.map_batches(keep_probed, batch_format="pyarrow")
-    partials = candidates.map_batches(
-        BatchTopK, batch_format="pyarrow",
-        fn_constructor_kwargs={"q_ref": q_ref, "query_ids": query_ids, "k": k},
-        concurrency=2, num_cpus=0.5)
+    partials = candidates.map_batches(BatchTopK(q, query_ids, k),
+                                      batch_format="pyarrow")
     return _topk_reduce(partials, k)
 
 
@@ -264,9 +259,7 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None,
         os.path.join(index_dir, "centroids.parquet"))
     from ..sources.readers import read_table
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    assigned = ds.map_batches(IvfAssign, batch_format="pyarrow",
-                              fn_constructor_kwargs={"cents_ref": cents},
-                              concurrency=2, num_cpus=0.5)
+    assigned = ds.map_batches(IvfAssign(cents), batch_format="pyarrow")
     assigned.write_parquet(os.path.join(index_dir, "vectors"),
                            partition_cols=["ivf_list"])
     with open(marker, "w") as f:
@@ -298,12 +291,8 @@ def ivf_topk_indexed(sf_dir: str, query_ids: list[int] | None = None,
         os.path.join(index_dir, "vectors", f"ivf_list={l}", "*.parquet")))]
     candidates = ray.data.read_parquet(paths,
                                        columns=["vec_id", "embedding"])
-    q_ref = ray.put(q * 1.0)
-    partials = candidates.map_batches(
-        BatchTopK, batch_format="pyarrow",
-        fn_constructor_kwargs={"q_ref": q_ref, "query_ids": query_ids,
-                               "k": k},
-        concurrency=2, num_cpus=0.5)
+    partials = candidates.map_batches(BatchTopK(q, query_ids, k),
+                                      batch_format="pyarrow")
     return _topk_reduce(partials, k)
 
 

@@ -73,6 +73,48 @@ def text_stats(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(TextStats(), batch_format="pyarrow")
 
 
+def quality_filter(sf_dir: str, min_tokens: int = 5,
+                   max_tokens: int = 1_000_000, min_stop_bp: int = 100,
+                   max_punct_bp: int = 3000) -> "ray.data.Dataset":
+    """Training-data quality gate: keep documents whose token count is
+    in [min_tokens, max_tokens], stopword ratio ≥ min_stop_bp basis
+    points, punctuation ratio ≤ max_punct_bp basis points of tokens.
+    Ratio tests use pure integer cross-multiplication (no floats), so
+    engine and SQL agree exactly. Streams: stats + filter fuse into the
+    read — rejected rows never leave the worker."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    stats = TextStats()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = stats(batch)
+        n_tok = t["n_tokens"]
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(n_tok, min_tokens),
+                    pc.less_equal(n_tok, max_tokens)),
+            pc.and_(
+                pc.greater_equal(
+                    pc.multiply(t["n_stopwords"], pa.scalar(10000)),
+                    pc.multiply(n_tok, pa.scalar(min_stop_bp))),
+                pc.less_equal(
+                    pc.multiply(t["n_punct"], pa.scalar(10000)),
+                    pc.multiply(n_tok, pa.scalar(max_punct_bp)))))
+        return t.select(["doc_id", "n_tokens", "n_stopwords",
+                         "n_punct"]).filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_filter_sql(min_tokens: int = 5, max_tokens: int = 1_000_000,
+                       min_stop_bp: int = 100,
+                       max_punct_bp: int = 3000) -> str:
+    return f"""
+SELECT doc_id, n_tokens, n_stopwords, n_punct FROM ({TEXT_STATS_SQL})
+WHERE n_tokens BETWEEN {min_tokens} AND {max_tokens}
+  AND n_stopwords * 10000 >= n_tokens * {min_stop_bp}
+  AND n_punct * 10000 <= n_tokens * {max_punct_bp}
+"""
+
+
 class LangId:
     """Marker-lexicon language ID; deterministic argmax (ties → LANG_ORDER).
     Emits predicted lang + per-lang scores (integers)."""

@@ -1,20 +1,27 @@
 """Flagship pipeline: web pages → knowledge graph (the north-star shape).
 
     build_pages (Parquet read, streaming)
-      → HtmlTextExtractor           map_batches, actor pool     [stateless-ish]
+      → HtmlTextExtractor           Arrow RE2 kernels
       → stringify                   deterministic typed→string
-      → TripleGenerator(grammar)    vectorized flat-map         [rules]
-      ∪ mention path: MentionPairs → EntityLinker (actor pool,
-        broadcast alias table) → MentionTripleMint
-      → exact-dup canonicalization  (groupby text-hash → min-URI merge,
-        owl:sameAs emission)
+      → CombinedEmit                ONE pass emits the tagged union of
+                                    grammar triples + mention pairs +
+                                    text-hash rows; only this small
+                                    derived table materializes (the
+                                    html+text corpus never does)
+      ├ 't' grammar triples
+      ├ 'm' mention pairs → EntityLinker (actor pool, broadcast alias
+        table) → MentionTripleMint
+      └ 'h' text hashes → bucket-hash dup-group aggregate →
+        size-adaptive (member, canon) mapping (bounded broadcast or
+        hash-partitioned join) → rewrite joins/remap + owl:sameAs
       → dedup_triples               two-phase distinct shuffle
       → sort / render               deterministic materialization
 
-Every stage is a Dataset transform; nothing materializes the full
-corpus on the driver. The DuckDB oracle for the whole pipeline is
-``webkg_oracle_sql`` — generated from the same grammar plus a
-hand-written mention/canonicalization SQL mirror.
+Nothing unbounded ever reaches the driver: the mapping is a Dataset,
+applied via canonicalize.apply_canonical_mapping (broadcast only when
+its exact count is under a hard threshold). The DuckDB oracle for the
+whole pipeline is ``webkg_oracle_sql`` — generated from the same
+grammar plus a hand-written mention/canonicalization SQL mirror.
 """
 
 from __future__ import annotations
@@ -95,10 +102,14 @@ class MentionPairs:
         flat = split.flatten()
         parents = pc.list_parent_indices(split)
         mask = pc.is_in(flat, value_set=self.value_set)
-        return pa.table({
+        t = pa.table({
             "url": url.take(parents.filter(mask)),
             "mention": flat.filter(mask),
         })
+        # combiner: a token mentioned 40× in one page is one (url,
+        # mention) fact — collapse repeats BEFORE the linker/mint fan
+        # them out ×3 into the dedup exchange (Arrow group_by, C++)
+        return t.group_by(["url", "mention"]).aggregate([])
 
 
 class MentionTripleMint:
@@ -113,6 +124,11 @@ class MentionTripleMint:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.triples import mint_uris
+        # combiner: aliasing can merge mentions (spark→apache_spark
+        # while apache_spark also appears raw) — distinct again on the
+        # canonical form so the ×3 mint fan-out stays minimal
+        batch = (batch.select(["url", "canonical"])
+                 .group_by(["url", "canonical"]).aggregate([]))
         n = batch.num_rows
         if n == 0:
             from ..stages.triples import TRIPLE_SCHEMA
@@ -331,8 +347,8 @@ def _tagged(combined: "ray.data.Dataset", tag: str, cols: list[str],
 def webkg_triples_from_pages(pages: "ray.data.Dataset",
                              domain: str = DOMAIN,
                              canonicalize: bool = True,
-                             linker_concurrency: tuple[int, int] | int = (1, 16)
-                             ) -> "ray.data.Dataset":
+                             linker_concurrency: tuple[int, int] | int | None
+                             = None) -> "ray.data.Dataset":
     """The transform half: prepared pages -> deduped triples.
 
     The pages stream feeds THREE consumers (grammar triples, mention
@@ -342,6 +358,14 @@ def webkg_triples_from_pages(pages: "ray.data.Dataset",
     ``CombinedEmit`` pass resolves both: one streaming pass over pages
     emits the tagged union of the three small derived streams, and only
     THAT is materialized for fan-out."""
+    if linker_concurrency is None:
+        # autoscaling pool sized to cluster width: at num_cpus=0.5 per
+        # actor, a max of 2×CPUs lets the linker saturate the node when
+        # it is the active stage, while min=1 keeps it elastic (no hard
+        # reservation that could starve shuffle aggregator actors)
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        linker_concurrency = (1, max(16, 2 * ncpu))
     rs = page_ruleset(domain)
     combined = pages.map_batches(CombinedEmit(rs, domain),
                                  batch_format="pyarrow").materialize()

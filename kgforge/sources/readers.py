@@ -21,9 +21,16 @@ import ray.data
 def read_table(sf_dir: str, table: str,
                columns: list[str] | None = None) -> "ray.data.Dataset":
     """``read_parquet(f"{sf_dir}/{table}.parquet", columns=...)`` with
-    pruned columns and metadata-free schemas."""
+    pruned columns and metadata-free schemas. The path may be a single
+    file or a directory of shards."""
+    import glob
+    import os
     path = f"{sf_dir}/{table}.parquet"
-    full = pq.read_schema(path)
+    schema_src = path
+    if os.path.isdir(path):
+        shards = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        schema_src = shards[0]
+    full = pq.read_schema(schema_src)
     schema = (pa.schema([full.field(c) for c in columns]) if columns
               else full.remove_metadata())
     return ray.data.read_parquet(path, schema=schema, columns=columns)

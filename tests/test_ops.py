@@ -39,6 +39,15 @@ def test_lang_id_vs_sql(ray_session):
     _match(T.lang_id(SF), T.LANG_ID_SQL, _con())
 
 
+def test_quality_filter_vs_sql(ray_session):
+    from kgforge.ops import text as T
+    _match(T.quality_filter(SF), T.quality_filter_sql(), _con())
+    # the gate actually rejects something and keeps something
+    kept = T.quality_filter(SF).count()
+    total = 500
+    assert 0 < kept <= total
+
+
 def test_exact_dedup_vs_sql_and_finds_known_dups(ray_session, tmp_path):
     import pandas as pd
     import ray.data as rd
