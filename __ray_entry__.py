@@ -83,8 +83,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- dedup family
     q["dedup_exact"] = dedup.exact_dedup
-    q["dedup_minhash"] = dedup.minhash_dedup           # rows-only
-    q["dedup_simhash"] = dedup.simhash_dedup           # rows-only
+    q["dedup_minhash"] = dedup.minhash_dedup
+    q["dedup_simhash"] = dedup.simhash_dedup
+    # transitive closure over the verified near-dup graph (distributed
+    # connected components; numeric-min canonical per cluster)
+    q["neardup_clusters"] = dedup.neardup_clusters
 
     # --- similarity search
     q["ann_topk"] = ann.ann_topk
@@ -148,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_fingerprints"] = SR.fingerprint_oracle_sql()
     o["dedup_minhash"] = SR.minhash_oracle_sql()
     o["dedup_simhash"] = SR.simhash_oracle_sql()
+    o["neardup_clusters"] = SR.neardup_clusters_oracle_sql()
     o["ann_ivf_topk"] = SR.ivf_oracle_sql()
     o["ann_ivf_indexed"] = SR.ivf_oracle_sql()
     o["embedding_dup_pairs"] = SR.embedding_dup_oracle_sql()

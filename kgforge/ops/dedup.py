@@ -406,6 +406,71 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, n_perm: int = 64,
                           batch_size=SANITIZE_BATCH)
 
 
+# ----------------------------------------------------- near-dup clusters
+def _zpad(col: pa.Array) -> pa.Array:
+    """int64 ids -> fixed-width strings, so the connected-components
+    LEXICOGRAPHIC min-label == numeric min."""
+    import pyarrow.compute as pc_
+    return pc_.utf8_lpad(col.cast(pa.string()), 20, "0")
+
+
+def neardup_cluster_labels(sf_dir: str, threshold: float = 0.7,
+                           n_perm: int = 64, bands: int = 16, k: int = 3
+                           ) -> "ray.data.Dataset":
+    """Distributed cluster labels over the verified MinHash near-dup
+    graph: (node, canon) for every document that appears in a near-dup
+    pair, canon = numeric-min member of its connected component
+    (transitive closure via stages/canonicalize.connected_components —
+    label propagation to convergence, no driver union-find). This is
+    the scale path; ``neardup_clusters`` below is the small driver-side
+    table the correctness gate consumes."""
+    pairs = minhash_dedup(sf_dir, threshold, n_perm, bands, k)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"a": _zpad(b["a"].combine_chunks()),
+                         "b": _zpad(b["b"].combine_chunks())})
+
+    from ..stages.canonicalize import connected_components
+    return connected_components(pairs.map_batches(to_edges,
+                                                  batch_format="pyarrow"))
+
+
+def neardup_clusters(sf_dir: str, threshold: float = 0.7, n_perm: int = 64,
+                     bands: int = 16, k: int = 3) -> pa.Table:
+    """(doc_id, canon_id, cluster_size) per clustered document, as a
+    driver-side Arrow table (near-dup cluster membership is tiny at
+    testdata scale and must survive empty — Ray's to_pandas drops the
+    schema of empty datasets; at production dup mass, consume
+    ``neardup_cluster_labels`` as a Dataset instead)."""
+    schema = pa.schema([("doc_id", pa.int64()), ("canon_id", pa.int64()),
+                       ("cluster_size", pa.int64())])
+    pairs_tbls = [t for t in
+                  minhash_dedup(sf_dir, threshold, n_perm, bands, k)
+                  .iter_batches(batch_format="pyarrow") if t.num_columns]
+    n_pairs = sum(t.num_rows for t in pairs_tbls)
+    if n_pairs == 0:
+        return schema.empty_table()
+    pairs = pa.concat_tables(pairs_tbls)
+    from ..stages.canonicalize import connected_components
+    labels = connected_components(ray.data.from_arrow(pa.table({
+        "a": _zpad(pairs["a"].combine_chunks()),
+        "b": _zpad(pairs["b"].combine_chunks())})))
+    rows = []
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        rows.extend(zip((int(x) for x in b["node"].to_pylist()),
+                        (int(x) for x in b["canon"].to_pylist())))
+    sizes: dict[int, int] = {}
+    for _, c in rows:
+        sizes[c] = sizes.get(c, 0) + 1
+    rows.sort()
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+        "canon_id": pa.array([c for _, c in rows], type=pa.int64()),
+        "cluster_size": pa.array([sizes[c] for _, c in rows],
+                                 type=pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------- SimHash
 def _crc2_per_token(tokens: pa.Array) -> np.ndarray:
     """64-bit token hash = crc32(t) << 32 | crc32(t + '#'), computed once

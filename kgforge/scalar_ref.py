@@ -133,6 +133,35 @@ def minhash_pairs_ref(docs: list[tuple[int, str]], threshold: float = 0.7,
     return out
 
 
+def neardup_clusters_ref(docs: list[tuple[int, str]],
+                         threshold: float = 0.7, n_perm: int = 64,
+                         bands: int = 16, k: int = 3
+                         ) -> list[tuple[int, int, int]]:
+    """(doc_id, canon_id, cluster_size): union-find over the verified
+    near-dup pairs; canonical = numeric min member."""
+    pairs = minhash_pairs_ref(docs, threshold, n_perm, bands, k)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, list[int]] = {}
+    for x in parent:
+        members.setdefault(find(x), []).append(x)
+    out = []
+    for canon, nodes in members.items():
+        for n in nodes:
+            out.append((n, canon, len(nodes)))
+    return sorted(out)
+
+
 # ------------------------------------------------------------- SimHash
 def _simhash(text: str) -> int:
     v = [0] * 64
@@ -353,6 +382,14 @@ def minhash_oracle_sql(threshold: float = 0.7) -> str:
     rows = {_doc_key(d): minhash_pairs_ref(list(_docs(d)), threshold)
             for d in _sf_dirs()}
     return values_oracle_sql(rows, ["a", "b", "jaccard_pct"],
+                             ["BIGINT", "BIGINT", "BIGINT"])
+
+
+@functools.lru_cache(maxsize=None)
+def neardup_clusters_oracle_sql(threshold: float = 0.7) -> str:
+    rows = {_doc_key(d): neardup_clusters_ref(list(_docs(d)), threshold)
+            for d in _sf_dirs()}
+    return values_oracle_sql(rows, ["doc_id", "canon_id", "cluster_size"],
                              ["BIGINT", "BIGINT", "BIGINT"])
 
 

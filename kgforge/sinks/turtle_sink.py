@@ -46,6 +46,20 @@ STANDARD_PREFIXES = {
 # conservative PN_LOCAL subset: anything outside falls back to <iri>
 _PN_LOCAL_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_\-]*\Z")
 
+# IRIREF forbids control chars, space and <>"{}|^`\ — \uXXXX-escape them
+# (Turtle UCHAR), matching what rdflib's serializer does
+_IRI_BAD_RE = re.compile(r'[\x00-\x20<>"{}|^`\\]')
+
+
+def _iriref(iri: str) -> str:
+    return "<" + _IRI_BAD_RE.sub(
+        lambda m: "\\u%04X" % ord(m.group()), iri) + ">"
+
+
+def _iri_unescape(iri: str) -> str:
+    return re.sub(r"\\u([0-9A-Fa-f]{4})",
+                  lambda m: chr(int(m.group(1), 16)), iri)
+
 
 def make_prefixes(domain: str | None = None,
                   extra: dict[str, str] | None = None) -> dict[str, str]:
@@ -67,7 +81,7 @@ def _compactor(prefixes: dict[str, str]):
                 local = iri[len(ns):]
                 if _PN_LOCAL_RE.match(local):
                     return f"{pfx}:{local}"
-        return f"<{iri}>"
+        return _iriref(iri)
 
     return qname
 
@@ -173,7 +187,7 @@ def parse_turtle(text: str) -> set[tuple[str, str, str]]:
 
     def expand(tok: str) -> str:
         if tok.startswith("<"):
-            return tok[1:-1]
+            return _iri_unescape(tok[1:-1])
         if tok == "a":
             return RDF_TYPE
         pfx, local = tok.split(":", 1)

@@ -190,6 +190,11 @@ def test_engine_matches_scalar_reference(ray_session, tmp_path):
     ref = SR.fingerprint_summary_ref(docs)
     assert list(map(tuple, eng.itertuples(index=False))) == ref
 
+    clusters = D.neardup_clusters(sf, threshold=0.5).to_pandas()
+    ref_cl = SR.neardup_clusters_ref(docs, threshold=0.5)
+    assert list(map(tuple, clusters.itertuples(index=False))) == ref_cl
+    assert len(ref_cl) > 0  # the corpus plants near-dups
+
 
 def test_engine_matches_scalar_reference_join_path(ray_session, tmp_path,
                                                    monkeypatch):

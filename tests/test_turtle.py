@@ -63,6 +63,47 @@ def test_turtle_grouping_syntax():
     assert len(got) == 4
 
 
+def test_turtle_roundtrip_fuzz():
+    """Property: ANY columnar triple set round-trips through the
+    emitter+parser (hostile locals fall back to <iri>, literals carry
+    every escapable char)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kgforge.ntriples import RDF_TYPE, XSD_INTEGER, render_object
+    from kgforge.sinks.turtle_sink import (make_prefixes, parse_turtle,
+                                           turtle_block)
+    d = "https://ex.org/kg/"
+    local = st.text(
+        alphabet="abzAZ09_-.()% \t\n\"\\'é日", min_size=0, max_size=8)
+    iri = st.one_of(
+        local.map(lambda x: d + x),
+        st.just(RDF_TYPE),
+        st.just("http://other.org/p"),
+    )
+    triple = st.tuples(
+        iri, iri,
+        st.sampled_from(["u", "l"]),
+        st.one_of(local, iri),
+        st.sampled_from(["", XSD_INTEGER]),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(triple, min_size=0, max_size=12))
+    def check(rows):
+        rows = sorted(set(rows))
+        t = pa.table({c: pa.array([r[i] for r in rows], type=pa.string())
+                      for i, c in enumerate(["s", "p", "o_kind", "o_lex",
+                                             "o_dt"])})
+        ttl = turtle_block(t, make_prefixes(d))
+        got = {(s, p, o) for s, p, o in parse_turtle(ttl)}
+        want = {(s, p, render_object(k, ol, dt or None))
+                for s, p, k, ol, dt in rows}
+        assert got == want
+
+    check()
+
+
 def test_orchestrator_turtle_matches_nt(ray_session, tmp_path,
                                         grammar_path):
     """run_sources(turtle=True): the Turtle shards parse back to exactly
