@@ -194,80 +194,43 @@ def exact_dup_mapping(hashed: "ray.data.Dataset",
     sharing identical extracted text merge into one entity, canonical =
     lexicographic min page-URI per text group.
 
-    One groupby-aggregate shuffle on the text hash finds the duplicate
-    groups, whose EXACT count is then known. Size-adaptive join of the
-    page hashes back onto them (see canonicalize.broadcast_row_limit):
-    a small group table ships once via ray.put and is applied as a
-    vectorized per-batch lookup over the streaming hashed pages (the
-    members themselves never funnel through the driver on either path);
-    a large one — Common Crawl dup mass is tens of percent of the
-    corpus — goes through a hash-partitioned join."""
-    from ..stages.canonicalize import (broadcast_row_limit,
-                                       default_shuffle_partitions,
-                                       drop_empty_blocks)
+    ONE hash-partitioned shuffle: rows bucket by ``h % NUM_BUCKETS``
+    (every row of a text group lands in the same bucket), and each
+    bucket finds its duplicate groups AND their members in a single
+    Arrow pass (group_by min/count + an in-bucket C++ join) — no second
+    pass over the pages, no driver collection, correct at any dup mass
+    (Common Crawl exact-dup mass is tens of percent of the corpus).
+    Python touches only NUM_BUCKETS groups (Ray's sort-aggregate
+    iterates groups in Python, so the raw hash must never be the
+    groupby key)."""
     from ..stages.dedup import NUM_BUCKETS
 
-    # per-batch Arrow combine + bucket-hash shuffle key: Ray's
-    # sort-aggregate iterates GROUPS in Python, so keying the groupby by
-    # the raw hash would put one Python iteration per distinct page on
-    # the critical path; bucketing caps Python at NUM_BUCKETS groups and
-    # keeps the actual aggregation in Arrow C++ (same pattern as
-    # stages/dedup.distinct)
-    def combine(batch: pa.Table) -> pa.Table:
-        t = batch.group_by(["h"]).aggregate([("uri", "min"),
-                                             ("h", "count")])
-        hv = t["h"].to_numpy(zero_copy_only=False)
+    def bucketize(batch: pa.Table) -> pa.Table:
         import numpy as np
-        return t.append_column(
+        hv = batch["h"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
             "_bucket", pa.array((hv % NUM_BUCKETS).astype(np.int32)))
 
-    def bucket_agg(group: pa.Table) -> pa.Table:
-        t = group.group_by(["h"]).aggregate([("h_count", "sum"),
-                                             ("uri_min", "min")])
-        t = t.filter(pc.greater(t["h_count_sum"], 1))
-        return pa.table({"h": t["h"],
-                         "canon": t["uri_min_min"].cast(pa.string())})
-
-    dup = drop_empty_blocks(
-        hashed.map_batches(combine, batch_format="pyarrow")
-        .groupby("_bucket").map_groups(bucket_agg, batch_format="pyarrow"),
-        pa.schema([("h", pa.int64()), ("canon", pa.string())]))
     mapping_schema = pa.schema([("member", pa.string()),
                                 ("canon", pa.string())])
-    n_dup = dup.count()
-    if n_dup == 0:
-        # no duplicate groups: short-circuit (Ray's hash join crashes on
-        # a zero-row side, and there is nothing to map anyway)
-        return ray.data.from_arrow(mapping_schema.empty_table())
 
-    def members(t: pa.Table) -> pa.Table:
-        uri = t["uri"].combine_chunks().cast(pa.string())
-        canon = t["canon"].combine_chunks().cast(pa.string())
+    def bucket_members(group: pa.Table) -> pa.Table:
+        t = group.select(["h", "uri"])
+        agg = t.group_by(["h"]).aggregate([("uri", "min"), ("h", "count")])
+        dup = agg.filter(pc.greater(agg["h_count"], 1)).select(
+            ["h", "uri_min"])
+        if dup.num_rows == 0:
+            return mapping_schema.empty_table()
+        j = t.join(dup, keys="h")                # in-bucket Acero join
+        uri = j["uri"].combine_chunks().cast(pa.string())
+        canon = j["uri_min"].combine_chunks().cast(pa.string())
         mask = pc.invert(pc.equal(uri, canon))
         return pa.table({"member": uri.filter(mask),
                          "canon": canon.filter(mask)})
 
-    if n_dup <= broadcast_row_limit():
-        canon_by_h: dict[int, str] = {}
-        for b in dup.iter_batches(batch_format="pyarrow"):
-            canon_by_h.update(zip(b["h"].to_pylist(),
-                                  b["canon"].to_pylist()))
-        ref = ray.put(canon_by_h)
-        keys = pa.array(sorted(canon_by_h), type=pa.int64())
-
-        def lookup(batch: pa.Table) -> pa.Table:
-            hit = batch.filter(pc.is_in(batch["h"], value_set=keys))
-            cm = ray.get(ref)
-            canon = pa.array([cm[h] for h in hit["h"].to_pylist()],
-                             type=pa.string())
-            return members(pa.table({"uri": hit["uri"], "canon": canon}))
-
-        return hashed.map_batches(lookup, batch_format="pyarrow")
-
-    nparts = num_partitions or default_shuffle_partitions()
-    joined = hashed.join(dup, join_type="inner", num_partitions=nparts,
-                         on=("h",))
-    return joined.map_batches(members, batch_format="pyarrow")
+    return (hashed.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(bucket_members,
+                                           batch_format="pyarrow"))
 
 
 # -------------------------------------------------------------- pipeline
