@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- flagship web-KG pipeline (S2,M1,M2,M4,M12,A1,A5 + extensions)
     q["webkg_triples"] = lambda sf: webkg.webkg_terms(sf)
+    # per-host web-corpus accounting (URL parse + pre-agg rollup)
+    q["host_doc_stats"] = webkg.host_doc_stats
 
     # --- grammar-driven table KG (S4,M1-M10,M12,A1)
     for t in ("nation", "customer", "part", "supplier"):
@@ -107,10 +109,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["top_revenue_orders"] = relational.top_revenue_orders
     q["sessionize"] = relational.sessionize
     q["tumbling_counts"] = relational.tumbling_counts
+    q["hopping_counts"] = relational.hopping_counts
     q["event_type_counts"] = relational.event_type_counts
 
-    # --- multimodal plumbing (actor-pool featurizer over binary column)
-    q["media_feature_stats"] = multimodal.media_feature_stats  # rows-only
+    # --- multimodal plumbing (actor-pool featurizer over binary column;
+    # checked against a DuckDB sha256 mirror of the fake featurizer)
+    q["media_feature_stats"] = multimodal.media_feature_stats
 
     return q
 
@@ -121,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
 
     o: dict[str, str] = {}
     o["webkg_triples"] = webkg.webkg_oracle_sql()
+    o["host_doc_stats"] = webkg.HOST_DOC_STATS_SQL
     for t in ("nation", "customer", "part", "supplier"):
         o[f"kg_{t}"] = tabular.table_kg_sql(t)
     o["kg_requirements_part"] = tabular.table_requirements_sql("part")
@@ -139,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
     o["top_revenue_orders"] = relational.top_revenue_orders_sql()
     o["sessionize"] = relational.SESSIONIZE_SQL
     o["tumbling_counts"] = relational.TUMBLING_COUNTS_SQL
+    o["hopping_counts"] = relational.hopping_counts_sql()
     o["event_type_counts"] = relational.EVENT_TYPE_COUNTS_SQL
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import MEDIA_FEATURE_STATS_SQL

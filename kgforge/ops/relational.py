@@ -305,6 +305,67 @@ FROM events GROUP BY 1, 2
 """
 
 
+def hopping_counts(sf_dir: str, window_s: int = 3600,
+                   hop_s: int = 900) -> "ray.data.Dataset":
+    """Hopping (sliding) event-time windows: every event belongs to
+    ``window_s/hop_s`` overlapping windows. Pure vectorized window
+    assignment (np repeat/tile over floor(epoch/hop) − k), pre-aggregated
+    per batch before the groupby shuffle — like ``tumbling_counts``, no
+    ordering assumption at all."""
+    assert window_s % hop_s == 0
+    n_hops = window_s // hop_s
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = (batch["ts"].combine_chunks().cast(pa.int64())
+                 .to_numpy(zero_copy_only=False) // 1_000_000)
+        base = epoch // hop_s * hop_s
+        ws = (np.repeat(base, n_hops)
+              - np.tile(np.arange(n_hops, dtype=np.int64) * hop_s,
+                        len(base)))
+        et = batch["event_type"].combine_chunks().cast(pa.string())
+        val = (batch["value"].combine_chunks().cast(pa.float64())
+               .to_numpy(zero_copy_only=False))
+        t = pa.table({
+            "event_type": et.take(pa.array(
+                np.repeat(np.arange(len(base)), n_hops))),
+            "window_start": pa.array(ws, type=pa.int64()),
+            "value": pa.array(np.repeat(val, n_hops)),
+        })
+        return t.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "window_start"])
+           .aggregate(Sum("value_sum", alias_name="v"),
+                      Sum("value_count", alias_name="n_events")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"].cast(pa.int64()),
+            "n_events": batch["n_events"].cast(pa.int64()),
+            "value_cents": pc.round(pc.multiply(batch["v"],
+                                                pa.scalar(100.0))
+                                    ).cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_counts_sql(window_s: int = 3600, hop_s: int = 900) -> str:
+    n = window_s // hop_s
+    return f"""
+SELECT event_type,
+       CAST((CAST(floor(epoch(ts) / {hop_s}) AS BIGINT) - k.k) * {hop_s}
+            AS BIGINT) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+FROM events CROSS JOIN (SELECT unnest(range(0, {n})) AS k) k
+GROUP BY 1, 2
+"""
+
+
 def event_type_counts(sf_dir: str) -> "ray.data.Dataset":
     """Pre-aggregated groupby count by event_type."""
     ds = read_table(sf_dir, "events", columns=["event_type"])

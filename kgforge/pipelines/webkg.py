@@ -380,6 +380,53 @@ def webkg_terms(sf_dir: str, domain: str = DOMAIN, **kw) -> "ray.data.Dataset":
         triples_to_terms, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------- URL analysis
+def host_doc_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-host rollup over the pages table: host extracted from the
+    url column with an Arrow RE2 kernel (named group), then a
+    pre-aggregated groupby — the shape of any per-domain web-corpus
+    accounting job (crawl budgeting, robots audits, dedup-by-site)."""
+    from ray.data.aggregate import Sum
+    pages = build_pages(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        url = batch["url"].combine_chunks().cast(pa.string())
+        host = pc.struct_field(
+            pc.extract_regex(url, pattern=r"^https?://(?P<host>[^/]+)/"),
+            "host")
+        t = pa.table({"host": host,
+                      "n_chars": batch["n_chars"].combine_chunks()
+                      .cast(pa.int64())})
+        return t.group_by(["host"]).aggregate([("host", "count"),
+                                               ("n_chars", "sum")])
+
+    agg = (pages.map_batches(partial, batch_format="pyarrow")
+           .groupby("host")
+           .aggregate(Sum("host_count", alias_name="n_docs"),
+                      Sum("n_chars_sum", alias_name="total_chars")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": batch["host"],
+            "n_docs": batch["n_docs"].cast(pa.int64()),
+            "total_chars": batch["total_chars"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# pages derive deterministically from documents (sources/pages.py), so
+# the SQL mirror rebuilds the same url and extracts the same host
+HOST_DOC_STATS_SQL = """
+SELECT regexp_extract('https://' || source || '.example.org/doc/'
+                      || CAST(doc_id AS VARCHAR),
+                      '^https?://([^/]+)/', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------ SQL oracle
 def webkg_oracle_sql(domain: str = DOMAIN, docs: str = "documents") -> str:
     """DuckDB mirror of the full flagship over the ``documents`` view.

@@ -237,6 +237,23 @@ def test_tumbling_counts_vs_sql(ray_session):
     _match(R.tumbling_counts(SF), R.TUMBLING_COUNTS_SQL, _con())
 
 
+def test_hopping_counts_vs_sql(ray_session):
+    from kgforge.ops import relational as R
+    _match(R.hopping_counts(SF), R.hopping_counts_sql(), _con())
+    # every event lands in exactly window/hop windows
+    import duckdb as dd
+    con = _con()
+    n_events = con.sql("SELECT count(*) FROM events").fetchone()[0]
+    total = R.hopping_counts(SF).to_pandas()["n_events"].sum()
+    assert total == n_events * (3600 // 900)
+
+
+def test_host_doc_stats_vs_sql(ray_session):
+    from kgforge.pipelines import webkg as W
+    _match(W.host_doc_stats(SF), W.HOST_DOC_STATS_SQL,
+           _con())
+
+
 def test_ivf_indexed_matches_inline(ray_session, tmp_path):
     """The partitioned-index probe (reads ONLY the probed ivf_list=
     partition dirs) returns exactly the inline ivf_topk result."""
