@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lang_id"] = text.lang_id
     q["lang_token_summary"] = text.lang_token_summary
     q["quality_filter"] = text.quality_filter
+    q["vocab_topk"] = text.vocab_topk
     # per-doc winnowing rollup (checked against the independent scalar
     # reference via an embedded expected table — see kgforge/scalar_ref.py)
     q["doc_fingerprints"] = text.fingerprint_summary
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL
     o["quality_filter"] = text.quality_filter_sql()
+    o["vocab_topk"] = text.vocab_topk_sql()
     o["dedup_exact"] = dedup.EXACT_DEDUP_SQL
     o["ann_topk"] = ann.ann_topk_sql()
     o["pricing_summary"] = relational.PRICING_SUMMARY_SQL

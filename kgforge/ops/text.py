@@ -115,6 +115,57 @@ WHERE n_tokens BETWEEN {min_tokens} AND {max_tokens}
 """
 
 
+def vocab_topk(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
+    """Corpus vocabulary head: top-k whitespace tokens by frequency
+    (rank, token, n) — the first step of any tokenizer-training or
+    stopword-mining pass. Per-batch Arrow group_by counts (combiner)
+    → one small groupby over the VOCABULARY (not the token stream) →
+    per-batch top-k + tiny driver reduce. Ties break (n desc, token
+    asc) on both engine and SQL sides."""
+    from ray.data.aggregate import Sum
+
+    from .relational import topk_rows
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks().cast(pa.string())
+        split = pc.split_pattern(text, pattern=" ")
+        flat = split.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        t = pa.table({"token": flat})
+        return t.group_by(["token"]).aggregate([("token", "count")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("token")
+           .aggregate(Sum("token_count", alias_name="n")))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.table({"token": batch["token"],
+                         "n": batch["n"].cast(pa.int64())})
+
+    top = topk_rows(agg.map_batches(clean, batch_format="pyarrow"),
+                    k, ["n", "token"], [False, True])
+    import numpy as np
+    import ray.data as rd
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return rd.from_pandas(top[["rank", "token", "n"]])
+
+
+def vocab_topk_sql(k: int = 50) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
+  WHERE token <> '' GROUP BY token
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+           AS rank, token, n
+FROM counts ORDER BY n DESC, token ASC LIMIT {k}
+"""
+
+
 class LangId:
     """Marker-lexicon language ID; deterministic argmax (ties → LANG_ORDER).
     Emits predicted lang + per-lang scores (integers)."""

@@ -39,6 +39,11 @@ def test_lang_id_vs_sql(ray_session):
     _match(T.lang_id(SF), T.LANG_ID_SQL, _con())
 
 
+def test_vocab_topk_vs_sql(ray_session):
+    from kgforge.ops import text as T
+    _match(T.vocab_topk(SF), T.vocab_topk_sql(), _con())
+
+
 def test_quality_filter_vs_sql(ray_session):
     from kgforge.ops import text as T
     _match(T.quality_filter(SF), T.quality_filter_sql(), _con())
