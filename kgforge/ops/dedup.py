@@ -524,8 +524,12 @@ class SimHash:
 
 
 def simhash_signatures(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.canonicalize import SANITIZE_BATCH
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(SimHash(), batch_format="pyarrow")
+    # batch_size: empty read blocks skip the map fn and would otherwise
+    # reach the verify joins with the raw (doc_id, text) schema
+    return ds.map_batches(SimHash(), batch_format="pyarrow",
+                          batch_size=SANITIZE_BATCH)
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:

@@ -121,7 +121,11 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10
         return b.filter(pc.equal(b["c_mktsegment"], segment)).select(
             ["c_custkey"])
 
-    seg_cust = cust.map_batches(seg_only, batch_format="pyarrow")
+    # batch_size coalesces away EMPTY read blocks — those skip the map
+    # fn entirely and would reach the join with their original 2-column
+    # schema, poisoning the key resolution (seen at tiny scales)
+    seg_cust = cust.map_batches(seg_only, batch_format="pyarrow",
+                                batch_size=SANITIZE_BATCH)
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     qual = orders.join(seg_cust, join_type="inner", num_partitions=nparts,
                        on=("o_custkey",), right_on=("c_custkey",))
@@ -137,7 +141,8 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10
         t2 = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
         return t2.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
 
-    partials = li.map_batches(li_partial, batch_format="pyarrow")
+    partials = li.map_batches(li_partial, batch_format="pyarrow",
+                              batch_size=SANITIZE_BATCH)
     pruned = partials.join(qual, join_type="inner", num_partitions=nparts,
                            on=("l_orderkey",), right_on=("o_orderkey",))
     agg = (pruned.map_batches(lambda t: t, batch_format="pyarrow",
