@@ -29,6 +29,17 @@ from ..stages.dedup import distinct
 
 KG_DOMAIN = "https://kgforge.example.org/tpch/"
 
+REGION_GRAMMAR = """
+[r_name]
+cellrole = pkey
+celltype = region
+
+[r_regionkey]
+cellrole = object
+celltype = integer
+columntype = region_key
+"""
+
 NATION_GRAMMAR = """
 [n_name]
 cellrole = pkey
@@ -140,6 +151,8 @@ columntype = account_balance
 # table -> (grammar text, {column: spec}) — spec drives BOTH the engine
 # stringify stage and the SQL oracle's column expressions
 TABLE_KG = {
+    "region": (REGION_GRAMMAR,
+               {"r_name": STRING, "r_regionkey": INT}),
     "nation": (NATION_GRAMMAR,
                {"n_name": STRING, "n_regionkey": INT, "n_nationkey": INT}),
     "customer": (CUSTOMER_GRAMMAR,
