@@ -131,6 +131,29 @@ def test_skolem_canonical_mapping(ray_session):
     assert m == m2
 
 
+def test_flagship_parallelism_independent(ray_session):
+    """North-rule determinism: the flagship's triple SET is identical
+    under different block structures (content-keyed everything — no
+    ordinals, no process-salted hashes, batch-local combiners only
+    reduce duplicates the global dedup removes anyway)."""
+    from ray.data import DataContext
+
+    from kgforge.pipelines.webkg import webkg_terms
+    ctx = DataContext.get_current()
+    old = ctx.read_op_min_num_blocks
+    outs = []
+    try:
+        for nblocks in (2, 23):
+            ctx.read_op_min_num_blocks = nblocks
+            df = webkg_terms(SF).to_pandas()
+            outs.append(sorted(map(tuple, df[["s", "p", "o"]]
+                                   .itertuples(index=False))))
+    finally:
+        ctx.read_op_min_num_blocks = old
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
+
+
 @pytest.mark.slow
 def test_flagship_matches_duckdb_oracle(ray_session):
     from kgforge.pipelines.webkg import webkg_oracle_sql, webkg_terms
