@@ -235,11 +235,13 @@ def exact_dup_mapping(hashed: "ray.data.Dataset",
 
 # -------------------------------------------------------------- pipeline
 def build_prepared_pages(sf_dir: str,
-                         extractor_concurrency: int = 2
+                         extractor_concurrency: int = 2,
+                         paths: list[str] | None = None
                          ) -> "ray.data.Dataset":
     """pages + extracted text + stringified metadata (the input half of
-    the flagship; partition-filterable on doc_id for resumable runs)."""
-    pages = build_pages(sf_dir)
+    the flagship). ``paths`` restricts to a shard-file subset — the
+    partitioned runner's read pruning."""
+    pages = build_pages(sf_dir, paths=paths)
     # extractor state is just compiled regexes — shipped pre-compiled in
     # the pickled instance, so elastic stateless TASKS beat an actor
     # pool here (no pool-spawn latency, no reserved CPUs); the linker

@@ -94,7 +94,20 @@ def wrap_html_from_escaped(esc: str, doc_id: int) -> bytes:
     return head + junk + b"<p>" + esc.encode() + b"</p>" + tail
 
 
-def build_pages(sf_dir: str, parallelism: int = -1) -> "ray.data.Dataset":
-    """documents.parquet -> pages Dataset (streaming; no materialize)."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"])
+def build_pages(sf_dir: str, parallelism: int = -1,
+                paths: list[str] | None = None) -> "ray.data.Dataset":
+    """documents.parquet -> pages Dataset (streaming; no materialize).
+
+    ``paths``: restrict to a subset of the table's shard files — the
+    partitioned runner's input pruning (each partition reads ONLY its
+    shards instead of filtering a full scan)."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    if paths is not None:
+        import pyarrow as pa_
+        import pyarrow.parquet as pq_
+        full = pq_.read_schema(paths[0])
+        schema = pa_.schema([full.field(c) for c in cols])
+        ds = ray.data.read_parquet(paths, schema=schema, columns=cols)
+    else:
+        ds = read_table(sf_dir, "documents", columns=cols)
     return ds.map_batches(PageBuilder(), batch_format="pyarrow")

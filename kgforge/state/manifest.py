@@ -61,9 +61,19 @@ class Manifest:
 def partitioned_kg_run(sf_dir: str, out_dir: str, num_partitions: int = 4,
                        domain: str | None = None,
                        fail_after: int | None = None) -> Manifest:
-    """Resumable flagship run: documents are hash-partitioned by
-    ``doc_id % num_partitions``; each partition runs the full pipeline
+    """Resumable flagship run; each partition runs the full pipeline
     and lands atomically under ``part-{i:05d}/``.
+
+    Partitioning unit: for a SHARDED corpus (documents.parquet is a
+    directory of files — what any real crawl looks like), partition i
+    reads ONLY its shard subset ``files[i::num_partitions]`` — input
+    pruning, so a P-partition run reads the corpus once total, not P
+    times. For a single-file input, falls back to a ``doc_id %
+    num_partitions`` content filter (deterministic, never row position
+    — but a full scan per partition, fine only at test scale). Both
+    layouts are stable across reruns as long as the input is immutable,
+    which resume requires anyway (manifest records sf_dir +
+    num_partitions and refuses mismatches).
 
     ``fail_after`` (tests only): raise after N partitions to simulate a
     crash; a subsequent call with the same args resumes exactly.
@@ -73,6 +83,8 @@ def partitioned_kg_run(sf_dir: str, out_dir: str, num_partitions: int = 4,
     triples (partitions are subject-disjoint) — schema-level triples
     can repeat across partitions and are deduped at read/merge time
     (``merged_triples``)."""
+    import glob
+
     from ..pipelines.webkg import (DOMAIN, build_prepared_pages,
                                    webkg_triples_from_pages)
 
@@ -93,6 +105,9 @@ def partitioned_kg_run(sf_dir: str, out_dir: str, num_partitions: int = 4,
                 f"{num_partitions}. Use a fresh out_dir (or matching "
                 "arguments) — mixing layouts corrupts the output.")
     done = manifest.completed()
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    shards = (sorted(glob.glob(os.path.join(doc_path, "*.parquet")))
+              if os.path.isdir(doc_path) else None)
     ran = 0
     for p in range(num_partitions):
         if p in done:
@@ -100,11 +115,18 @@ def partitioned_kg_run(sf_dir: str, out_dir: str, num_partitions: int = 4,
         if fail_after is not None and ran >= fail_after:
             raise RuntimeError(f"simulated crash before partition {p}")
         t0 = time.time()
-        pages = build_prepared_pages(sf_dir)
-        part = pages.map_batches(
-            lambda t, _p=p: t.filter(_mod_mask(t["doc_id"],
-                                               num_partitions, _p)),
-            batch_format="pyarrow")
+        if shards:
+            subset = shards[p::num_partitions]
+            if not subset:
+                part = build_prepared_pages(sf_dir).limit(0)
+            else:
+                part = build_prepared_pages(sf_dir, paths=subset)
+        else:
+            pages = build_prepared_pages(sf_dir)
+            part = pages.map_batches(
+                lambda t, _p=p: t.filter(_mod_mask(t["doc_id"],
+                                                   num_partitions, _p)),
+                batch_format="pyarrow")
         rows_in = part.count()
         # canonicalize=False inside a partition: exact-dup merge is a
         # GLOBAL property — pages in different partitions can share

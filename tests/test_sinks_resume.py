@@ -117,6 +117,40 @@ def test_partitioned_run_crash_resume(ray_session, tmp_path):
         partitioned_kg_run("/root/testdata/sf0.01", out, num_partitions=3)
 
 
+def test_partitioned_run_sharded_input(ray_session, tmp_path):
+    """Sharded corpus (documents.parquet is a DIRECTORY): each partition
+    reads only its shard subset; merged output equals the single-shot
+    run on the same corpus."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.webkg import webkg_triples_from_pages, \
+        build_prepared_pages
+    from kgforge.stages.triples import triples_to_terms
+    from kgforge.state.manifest import partitioned_kg_run, merged_triples
+    src = tmp_path / "corpus"
+    shard_dir = src / "documents.parquet"
+    shard_dir.mkdir(parents=True)
+    base = pd.read_parquet(f"{SF}/documents.parquet").head(90)
+    for k in range(3):
+        pq.write_table(
+            __import__("pyarrow").Table.from_pandas(
+                base.iloc[k * 30:(k + 1) * 30], preserve_index=False),
+            shard_dir / f"part-{k}.parquet")
+    out = str(tmp_path / "run")
+    m = partitioned_kg_run(str(src), out, num_partitions=2)
+    assert sorted(m.completed()) == [0, 1]
+    assert sum(r["rows_in"] for r in m.records.values()) == 90
+    merged = merged_triples(out).map_batches(
+        triples_to_terms, batch_format="pyarrow").to_pandas()
+    single = webkg_triples_from_pages(
+        build_prepared_pages(str(src)), canonicalize=False).map_batches(
+        triples_to_terms, batch_format="pyarrow").to_pandas()
+    a = set(map(tuple, merged[["s", "p", "o"]].itertuples(index=False)))
+    b = set(map(tuple, single[["s", "p", "o"]].itertuples(index=False)))
+    assert a == b
+
+
 def test_csv_source_ragged_rows(ray_session, tmp_path):
     from kgforge.sources.csvsource import read_csv_source
     p = tmp_path / "r.csv"
