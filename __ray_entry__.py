@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lang_token_summary"] = text.lang_token_summary
     q["quality_filter"] = text.quality_filter
     q["vocab_topk"] = text.vocab_topk
+    q["token_id_stats"] = text.token_id_stats
     # per-doc winnowing rollup (checked against the independent scalar
     # reference via an embedded expected table — see kgforge/scalar_ref.py)
     q["doc_fingerprints"] = text.fingerprint_summary
@@ -104,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the planted-pair test
     q["embedding_dup_pairs"] = (
         lambda sf: ann.embedding_dup_pairs(sf, threshold=0.45))
+    # k-means corpus partitioning (deterministic IVF trainer, assignment)
+    q["embedding_clusters"] = ann.embedding_clusters
 
     # --- relational (pre-agg groupby, broadcast join, session windows)
     q["pricing_summary"] = relational.pricing_summary
@@ -140,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL
     o["quality_filter"] = text.quality_filter_sql()
     o["vocab_topk"] = text.vocab_topk_sql()
+    o["token_id_stats"] = text.token_id_stats_sql()
     o["dedup_exact"] = dedup.EXACT_DEDUP_SQL
     o["ann_topk"] = ann.ann_topk_sql()
     o["pricing_summary"] = relational.PRICING_SUMMARY_SQL
@@ -163,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
     o["ann_ivf_topk"] = SR.ivf_oracle_sql()
     o["ann_ivf_indexed"] = SR.ivf_oracle_sql()
     o["embedding_dup_pairs"] = SR.embedding_dup_oracle_sql()
+    o["embedding_clusters"] = SR.embedding_clusters_oracle_sql()
     # doc_fingerprints_full: raw per-position stream — rows-only (the
     # checked summary covers its values via xor/min/max/pos_sum)
     return o

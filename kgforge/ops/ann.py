@@ -296,6 +296,27 @@ def ivf_topk_indexed(sf_dir: str, query_ids: list[int] | None = None,
     return _topk_reduce(partials, k)
 
 
+def embedding_clusters(sf_dir: str, n_lists: int = 16
+                       ) -> "ray.data.Dataset":
+    """K-means cluster assignment over the embedding column: (vec_id,
+    cluster_id). Reuses the deterministic IVF trainer (bounded head
+    sample, fixed splitmix init, Lloyd iterations) and the vectorized
+    per-batch assignment — the canonical "partition the corpus by
+    semantic neighborhood" step of a curriculum/dedup pipeline."""
+    cents = train_ivf_centroids(sf_dir, n_lists)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch))
+        lists = (m @ cents.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"].combine_chunks().cast(pa.int64()),
+            "cluster_id": pa.array(lists, type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- LSH-bucketed ANN
 def _projection(dim: int, n_bits: int = 12) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (no RNG state): values

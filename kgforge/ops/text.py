@@ -166,6 +166,67 @@ FROM counts ORDER BY n DESC, token ASC LIMIT {k}
 """
 
 
+def token_id_stats(sf_dir: str, vocab_k: int = 100) -> "ray.data.Dataset":
+    """Tokenize-to-ids dry run: map every token to its vocabulary rank
+    (top-``vocab_k`` by frequency; out-of-vocabulary → 0) and emit the
+    per-doc accounting a tokenizer pipeline needs — (doc_id, n_tokens,
+    n_oov, ids_sum). The vocabulary is the classic SMALL side: built
+    once (itself a distributed count), shipped via ray.put, applied as
+    a dictionary-unique lookup per batch. ids_sum is a checksum of the
+    full id sequence, so the oracle catches any mis-mapped token."""
+    import ray
+    vocab_df = vocab_topk(sf_dir, vocab_k).to_pandas()
+    ref = ray.put(dict(zip(vocab_df["token"], vocab_df["rank"])))
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        text = batch["text"].combine_chunks().cast(pa.string())
+        split = pc.split_pattern(text, pattern=" ")
+        flat = split.flatten()
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        par = (pc.list_parent_indices(split).filter(nonempty)
+               .to_numpy(zero_copy_only=False))
+        enc = pc.dictionary_encode(flat)
+        uniq_ids = np.array([v.get(t, 0) for t in
+                             enc.dictionary.to_pylist()], dtype=np.int64)
+        ids = uniq_ids[enc.indices.to_numpy(zero_copy_only=False)]
+        n = len(text)
+        n_tokens = np.bincount(par, minlength=n)
+        oov = np.bincount(par, weights=(ids == 0).astype(np.float64),
+                          minlength=n).astype(np.int64)
+        sums = np.bincount(par, weights=ids.astype(np.float64),
+                           minlength=n).astype(np.int64)
+        have = n_tokens > 0               # docs with no tokens drop out
+        doc_ids = (batch["doc_id"].combine_chunks().cast(pa.int64())
+                   .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": pa.array(doc_ids[have], type=pa.int64()),
+            "n_tokens": pa.array(n_tokens[have], type=pa.int64()),
+            "n_oov": pa.array(oov[have], type=pa.int64()),
+            "ids_sum": pa.array(sums[have], type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_id_stats_sql(vocab_k: int = 100) -> str:
+    return f"""
+WITH vocab AS ({vocab_topk_sql(vocab_k)}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE v.rank IS NULL) AS BIGINT) AS n_oov,
+       CAST(sum(COALESCE(v.rank, 0)) AS BIGINT) AS ids_sum
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+WHERE t.token <> ''
+GROUP BY t.doc_id
+"""
+
+
 class LangId:
     """Marker-lexicon language ID; deterministic argmax (ties → LANG_ORDER).
     Emits predicted lang + per-lang scores (integers)."""

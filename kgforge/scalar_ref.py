@@ -285,6 +285,25 @@ def ivf_topk_ref(ids: np.ndarray, M: np.ndarray, query_ids: list[int],
     return out
 
 
+def embedding_clusters_ref(ids: np.ndarray, M: np.ndarray,
+                           n_lists: int = 16, sample_rows: int = 4096,
+                           iters: int = 3) -> list[tuple[int, int]]:
+    """(vec_id, cluster_id): same k-means spec as ivf_topk_ref's
+    training, assignment only."""
+    m = _norm_rows(M[:sample_rows].astype(np.float64))
+    cents = _norm_rows(_splitmix_unit_ref(n_lists, M.shape[1]))
+    for _ in range(iters):
+        assign = (m @ cents.T).argmax(axis=1)
+        for c in range(n_lists):
+            sel = m[assign == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+        cents = _norm_rows(cents)
+    Mn = _norm_rows(M.astype(np.float64))
+    lists = (Mn @ cents.T).argmax(axis=1)
+    return sorted((int(v), int(c)) for v, c in zip(ids, lists))
+
+
 # ------------------------------------------- LSH embedding dup pairs
 def embedding_dup_pairs_ref(ids: np.ndarray, M: np.ndarray,
                             threshold: float = 0.45, n_bits: int = 8
@@ -419,6 +438,16 @@ def ivf_oracle_sql(k: int = 10, n_lists: int = 16, nprobe: int = 4) -> str:
                                          nprobe)
     return values_oracle_sql(rows, ["query_id", "vec_id", "rank", "sim4"],
                              ["BIGINT", "BIGINT", "BIGINT", "DOUBLE"])
+
+
+@functools.lru_cache(maxsize=None)
+def embedding_clusters_oracle_sql(n_lists: int = 16) -> str:
+    rows = {}
+    for d in _sf_dirs():
+        ids, M = _emb(d)
+        rows[_doc_key(d)] = embedding_clusters_ref(ids, M, n_lists)
+    return values_oracle_sql(rows, ["vec_id", "cluster_id"],
+                             ["BIGINT", "BIGINT"])
 
 
 @functools.lru_cache(maxsize=None)

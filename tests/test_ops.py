@@ -44,6 +44,24 @@ def test_vocab_topk_vs_sql(ray_session):
     _match(T.vocab_topk(SF), T.vocab_topk_sql(), _con())
 
 
+def test_token_id_stats_vs_sql(ray_session):
+    from kgforge.ops import text as T
+    _match(T.token_id_stats(SF), T.token_id_stats_sql(), _con())
+
+
+def test_embedding_clusters_vs_ref(ray_session):
+    import pyarrow.parquet as pq
+    from kgforge import scalar_ref as SR
+    from kgforge.ops import ann as A
+    eng = A.embedding_clusters(SF).to_pandas().sort_values("vec_id")
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ref = SR.embedding_clusters_ref(
+        np.array(t["vec_id"].to_pylist()),
+        np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    assert list(map(tuple, eng.itertuples(index=False))) == ref
+    assert eng["cluster_id"].nunique() > 1
+
+
 def test_quality_filter_vs_sql(ray_session):
     from kgforge.ops import text as T
     _match(T.quality_filter(SF), T.quality_filter_sql(), _con())
