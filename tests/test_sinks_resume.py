@@ -151,6 +151,29 @@ def test_partitioned_run_sharded_input(ray_session, tmp_path):
     assert a == b
 
 
+def test_predicate_partitioned_store(ray_session, tmp_path):
+    """S9 replacement: a bound-predicate query over the partitioned
+    store reads ONE partition dir and matches the full-scan answer."""
+    import glob
+
+    import duckdb
+
+    from kgforge.pipelines.webkg import webkg_triples
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    triples = webkg_triples(SF).materialize()
+    write_graph_partitioned(triples, str(tmp_path))
+    parts = glob.glob(f"{tmp_path}/triples_by_predicate/p_key=*")
+    assert len(parts) > 3
+    lang_dir = f"{tmp_path}/triples_by_predicate/p_key=in_language"
+    con = duckdb.connect()
+    pruned = con.sql(
+        f"SELECT count(*) FROM read_parquet('{lang_dir}/*.parquet') "
+        f"WHERE p LIKE '%in_language'").fetchone()[0]
+    df = triples.to_pandas()
+    full = (df["p"].str.endswith("in_language")).sum()
+    assert pruned == full > 0
+
+
 def test_csv_source_ragged_rows(ray_session, tmp_path):
     from kgforge.sources.csvsource import read_csv_source
     p = tmp_path / "r.csv"
