@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_filter"] = text.quality_filter
     q["vocab_topk"] = text.vocab_topk
     q["token_id_stats"] = text.token_id_stats
+    q["dataset_split"] = text.dataset_split
     # per-doc winnowing rollup (checked against the independent scalar
     # reference via an embedded expected table — see kgforge/scalar_ref.py)
     q["doc_fingerprints"] = text.fingerprint_summary
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
     o["quality_filter"] = text.quality_filter_sql()
     o["vocab_topk"] = text.vocab_topk_sql()
     o["token_id_stats"] = text.token_id_stats_sql()
+    o["dataset_split"] = text.dataset_split_sql()
     o["dedup_exact"] = dedup.EXACT_DEDUP_SQL
     o["ann_topk"] = ann.ann_topk_sql()
     o["pricing_summary"] = relational.PRICING_SUMMARY_SQL

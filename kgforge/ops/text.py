@@ -227,6 +227,45 @@ GROUP BY t.doc_id
 """
 
 
+SPLIT_MULT = 2654435761        # Knuth multiplicative hash constant
+
+
+def dataset_split(sf_dir: str, val_pct: int = 5, test_pct: int = 5
+                  ) -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment: bucket = Knuth
+    multiplicative hash of doc_id mod 100 — content-keyed (never row
+    position), identical at any parallelism, reproducible in plain SQL.
+    Emits (doc_id, bucket, split)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = (batch["doc_id"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        bucket = (ids * SPLIT_MULT) % (1 << 32) % 100
+        split = np.where(bucket < test_pct, "test",
+                         np.where(bucket < test_pct + val_pct, "val",
+                                  "train"))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "split": pa.array(split.tolist(), type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dataset_split_sql(val_pct: int = 5, test_pct: int = 5) -> str:
+    b = f"((doc_id * {SPLIT_MULT}) % 4294967296) % 100"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({b} AS BIGINT) AS bucket,
+       CASE WHEN {b} < {test_pct} THEN 'test'
+            WHEN {b} < {test_pct + val_pct} THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
 class LangId:
     """Marker-lexicon language ID; deterministic argmax (ties → LANG_ORDER).
     Emits predicted lang + per-lang scores (integers)."""

@@ -44,6 +44,13 @@ def test_vocab_topk_vs_sql(ray_session):
     _match(T.vocab_topk(SF), T.vocab_topk_sql(), _con())
 
 
+def test_dataset_split_vs_sql(ray_session):
+    from kgforge.ops import text as T
+    _match(T.dataset_split(SF), T.dataset_split_sql(), _con())
+    df = T.dataset_split(SF).to_pandas()
+    assert set(df["split"]) == {"train", "val", "test"}
+
+
 def test_token_id_stats_vs_sql(ray_session):
     from kgforge.ops import text as T
     _match(T.token_id_stats(SF), T.token_id_stats_sql(), _con())
