@@ -56,7 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["host_doc_stats"] = webkg.host_doc_stats
 
     # --- grammar-driven table KG (S4,M1-M10,M12,A1)
-    for t in ("region", "nation", "customer", "part", "supplier"):
+    for t in ("region", "nation", "customer", "part", "supplier",
+              "lineitem"):
         q[f"kg_{t}"] = (lambda sf, _t=t: tabular.table_kg_terms(sf, _t))
 
     # --- ontology-requirements side output (S7,A2)
@@ -131,7 +132,8 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["webkg_triples"] = webkg.webkg_oracle_sql()
     o["host_doc_stats"] = webkg.HOST_DOC_STATS_SQL
-    for t in ("region", "nation", "customer", "part", "supplier"):
+    for t in ("region", "nation", "customer", "part", "supplier",
+              "lineitem"):
         o[f"kg_{t}"] = tabular.table_kg_sql(t)
     o["kg_requirements_part"] = tabular.table_requirements_sql("part")
     o["kg_union_nation_supplier"] = tabular.union_kg_sql()

@@ -23,7 +23,7 @@ from ..sources.readers import read_table
 from ..rules import RuleSet, compile_grammar
 from ..sqlgen import ontology_requirements_sql, ruleset_to_sql
 from ..stages.dedup import dedup_triples
-from ..stages.prepare import FLOAT, INT, STRING, ColumnSpec, stringify
+from ..stages.prepare import DATE, FLOAT, INT, STRING, ColumnSpec, stringify
 from ..stages.triples import OntologyRequirements, TripleGenerator, triples_to_terms
 from ..stages.dedup import distinct
 
@@ -125,6 +125,42 @@ columntype = retail_price
 cellrole = ignore
 """
 
+LINEITEM_GRAMMAR = """
+[l_orderkey]
+cellrole = pkey
+celltype = order_line_set
+
+[l_returnflag]
+cellrole = object,map(all;*flags*)
+celltype = return_flag
+columntype = returned_as
+
+[l_linestatus]
+cellrole = object
+celltype = line_status
+columntype = line_status_of
+
+[l_shipdate]
+cellrole = object
+celltype = date
+columntype = shipped_on
+
+[l_quantity]
+cellrole = object
+celltype = float
+columntype = quantity_of
+
+[l_extendedprice]
+cellrole = object
+celltype = float
+columntype = extended_price
+
+[*flags*]
+A = Accepted
+N = None
+R = Returned
+"""
+
 SUPPLIER_GRAMMAR = """
 [s_name]
 cellrole = pkey
@@ -153,6 +189,10 @@ columntype = account_balance
 TABLE_KG = {
     "region": (REGION_GRAMMAR,
                {"r_name": STRING, "r_regionkey": INT}),
+    "lineitem": (LINEITEM_GRAMMAR,
+                 {"l_orderkey": INT, "l_returnflag": STRING,
+                  "l_linestatus": STRING, "l_shipdate": DATE,
+                  "l_quantity": FLOAT(2), "l_extendedprice": FLOAT(2)}),
     "nation": (NATION_GRAMMAR,
                {"n_name": STRING, "n_regionkey": INT, "n_nationkey": INT}),
     "customer": (CUSTOMER_GRAMMAR,
