@@ -151,6 +151,23 @@ def test_partitioned_run_sharded_input(ray_session, tmp_path):
     assert a == b
 
 
+def test_orchestrator_ordinal_mode_e2e(ray_session, tmp_path):
+    """`ordinal = True` options flag through run_sources: subjects in
+    the written graph use the reference's line numbering."""
+    from kgforge.pipelines.orchestrator import run_sources
+    from kgforge.sinks.ntriples_sink import read_graph_lines
+    (tmp_path / "d.csv").write_text("id;name\nx1;Alice\nx2;Bob\n")
+    (tmp_path / "conf.ini").write_text(
+        f"[d]\nfile = d.csv\ndomain = {DOMAIN}\ndelimiter = ;\n"
+        "active = True\nordinal = True\nprefix = row\ntype = line\n")
+    out = tmp_path / "out"
+    run_sources(str(tmp_path / "conf.ini"), str(out))
+    lines = read_graph_lines(str(out / "d"))
+    subjects = {l.split(" ", 1)[0] for l in lines}
+    assert subjects == {f"<{DOMAIN}row1>", f"<{DOMAIN}row2>"}
+    assert any('"Alice"' in l for l in lines)
+
+
 def test_predicate_partitioned_store(ray_session, tmp_path):
     """S9 replacement: a bound-predicate query over the partitioned
     store reads ONE partition dir and matches the full-scan answer."""
