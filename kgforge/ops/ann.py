@@ -243,13 +243,27 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None,
     import hashlib as _hl
     import os
 
+    import glob as _glob
+
     import pyarrow.parquet as pq
+    # content fingerprint of the embeddings source (size+mtime per file):
+    # a regenerated file at the same path must invalidate the cached index
+    src = sorted(_glob.glob(os.path.join(sf_dir, "embeddings*.parquet")) +
+                 _glob.glob(os.path.join(sf_dir, "embeddings", "*.parquet")))
+    stamp = ";".join(f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p):.6f}"
+                     for p in src)
+    content_key = _hl.md5(stamp.encode()).hexdigest()[:12]
     if index_dir is None:
-        key = _hl.md5(f"{os.path.abspath(sf_dir)}:{n_lists}".encode())
+        key = _hl.md5(f"{os.path.abspath(sf_dir)}:{n_lists}:{content_key}"
+                      .encode())
         index_dir = f"/tmp/kgforge_ivf_{key.hexdigest()[:12]}"
     marker = os.path.join(index_dir, "_SUCCESS")
     if os.path.exists(marker):
-        return index_dir
+        with open(marker) as f:
+            if f.read().strip() == content_key:
+                return index_dir
+        import shutil
+        shutil.rmtree(index_dir)  # stale: source changed under the marker
     cents = train_ivf_centroids(sf_dir, n_lists)
     os.makedirs(index_dir, exist_ok=True)
     pq.write_table(
@@ -263,7 +277,7 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None,
     assigned.write_parquet(os.path.join(index_dir, "vectors"),
                            partition_cols=["ivf_list"])
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(content_key)
     return index_dir
 
 

@@ -163,14 +163,15 @@ class MinHashBands:
         sigs = np.full((n_docs, self.n_perm), np.uint64(0), dtype=np.uint64)
         if len(grams):
             # reduceat needs contiguous doc runs — grams are already in
-            # doc order because tokens are
-            run_starts = np.searchsorted(gram_doc, np.arange(n_docs))
-            have = np.bincount(gram_doc, minlength=n_docs) > 0
+            # doc order because tokens are. Reduceat ONLY over docs that
+            # have grams: a start index == len(grams) (trailing gramless
+            # docs) would otherwise split off the previous doc's final
+            # gram and truncate its signature.
+            g_counts = np.bincount(gram_doc, minlength=n_docs)
+            have = g_counts > 0
+            rs = (np.cumsum(g_counts) - g_counts)[have]
             vals = (self.a[:, None] * grams[None, :] + self.b[:, None]) % _MERSENNE
-            # guard: reduceat index == len(vals) for trailing empty docs
-            rs = np.clip(run_starts, 0, max(len(grams) - 1, 0))
-            mins = np.minimum.reduceat(vals, rs, axis=1).T  # (n_docs, n_perm)
-            sigs[have] = mins[have]
+            sigs[have] = np.minimum.reduceat(vals, rs, axis=1).T
         # short docs (< k tokens) fall back to the padded-gram scalar path
         short = counts < k
         if short.any():
@@ -508,12 +509,14 @@ class SimHash:
                     np.uint64(1)).astype(np.int64)
             contrib = 2 * bits - 1                      # (tokens, 64)
             counts = np.bincount(par, minlength=n)
-            run_starts = np.clip(np.cumsum(counts) - counts, 0,
-                                 max(len(hs) - 1, 0))
-            v = np.add.reduceat(contrib, run_starts, axis=0)  # (n, 64)
             have = counts > 0
+            # reduceat only over docs WITH tokens — a start == len(hs)
+            # (trailing tokenless docs) would steal the previous doc's
+            # final token from its segment
+            rs = (np.cumsum(counts) - counts)[have]
+            v = np.add.reduceat(contrib, rs, axis=0)  # (n_have, 64)
             packed = np.packbits((v > 0)[:, ::-1], axis=1).view(">u8").ravel()
-            sims[have] = packed[have].astype(np.uint64)
+            sims[have] = packed.astype(np.uint64)
         out = {"doc_id": batch["doc_id"],
                "simhash": pa.array(sims.astype(np.int64), type=pa.int64())}
         for b in range(4):

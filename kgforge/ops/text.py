@@ -241,7 +241,13 @@ def dataset_split(sf_dir: str, val_pct: int = 5, test_pct: int = 5
     def fn(batch: pa.Table) -> pa.Table:
         ids = (batch["doc_id"].combine_chunks().cast(pa.int64())
                .to_numpy(zero_copy_only=False))
-        bucket = (ids * SPLIT_MULT) % (1 << 32) % 100
+        # uint64: the multiply wraps mod 2^64, which is well-defined and
+        # (since 2^32 | 2^64) leaves the mod-2^32 bucket equal to the
+        # EXACT product's — so the HUGEINT SQL mirror matches even past
+        # doc_id ~3.46e9 where an int64 multiply would overflow.
+        # Requires doc_id >= 0.
+        bucket = ((ids.astype(np.uint64) * np.uint64(SPLIT_MULT))
+                  % np.uint64(1 << 32) % np.uint64(100)).astype(np.int64)
         split = np.where(bucket < test_pct, "test",
                          np.where(bucket < test_pct + val_pct, "val",
                                   "train"))
@@ -255,7 +261,9 @@ def dataset_split(sf_dir: str, val_pct: int = 5, test_pct: int = 5
 
 
 def dataset_split_sql(val_pct: int = 5, test_pct: int = 5) -> str:
-    b = f"((doc_id * {SPLIT_MULT}) % 4294967296) % 100"
+    # HUGEINT: exact product, mod 2^32 — equals the engine's uint64-wrap
+    # bucket for any doc_id >= 0 (see dataset_split)
+    b = f"((CAST(doc_id AS HUGEINT) * {SPLIT_MULT}) % 4294967296) % 100"
     return f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST({b} AS BIGINT) AS bucket,
@@ -398,8 +406,12 @@ class Winnowing:
         # short docs (1..w-1 grams): single first-min fingerprint
         short = (g_counts > 0) & (g_counts < w)
         if short.any():
-            rs = np.clip(g_starts, 0, len(grams) - 1)
-            mins = np.minimum.reduceat(grams, rs)
+            # reduceat only over docs WITH grams — a start == len(grams)
+            # (gramless docs at the tail) would truncate the previous
+            # doc's min segment
+            have_g = g_counts > 0
+            mins = np.zeros(n, dtype=grams.dtype)
+            mins[have_g] = np.minimum.reduceat(grams, g_starts[have_g])
             is_min = grams == mins[gram_doc]
             short_pos = np.flatnonzero(is_min & short[gram_doc])
             # first min per doc: positions are doc-ordered, keep firsts

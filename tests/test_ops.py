@@ -312,3 +312,66 @@ def test_ivf_topk_recall_vs_bruteforce(ray_session):
         a = set(approx[approx.query_id == qid]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+# ---------------------------------------------------------------------
+# Batch-boundary regressions (ADVICE r2): a clipped reduceat run-start
+# used to truncate the LAST gram-bearing doc's segment whenever the
+# batch ended with empty/short docs — signatures then depended on block
+# layout. Each test compares the vectorized batch path against the
+# per-doc scalar path with trailing degenerate docs appended.
+def _sig_table(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+def test_minhash_batch_trailing_empty_doc():
+    from kgforge.ops.dedup import MinHashBands
+    mb = MinHashBands()
+    long_doc = "the quick brown fox jumps over the lazy dog again and again"
+    for tail in ([""], ["", ""], ["a b"], ["", "a", ""]):
+        texts = [long_doc, "another perfectly ordinary document here"] + tail
+        batch_sigs = mb._signatures_batch(pa.array(texts, type=pa.string()))
+        for i, t in enumerate(texts):
+            np.testing.assert_array_equal(
+                batch_sigs[i], mb.signature(t),
+                err_msg=f"doc {i!r} with tail {tail!r}")
+
+
+def test_simhash_batch_trailing_empty_doc():
+    from kgforge.ops.dedup import SimHash
+    from kgforge.scalar_ref import _simhash
+    sh = SimHash()
+    for tail in ([""], ["", ""], ["", "x", ""]):
+        texts = ["alpha beta gamma", "delta epsilon"] + tail
+        out = sh(_sig_table(texts))
+        got = out["simhash"].to_pylist()
+        for i, t in enumerate(texts):
+            assert got[i] & 0xFFFFFFFFFFFFFFFF == _simhash(t), (i, t, tail)
+
+
+def test_winnowing_batch_trailing_short_doc():
+    from kgforge.ops.text import Winnowing
+    from kgforge.scalar_ref import winnow_doc
+    win = Winnowing(k=5, window=4)
+    # first doc has 1..window-1 grams (6 toks, k=5 → 2 grams) whose min
+    # is the final gram; second doc is <k tokens (gramless)
+    for texts in (["aa bb cc dd ee ff gg", "x y"],
+                  ["aa bb cc dd ee ff", "x y", ""],
+                  ["one two three four five six seven eight nine", "q"],):
+        out = win(_sig_table(texts)).to_pandas()
+        for i, t in enumerate(texts):
+            got = sorted(zip(out[out.doc_id == i]["pos"],
+                             out[out.doc_id == i]["fp"]))
+            assert got == winnow_doc(t), (i, t)
+
+
+def test_dataset_split_uint64_wrap():
+    # doc_id past ~3.46e9: int64 multiply would overflow; the uint64
+    # path must equal the exact product mod 2^32 mod 100
+    from kgforge.ops.text import SPLIT_MULT
+    ids = np.array([0, 1, 3_500_000_000, 2**62], dtype=np.int64)
+    bucket = ((ids.astype(np.uint64) * np.uint64(SPLIT_MULT))
+              % np.uint64(1 << 32) % np.uint64(100)).astype(np.int64)
+    expect = [(int(i) * SPLIT_MULT) % (1 << 32) % 100 for i in ids]
+    assert bucket.tolist() == expect
