@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_orders_v1"] = tabular.v1_kg_orders
     # --- v2 dialect (role permutations, rdf:type chains, descr comments)
     q["kg_customer_v2"] = tabular.v2_kg_customer
+    # --- v4 dialect (STRANGE map fallback, prepend-prefix, type chains)
+    q["kg_part_v4"] = tabular.v4_kg_part
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -85,10 +87,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # per-doc winnowing rollup (checked against the independent scalar
     # reference via an embedded expected table — see kgforge/scalar_ref.py)
     q["doc_fingerprints"] = text.fingerprint_summary
-    q["doc_fingerprints_full"] = text.fingerprints     # raw stream, rows-only
+    q["doc_fingerprints_full"] = text.fingerprints  # full stream, VALUES oracle
 
     # --- dedup family
     q["dedup_exact"] = dedup.exact_dedup
+    q["neardup_labels"] = (
+        lambda sf: dedup.neardup_labels(sf, threshold=0.7))
     q["dedup_minhash"] = dedup.minhash_dedup
     q["dedup_simhash"] = dedup.simhash_dedup
     # transitive closure over the verified near-dup graph (distributed
@@ -141,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_part_v3chains"] = tabular.v3_chain_kg_part_sql()
     o["kg_orders_v1"] = tabular.v1_kg_orders_sql()
     o["kg_customer_v2"] = tabular.v2_kg_customer_sql()
+    o["kg_part_v4"] = tabular.v4_kg_part_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL
@@ -165,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
     # input's content key (kgforge/scalar_ref.py)
     from kgforge import scalar_ref as SR
     o["doc_fingerprints"] = SR.fingerprint_oracle_sql()
+    o["neardup_labels"] = SR.neardup_labels_oracle_sql()
     o["dedup_minhash"] = SR.minhash_oracle_sql()
     o["dedup_simhash"] = SR.simhash_oracle_sql()
     o["neardup_clusters"] = SR.neardup_clusters_oracle_sql()
@@ -172,6 +178,6 @@ def oracle_sql() -> dict[str, str]:
     o["ann_ivf_indexed"] = SR.ivf_oracle_sql()
     o["embedding_dup_pairs"] = SR.embedding_dup_oracle_sql()
     o["embedding_clusters"] = SR.embedding_clusters_oracle_sql()
-    # doc_fingerprints_full: raw per-position stream — rows-only (the
-    # checked summary covers its values via xor/min/max/pos_sum)
+    # full per-position stream: VALUES oracle from the scalar reference
+    o["doc_fingerprints_full"] = SR.fingerprint_full_oracle_sql()
     return o

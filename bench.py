@@ -117,6 +117,41 @@ def run_bench() -> dict:
     if only:
         keep = set(only.split(","))
         queries = {k: v for k, v in queries.items() if k in keep}
+
+    # --- canary gate: the sandbox host intermittently carries load ≥5
+    # from OUTSIDE this VM, inflating every query ~40-50% uniformly. A
+    # FIXED-SIZE synthetic map (independent of SF_DIR, so the band holds
+    # for the scaling subprocesses too) is timed BEFORE the run; outside
+    # the quiet band we wait and retry, and if it never settles the
+    # output is flagged host_contended so the recorded numbers are
+    # self-interpreting.
+    quiet_thr = float(os.environ.get("GRAFT_CANARY_QUIET_S", "0.9"))
+    retries = int(os.environ.get("GRAFT_CANARY_RETRIES", "3"))
+
+    def canary() -> float:
+        import numpy as np
+
+        def crunch(b):
+            np.sqrt(b["id"].to_numpy(zero_copy_only=False)
+                    .astype(np.float64)).sum()
+            return b
+
+        t0 = time.time()
+        (ray.data.range(2_000_000, override_num_blocks=max(NCPU, 8))
+         .map_batches(crunch, batch_format="pyarrow").count())
+        return round(time.time() - t0, 3)
+
+    canary_s = canary()
+    for _ in range(retries):
+        if canary_s <= quiet_thr:
+            break
+        print(f"WARNING: canary {canary_s}s > quiet band {quiet_thr}s "
+              f"(host load {os.getloadavg()[0]:.1f}) — waiting 10s and "
+              "retrying", file=sys.stderr)
+        time.sleep(10)
+        canary_s = canary()
+    load_start = round(os.getloadavg()[0], 2)
+
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     total = 0.0
@@ -129,6 +164,9 @@ def run_bench() -> dict:
         total += dt
         if name == "webkg":
             webkg_s = dt
+    # end-of-run canary: catches contention that ARRIVED mid-run
+    canary_end_s = canary()
+    contended = canary_s > quiet_thr or canary_end_s > quiet_thr
     out = {
         "metric": "kgforge_bench_total",
         "value": round(total, 3),
@@ -139,7 +177,15 @@ def run_bench() -> dict:
         "num_cpus": NCPU,
         "docs": docs,
         "webkg_docs_per_s": round(docs / webkg_s, 1) if webkg_s else None,
+        "canary_s": canary_s,
+        "canary_end_s": canary_end_s,
+        "canary_quiet_threshold_s": quiet_thr,
+        "host_load_avg": load_start,
+        "host_contended": contended,
     }
+    if contended:
+        print("WARNING: host_contended=true — external load inflated this "
+              "run; numbers are flagged, not representative", file=sys.stderr)
     ray.shutdown()
     return out
 
@@ -213,11 +259,15 @@ def run_scaling() -> dict:
     once(hi_n)  # untimed warm run: page cache + pyc
     # min-of-N per level: single-box runs show 20-40% wall-time noise
     # (OS scheduling, object-store placement); the minimum is the
-    # defensible capability estimate for BOTH levels symmetrically
-    lo = min((once(lo_n) for _ in range(reps)),
-             key=lambda d: d["queries"]["webkg"])
-    hi = min((once(hi_n) for _ in range(reps)),
-             key=lambda d: d["queries"]["webkg"])
+    # defensible capability estimate for BOTH levels symmetrically.
+    # Canary-clean runs are preferred over contended ones.
+    def best(runs: list[dict]) -> dict:
+        clean = [r for r in runs if not r.get("host_contended")]
+        return min(clean or runs, key=lambda d: d["queries"]["webkg"])
+
+    lo_runs = [once(lo_n) for _ in range(reps)]
+    hi_runs = [once(hi_n) for _ in range(reps)]
+    lo, hi = best(lo_runs), best(hi_runs)
     t_lo, t_hi = lo["queries"]["webkg"], hi["queries"]["webkg"]
     eff = (t_lo / t_hi) / (hi_n / lo_n)
     return {
@@ -232,6 +282,8 @@ def run_scaling() -> dict:
         "webkg_docs_per_s_lo": lo.get("webkg_docs_per_s"),
         "webkg_docs_per_s_hi": hi.get("webkg_docs_per_s"),
         "scaling_efficiency": round(eff, 3),
+        "host_contended": (lo.get("host_contended", False)
+                          or hi.get("host_contended", False)),
         "host_logical_cpus": os.cpu_count(),
         "sf": _sf_label(SF_DIR),
         "replicas": SCALE_REPLICAS,

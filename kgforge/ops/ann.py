@@ -357,32 +357,96 @@ class LshBucket:
         return batch.append_column("bucket", pa.array(keys, type=pa.string()))
 
 
+def effective_lsh_bits(n_rows: int, n_bits: int = 8,
+                       target: int = 256) -> int:
+    """Corpus-scaled hyperplane count: a FIXED n_bits=8 gives only 256
+    global buckets, so bucket size grows linearly with the corpus and
+    the per-bucket all-pairs step degrades quadratically. Scale bits so
+    the expected bucket stays near ``target`` rows (bits only ever
+    increase, capped at 30). At testdata scales this returns ``n_bits``
+    unchanged — the oracle mirrors the same formula."""
+    import math
+    if n_rows <= target:
+        return n_bits
+    return min(max(n_bits, math.ceil(math.log2(n_rows / target))), 30)
+
+
+def emb_bucket_cap() -> int:
+    """Rows per LSH bucket above which the all-pairs cosine degrades to
+    STAR comparisons against the bucket's min-id member (bounded output,
+    connectivity preserved; logged). Bounds worst-case per-bucket pair
+    emission at cap^2/2. Env: KGFORGE_EMB_BUCKET_CAP (0 = unlimited)."""
+    import os
+    return int(os.environ.get("KGFORGE_EMB_BUCKET_CAP", 4096))
+
+
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98,
                         n_bits: int = 8) -> "ray.data.Dataset":
     """Near-dup embedding pairs (a, b, sim4): all-pairs cosine INSIDE
     each LSH bucket (groupby shuffle on bucket key) — never all-pairs
     global. Recall<1 for pairs straddling a hyperplane; acceptable for
-    near-dup mining (sim≥0.98 pairs collide with high probability)."""
+    near-dup mining (sim≥0.98 pairs collide with high probability).
+    Scale guards: hyperplane count scales with the corpus
+    (``effective_lsh_bits``), the in-bucket matmul is BLOCKED (bounded
+    memory however large a bucket gets), and buckets over
+    ``emb_bucket_cap()`` degrade to star comparisons with a logged
+    truncation."""
     import pyarrow.parquet as pq
     # dim probe: decode ONE row, not the whole table
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     dim = len(next(pf.iter_batches(batch_size=1,
                                    columns=["embedding"]))["embedding"][0])
+    n_rows = pf.metadata.num_rows
+    bits = effective_lsh_bits(n_rows, n_bits)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    bucketed = ds.map_batches(LshBucket(dim, n_bits), batch_format="pyarrow")
+    bucketed = ds.map_batches(LshBucket(dim, bits), batch_format="pyarrow")
+    cap = emb_bucket_cap()   # driver-time read: workers may predate the env
 
     def bucket_pairs(batch) -> pa.Table:
+        import sys
         m = _normalize(_matrix(batch))
         ids = np.asarray(batch["vec_id"].to_pylist())
         order = np.argsort(ids)
         m, ids = m[order], ids[order]
-        sims = np.round(m @ m.T, 4)
-        iu = np.triu_indices(len(ids), k=1)
-        mask = sims[iu] >= threshold
+        n = len(ids)
+        if cap and n > cap:
+            # degenerate bucket (e.g. identical boilerplate embeddings):
+            # star vs the min-id member — O(n) output, component-exact
+            print(f"[kgforge] embedding_dup_pairs: bucket of {n} rows "
+                  f"over cap={cap} degraded to star comparisons",
+                  file=sys.stderr)
+            sims = np.round(m[1:] @ m[0], 4)
+            keep = sims >= threshold
+            return pa.table({
+                "a": pa.array(np.broadcast_to(ids[0], n - 1)[keep],
+                              type=pa.int64()),
+                "b": pa.array(ids[1:][keep], type=pa.int64()),
+                "sim4": pa.array(sims[keep], type=pa.float64()),
+            })
+        # blocked upper-triangle matmul: memory O(RC*CC) per block, not
+        # O(n^2), whatever the bucket size
+        RC, CC = 1024, 4096
+        a_p, b_p, s_p = [], [], []
+        for i0 in range(0, n, RC):
+            i1 = min(i0 + RC, n)
+            for j0 in range(i0, n, CC):
+                j1 = min(j0 + CC, n)
+                blk = np.round(m[i0:i1] @ m[j0:j1].T, 4)
+                ri, cj = np.nonzero(blk >= threshold)
+                gi, gj = ri + i0, cj + j0
+                keep = gj > gi
+                if keep.any():
+                    a_p.append(ids[gi[keep]])
+                    b_p.append(ids[gj[keep]])
+                    s_p.append(blk[ri[keep], cj[keep]])
+        if not a_p:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "sim4": pa.array([], type=pa.float64())})
         return pa.table({
-            "a": pa.array(ids[iu[0][mask]], type=pa.int64()),
-            "b": pa.array(ids[iu[1][mask]], type=pa.int64()),
-            "sim4": pa.array(sims[iu][mask], type=pa.float64()),
+            "a": pa.array(np.concatenate(a_p), type=pa.int64()),
+            "b": pa.array(np.concatenate(b_p), type=pa.int64()),
+            "sim4": pa.array(np.concatenate(s_p), type=pa.float64()),
         })
 
     pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,

@@ -199,14 +199,32 @@ class MinHashBands:
         })
 
 
+def pair_run_cap() -> int:
+    """Per-run all-pairs bound for LSH buckets. A degenerate band bucket
+    (boilerplate pages, near-empty docs — tens of thousands sharing one
+    band hash) would emit m(m-1)/2 pairs; runs longer than this cap
+    degrade to STAR edges (min-id -> each other member, m-1 edges),
+    which preserves connected-component structure for the clustering
+    consumers while bounding output at O(m). Env override:
+    KGFORGE_PAIR_RUN_CAP (0 = unlimited)."""
+    import os
+    return int(os.environ.get("KGFORGE_PAIR_RUN_CAP", 1024))
+
+
 def dup_key_pairs(ds: "ray.data.Dataset", key_cols: list[str],
-                  id_col: str, num_buckets: int = 64) -> "ray.data.Dataset":
-    """All (a, b) id pairs sharing identical ``key_cols`` values.
+                  id_col: str, num_buckets: int = 64,
+                  star_only: bool = False) -> "ray.data.Dataset":
+    """(a, b) id pairs sharing identical ``key_cols`` values; runs
+    longer than ``pair_run_cap()`` emit star edges with a logged
+    truncation instead of the quadratic all-pairs set. With
+    ``star_only`` every run emits ONLY its star edges (min-id -> each
+    other member) — the group-map representation, O(run) by design.
 
     High-cardinality keys never become Ray groups (the sort-aggregate
     iterates groups in Python): rows shuffle by ``hash(key) %
     num_buckets`` and each bucket finds its duplicate-key runs with one
-    numpy lexsort — Python touches only the duplicated runs."""
+    numpy lexsort — Python touches only the duplicated runs, and pair
+    emission is vectorized per run."""
     import pandas as pd
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -215,6 +233,8 @@ def dup_key_pairs(ds: "ray.data.Dataset", key_cols: list[str],
                                        index=False)
         return sel.append_column(
             "_bucket", pa.array((h % num_buckets).astype("int32").values))
+
+    cap = pair_run_cap()   # driver-time read: workers may predate the env
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         df = group.select(key_cols + [id_col]).to_pandas()
@@ -228,31 +248,191 @@ def dup_key_pairs(ds: "ray.data.Dataset", key_cols: list[str],
             change[1:] = keys[1:] != keys[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(keys))
-        a_out, b_out = [], []
+        a_parts, b_parts = [], []
+        capped_runs = suppressed = 0
         for s, e in zip(starts, ends):
-            if e - s > 1:
-                run = ids[s:e]
-                for i in range(len(run)):
-                    for j in range(i + 1, len(run)):
-                        a_out.append(run[i])
-                        b_out.append(run[j])
-        return pa.table({"a": pa.array(a_out, type=pa.int64()),
-                         "b": pa.array(b_out, type=pa.int64())})
+            m = e - s
+            if m <= 1:
+                continue
+            run = ids[s:e]
+            if star_only:
+                a_parts.append(np.broadcast_to(run[0], m - 1))
+                b_parts.append(run[1:])
+            elif cap and m > cap:
+                # star edges: run-min -> every other member
+                capped_runs += 1
+                suppressed += m * (m - 1) // 2 - (m - 1)
+                a_parts.append(np.broadcast_to(run[0], m - 1))
+                b_parts.append(run[1:])
+            else:
+                iu, ju = np.triu_indices(m, k=1)
+                a_parts.append(run[iu])
+                b_parts.append(run[ju])
+        if capped_runs:
+            import sys
+            print(f"[kgforge] dup_key_pairs: {capped_runs} run(s) over "
+                  f"cap={cap} degraded to star edges "
+                  f"({suppressed} all-pairs edges suppressed; connectivity "
+                  f"preserved)", file=sys.stderr)
+        a_out = np.concatenate(a_parts) if a_parts else np.zeros(0, np.int64)
+        b_out = np.concatenate(b_parts) if b_parts else np.zeros(0, np.int64)
+        return pa.table({"a": pa.array(a_out.astype(np.int64),
+                                       type=pa.int64()),
+                         "b": pa.array(b_out.astype(np.int64),
+                                       type=pa.int64())})
 
     return (ds.map_batches(bucketize, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(bucket_pairs, batch_format="pyarrow"))
 
 
-def minhash_candidates(sf_dir: str, n_perm: int = 64, bands: int = 16,
-                       k: int = 3) -> "ray.data.Dataset":
-    """Distinct candidate pairs from LSH band buckets."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    bands_ds = ds.map_batches(MinHashBands(n_perm, bands, k),
-                              batch_format="pyarrow")
+def minhash_candidates(docs: "ray.data.Dataset", n_perm: int = 64,
+                       bands: int = 16, k: int = 3) -> "ray.data.Dataset":
+    """Distinct candidate pairs from LSH band buckets over a
+    (doc_id, text) dataset."""
+    bands_ds = docs.map_batches(MinHashBands(n_perm, bands, k),
+                                batch_format="pyarrow")
     pairs = dup_key_pairs(bands_ds, ["band", "band_hash"], "doc_id")
     from ..stages.dedup import distinct
     return distinct(pairs, ["a", "b"])
+
+
+def exact_group_members(docs: "ray.data.Dataset", col: str = "text"
+                        ) -> "ray.data.Dataset":
+    """(a=rep, b=member) star edges per exact-duplicate text group
+    (rep = min doc_id; one row per NON-rep member). Linear in the dup
+    mass — the group-map representation, never all-pairs. Texts are
+    dropped before the shuffle; only (md5, doc_id) rows move."""
+    keyed = (docs.map_batches(Md5Key(col), batch_format="pyarrow")
+             .select_columns(["h", "doc_id"]))
+    return dup_key_pairs(keyed, ["h"], "doc_id", star_only=True)
+
+
+def _without_members(docs: "ray.data.Dataset", gm: "ray.data.Dataset",
+                     n_members: int) -> "ray.data.Dataset":
+    """Docs minus exact-dup members (reps stay). Size-adaptive: bounded
+    broadcast id-set below the row limit, else a hash-partitioned
+    left-outer anti-join — nothing unbounded on the driver."""
+    from ..stages.canonicalize import (SANITIZE_BATCH, broadcast_row_limit,
+                                       default_shuffle_partitions)
+    if n_members <= broadcast_row_limit():
+        member_ids: set[int] = set()
+        for b in gm.iter_batches(batch_format="pyarrow"):
+            member_ids.update(b["b"].to_pylist())
+        arr = pa.array(sorted(member_ids), type=pa.int64())
+        return docs.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t["doc_id"],
+                                                  value_set=arr))),
+            batch_format="pyarrow")
+    mem = gm.map_batches(
+        lambda t: pa.table({"_member": t["b"],
+                            "_dupflag": pa.array(
+                                np.ones(t.num_rows, np.int8))}),
+        batch_format="pyarrow", batch_size=SANITIZE_BATCH)
+    j = docs.join(mem, join_type="left_outer",
+                  num_partitions=default_shuffle_partitions(),
+                  on=("doc_id",), right_on=("_member",))
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["_dupflag"]))
+        return t.drop_columns([c for c in ("_dupflag", "_member")
+                               if c in t.schema.names])
+
+    return j.map_batches(keep_unmatched, batch_format="pyarrow",
+                         batch_size=SANITIZE_BATCH)
+
+
+def _expand_exact_groups(verified: "ray.data.Dataset",
+                         gm: "ray.data.Dataset", n_members: int
+                         ) -> "ray.data.Dataset":
+    """Map verified REP-level near-dup pairs back to member-level pairs.
+
+    Identical texts have identical signatures and Jaccard, so the
+    expansion is EXACT: within-group pairs carry jaccard_pct=100 and a
+    cross pair (x, y) inherits its rep pair's jaccard. Runs/products
+    over ``pair_run_cap()`` degrade to the star/rep representation with
+    a logged truncation (connectivity preserved for the clustering
+    consumers). Beyond KGFORGE_GROUP_BROADCAST_LIMIT members (own knob,
+    deliberately independent of KGFORGE_BROADCAST_LIMIT so join-forcing
+    tests keep exact expansion) the star representation is used
+    outright — at that dup mass the all-pairs list is itself quadratic
+    and the clusters path is the right consumer."""
+    import os
+    import sys
+
+    import ray
+    cap = pair_run_cap()
+    limit = int(os.environ.get("KGFORGE_GROUP_BROADCAST_LIMIT", 100_000))
+    if n_members > limit:
+        print(f"[kgforge] minhash exact-dup mass ({n_members} members) "
+              f"exceeds the broadcast limit: emitting star within-group "
+              f"edges + rep-level near-dup pairs (connectivity-exact, "
+              f"pair-list truncated)", file=sys.stderr)
+        within_star = gm.map_batches(
+            lambda t: pa.table({
+                "a": t["a"], "b": t["b"],
+                "jaccard_pct": pa.array(
+                    np.full(t.num_rows, 100, np.int64))}),
+            batch_format="pyarrow")
+        return verified.union(within_star)
+
+    groups: dict[int, list[int]] = {}
+    for b in gm.iter_batches(batch_format="pyarrow"):
+        for r, mbr in zip(b["a"].to_pylist(), b["b"].to_pylist()):
+            groups.setdefault(r, []).append(mbr)
+    wa, wb = [], []
+    capped = 0
+    for r, members in groups.items():
+        ids = sorted([r] + members)
+        m = len(ids)
+        if cap and m > cap:
+            capped += 1
+            wa.extend(ids[0] for _ in range(m - 1))
+            wb.extend(ids[1:])
+        else:
+            iu, ju = np.triu_indices(m, k=1)
+            arr = np.asarray(ids, dtype=np.int64)
+            wa.extend(arr[iu].tolist())
+            wb.extend(arr[ju].tolist())
+    if capped:
+        print(f"[kgforge] minhash: {capped} exact-dup group(s) over "
+              f"cap={cap} emitted as star edges", file=sys.stderr)
+    within = ray.data.from_arrow(pa.table({
+        "a": pa.array(wa, type=pa.int64()),
+        "b": pa.array(wb, type=pa.int64()),
+        "jaccard_pct": pa.array(np.full(len(wa), 100, np.int64),
+                                type=pa.int64())}))
+    ref = ray.put(groups)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        g = ray.get(ref)
+        a_out, b_out, j_out = [], [], []
+        trunc = 0
+        for a, b_, jv in zip(batch["a"].to_pylist(),
+                             batch["b"].to_pylist(),
+                             batch["jaccard_pct"].to_pylist()):
+            A = [a] + g.get(a, [])
+            B = [b_] + g.get(b_, [])
+            if cap and len(A) * len(B) > cap:
+                trunc += 1
+                a_out.append(a)
+                b_out.append(b_)
+                j_out.append(jv)
+                continue
+            for x in A:
+                for y in B:
+                    lo, hi = (x, y) if x < y else (y, x)
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    j_out.append(jv)
+        if trunc:
+            print(f"[kgforge] minhash: {trunc} cross-group expansion(s) "
+                  f"over cap={cap} kept as rep pairs", file=sys.stderr)
+        return pa.table({"a": pa.array(a_out, type=pa.int64()),
+                         "b": pa.array(b_out, type=pa.int64()),
+                         "jaccard_pct": pa.array(j_out, type=pa.int64())})
+
+    return verified.map_batches(expand, batch_format="pyarrow").union(within)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -334,6 +514,14 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, n_perm: int = 64,
                   bands: int = 16, k: int = 3) -> "ray.data.Dataset":
     """Verified near-dup pairs (a, b, jaccard_pct:int).
 
+    EXACT-DEDUP PRE-PASS: identical texts are precisely the degenerate
+    LSH bucket mass (a 10k-identical-doc cluster would share every band
+    bucket and emit ~5e8 pairs per band). Each exact group collapses to
+    its min-id rep before banding; verified rep pairs are expanded back
+    to member pairs afterwards (exact — identical texts have identical
+    signatures and Jaccard), with star-edge degradation over
+    ``pair_run_cap()``.
+
     The verify stage is size-adaptive on the EXACT candidate-pair count
     (already computed): at or below ``payload_broadcast_limit()`` the
     needed texts are fetched with one vectorized is_in semi-filter and
@@ -346,19 +534,29 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, n_perm: int = 64,
                                        default_shuffle_partitions,
                                        drop_empty_blocks)
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    gm = drop_empty_blocks(exact_group_members(docs).materialize(),
+                           pair_schema)
+    n_members = gm.count()
+    banded_docs = _without_members(docs, gm, n_members) if n_members \
+        else docs
     cands = drop_empty_blocks(
-        minhash_candidates(sf_dir, n_perm, bands, k).materialize(),
+        minhash_candidates(banded_docs, n_perm, bands, k).materialize(),
         pair_schema)
     n_c = cands.count()
+
+    def _finish(verified: "ray.data.Dataset") -> "ray.data.Dataset":
+        if n_members == 0:
+            return verified
+        return _expand_exact_groups(verified, gm, n_members)
+
     if n_c == 0:
-        return ray.data.from_arrow(pa.table(
+        return _finish(ray.data.from_arrow(pa.table(
             {"a": pa.array([], type=pa.int64()),
              "b": pa.array([], type=pa.int64()),
-             "jaccard_pct": pa.array([], type=pa.int64())}))
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+             "jaccard_pct": pa.array([], type=pa.int64())})))
 
     if n_c <= payload_broadcast_limit():
-        import ray
         need: set[int] = set()
         for b in cands.iter_batches(batch_format="pyarrow"):
             need.update(b["a"].to_pylist())
@@ -383,7 +581,8 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, n_perm: int = 64,
                 pa.array([t[x] for x in b], type=pa.string()),
                 threshold, k)
 
-        return cands.map_batches(verify_bc, batch_format="pyarrow")
+        return _finish(cands.map_batches(verify_bc,
+                                         batch_format="pyarrow"))
 
     nparts = default_shuffle_partitions()
     j1 = cands.join(docs, join_type="inner", num_partitions=nparts,
@@ -403,8 +602,8 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, n_perm: int = 64,
             batch["text"].combine_chunks().cast(pa.string()),
             threshold, k)
 
-    return j2.map_batches(verify, batch_format="pyarrow",
-                          batch_size=SANITIZE_BATCH)
+    return _finish(j2.map_batches(verify, batch_format="pyarrow",
+                                  batch_size=SANITIZE_BATCH))
 
 
 # ----------------------------------------------------- near-dup clusters
@@ -434,6 +633,25 @@ def neardup_cluster_labels(sf_dir: str, threshold: float = 0.7,
     from ..stages.canonicalize import connected_components
     return connected_components(pairs.map_batches(to_edges,
                                                   batch_format="pyarrow"))
+
+
+def neardup_labels(sf_dir: str, threshold: float = 0.7, n_perm: int = 64,
+                   bands: int = 16, k: int = 3) -> "ray.data.Dataset":
+    """Gate-shaped view of the SCALE path: ``neardup_cluster_labels``
+    (distributed CC label propagation — no driver union-find) with the
+    zero-padded string labels cast back to int64 (doc_id, canon_id).
+    Exists so the correctness gate exercises the Dataset path, not just
+    the driver-table ``neardup_clusters`` variant."""
+    from ..stages.canonicalize import SANITIZE_BATCH
+    labels = neardup_cluster_labels(sf_dir, threshold, n_perm, bands, k)
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b["node"], pa.int64()),
+            "canon_id": pc.cast(b["canon"], pa.int64())})
+
+    return labels.map_batches(to_int, batch_format="pyarrow",
+                              batch_size=SANITIZE_BATCH)
 
 
 def neardup_clusters(sf_dir: str, threshold: float = 0.7, n_perm: int = 64,
@@ -587,7 +805,6 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
     sig_cols = sigs.select_columns(["doc_id", "simhash"])
 
     if n_c <= broadcast_row_limit():
-        import ray
         need: set[int] = set()
         for b in cands.iter_batches(batch_format="pyarrow"):
             need.update(b["a"].to_pylist())

@@ -191,7 +191,7 @@ SESSION_BUCKETS = 64
 
 
 def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S,
-               num_buckets: int = SESSION_BUCKETS) -> "ray.data.Dataset":
+               num_buckets: int | None = None) -> "ray.data.Dataset":
     """Per-user session stats from the events stream.
 
     Users shuffle by ``user_id % num_buckets`` and each bucket runs ONE
@@ -201,7 +201,17 @@ def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S,
     Ray-groupby trap at high user cardinality. Ordering assumption
     (documented per the streaming-shaped-workload rule): ts order is
     established INSIDE each bucket by the sort, so input block order is
-    irrelevant."""
+    irrelevant. ``num_buckets`` defaults to max(64, 2×cluster CPUs)
+    (env KGFORGE_SESSION_BUCKETS), so reduce parallelism tracks cluster
+    width instead of capping at 64 tasks."""
+    if num_buckets is None:
+        import os
+        env = os.environ.get("KGFORGE_SESSION_BUCKETS")
+        if env:
+            num_buckets = int(env)
+        else:
+            from ..stages.dedup import default_num_buckets
+            num_buckets = default_num_buckets()
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
     def bucketize(batch: pa.Table) -> pa.Table:

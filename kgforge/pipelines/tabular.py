@@ -405,6 +405,69 @@ def v2_kg_customer_sql(domain: str = KG_DOMAIN) -> str:
     return v2_to_sql(g, "customer", exprs)
 
 
+# ------------------------------------------------------ v4 dialect mode
+V4_PART_GRAMMAR = """
+[p_name]
+cell = pkey
+celltypes = part,item_class
+
+[p_brand]
+cell = subject,map(all;*brands*)
+celltypes = brand,naming_scheme
+columntypes = branded_as,labelling
+
+[p_type]
+# slice [5:8] is BLANK for the 5-char types (SMALL/LARGE/PROMO) ->
+# exercises the v4 "STRANGE" sentinel; MEDIUM -> miss 'm' (lowered
+# slice fallback); ECONOMY/STANDARD -> map hits
+cell = object,map(5:8;*tcodes*)
+celltypes = type_code,concept
+columntypes = typed_as,relation
+
+[p_size]
+cell = object,prefix(sz_)
+celltypes = size_class
+columntypes = sized,relation
+
+[p_retailprice]
+cell = object
+celltypes = string
+
+[*brands*]
+brand#13 = acme
+brand#5 = zenith
+
+[*tcodes*]
+my = economy_band
+ard = standard_band
+"""
+
+V4_PART_SPECS = {"p_name": STRING, "p_brand": STRING, "p_type": STRING,
+                 "p_size": INT, "p_retailprice": FLOAT(2)}
+
+
+def v4_kg_part(sf_dir: str, domain: str = KG_DOMAIN) -> "ray.data.Dataset":
+    """v4 dialect (csv2rdf-v4/csv2rdf-v4.py): sanitize-first cells,
+    v3-style type chains, rdfs:domain/range, prepend-prefix, and the
+    non-interactive map fallback with the "STRANGE" blank-slice
+    sentinel."""
+    from ..functions.v4grammar import V4TripleGenerator, compile_v4_grammar
+    g = compile_v4_grammar(V4_PART_GRAMMAR, domain)
+    ds = read_table(sf_dir, "part", columns=sorted(V4_PART_SPECS))
+    ds = ds.map_batches(stringify(V4_PART_SPECS), batch_format="pyarrow")
+    ds = ds.map_batches(V4TripleGenerator(g), batch_format="pyarrow")
+    return dedup_triples(ds).map_batches(triples_to_terms,
+                                         batch_format="pyarrow")
+
+
+def v4_kg_part_sql(domain: str = KG_DOMAIN) -> str:
+    from ..functions.v4grammar import compile_v4_grammar, v4_to_sql
+    g = compile_v4_grammar(V4_PART_GRAMMAR, domain)
+    exprs = {sec: V4_PART_SPECS[c.source_column].sql_expr(c.source_column)
+             for sec, c in g.columns.items()}
+    return v4_to_sql(g, "part", exprs)
+
+
 # -------------------------------------------------- v3 type-chain mode
 PART_V3_GRAMMAR = """
 [p_name]

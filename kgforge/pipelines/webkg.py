@@ -203,13 +203,14 @@ def exact_dup_mapping(hashed: "ray.data.Dataset",
     Python touches only NUM_BUCKETS groups (Ray's sort-aggregate
     iterates groups in Python, so the raw hash must never be the
     groupby key)."""
-    from ..stages.dedup import NUM_BUCKETS
+    from ..stages.dedup import default_num_buckets
+    nb = default_num_buckets()
 
     def bucketize(batch: pa.Table) -> pa.Table:
         import numpy as np
         hv = batch["h"].to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "_bucket", pa.array((hv % NUM_BUCKETS).astype(np.int32)))
+            "_bucket", pa.array((hv % nb).astype(np.int32)))
 
     mapping_schema = pa.schema([("member", pa.string()),
                                 ("canon", pa.string())])

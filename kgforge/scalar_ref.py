@@ -413,6 +413,17 @@ def neardup_clusters_oracle_sql(threshold: float = 0.7) -> str:
 
 
 @functools.lru_cache(maxsize=None)
+def neardup_labels_oracle_sql(threshold: float = 0.7) -> str:
+    """(doc_id, canon_id) labels — the distributed-CC scale path's gate
+    (same union-find reference as neardup_clusters, without the size)."""
+    rows = {_doc_key(d): [(a, b) for a, b, _ in
+                          neardup_clusters_ref(list(_docs(d)), threshold)]
+            for d in _sf_dirs()}
+    return values_oracle_sql(rows, ["doc_id", "canon_id"],
+                             ["BIGINT", "BIGINT"])
+
+
+@functools.lru_cache(maxsize=None)
 def simhash_oracle_sql(max_hamming: int = 3) -> str:
     rows = {_doc_key(d): simhash_pairs_ref(list(_docs(d)), max_hamming)
             for d in _sf_dirs()}
@@ -427,6 +438,22 @@ def fingerprint_oracle_sql() -> str:
     return values_oracle_sql(
         rows, ["doc_id", "n_fp", "fp_xor", "fp_min", "fp_max", "pos_sum"],
         ["BIGINT"] * 6)
+
+
+@functools.lru_cache(maxsize=None)
+def fingerprint_full_oracle_sql() -> str:
+    """FULL per-position winnowing stream (doc_id, pos, fp) as a VALUES
+    oracle — upgrades the last rows-only gate query to hash-checked.
+    ~120k embedded rows across the three scales (a few MB of SQL,
+    parsed once and lru-cached)."""
+    rows = {}
+    for d in _sf_dirs():
+        out = []
+        for doc_id, text in _docs(d):
+            out.extend((doc_id, p, fp) for p, fp in winnow_doc(text))
+        rows[_doc_key(d)] = out
+    return values_oracle_sql(rows, ["doc_id", "pos", "fp"],
+                             ["BIGINT", "BIGINT", "BIGINT"])
 
 
 @functools.lru_cache(maxsize=None)
@@ -453,10 +480,13 @@ def embedding_clusters_oracle_sql(n_lists: int = 16) -> str:
 @functools.lru_cache(maxsize=None)
 def embedding_dup_oracle_sql(threshold: float = 0.45,
                              n_bits: int = 8) -> str:
+    from .ops.ann import effective_lsh_bits
     rows = {}
     for d in _sf_dirs():
         ids, M = _emb(d)
-        rows[_doc_key(d)] = embedding_dup_pairs_ref(ids, M, threshold,
-                                                    n_bits)
+        # mirror the engine's corpus-scaled hyperplane count (identity
+        # at testdata scales)
+        rows[_doc_key(d)] = embedding_dup_pairs_ref(
+            ids, M, threshold, effective_lsh_bits(len(ids), n_bits))
     return values_oracle_sql(rows, ["a", "b", "sim4"],
                              ["BIGINT", "BIGINT", "DOUBLE"])

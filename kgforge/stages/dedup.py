@@ -32,6 +32,24 @@ TRIPLE_KEYS = ["s", "p", "o_kind", "o_lex", "o_dt"]
 NUM_BUCKETS = 64
 
 
+def default_num_buckets() -> int:
+    """max(64, 2 × cluster CPUs): 64 bounds per-task scheduling cost at
+    single-node bench scale (identical behavior at ≤32 CPUs), while a
+    real cluster's reduce parallelism tracks its width instead of being
+    capped at 64 tasks. Env override: KGFORGE_NUM_BUCKETS."""
+    import os
+    env = os.environ.get("KGFORGE_NUM_BUCKETS")
+    if env:
+        return int(env)
+    try:
+        import ray
+        cpus = (int(ray.cluster_resources().get("CPU", 32))
+                if ray.is_initialized() else 32)
+    except Exception:
+        cpus = 32
+    return max(NUM_BUCKETS, 2 * cpus)
+
+
 def _arrow_distinct(batch: pa.Table, keys: list[str]) -> pa.Table:
     return batch.select(keys).group_by(keys).aggregate([])
 
@@ -60,10 +78,10 @@ def distinct(ds: "ray.data.Dataset", keys: list[str],
     DATA volume, not the session: each reduce task carries fixed
     scheduling cost (~100ms-class), so at single-node bench scale a
     small count wins, while a cluster run wants ≈ total cores. Default:
-    module NUM_BUCKETS, overridable via env KGFORGE_NUM_BUCKETS."""
+    ``default_num_buckets()`` (max(64, 2×cluster CPUs); env
+    KGFORGE_NUM_BUCKETS)."""
     if num_buckets is None:
-        import os
-        num_buckets = int(os.environ.get("KGFORGE_NUM_BUCKETS", NUM_BUCKETS))
+        num_buckets = default_num_buckets()
 
     def combine_and_bucket(batch: pa.Table) -> pa.Table:
         d = _arrow_distinct(batch, keys)

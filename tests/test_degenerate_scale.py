@@ -1,0 +1,103 @@
+"""Degenerate-mass bounds (VERDICT r2 item 1): a planted cluster of
+10k IDENTICAL documents/embeddings — the Common-Crawl boilerplate case
+— must finish in bounded time/memory instead of emitting ~5e7 pairs
+per LSH bucket. The exact-dedup pre-pass collapses identical texts to
+one rep before banding; capped runs degrade to star edges (min-id ->
+member), which keeps every member connected to its component."""
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+N_DUP = 10_000
+DISTINCT = ["alpha beta gamma delta epsilon zeta",
+            "one two three four five six seven",
+            "lorem ipsum dolor sit amet consectetur"]
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("planted")
+    texts = ["the same boilerplate page text repeated everywhere"] * N_DUP \
+        + DISTINCT
+    ids = list(range(len(texts)))
+    pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "text": pa.array(texts, type=pa.string())}),
+                   str(d / "documents.parquet"))
+    dim = 8
+    vec = np.arange(1, dim + 1, dtype=np.float64)
+    embs = [vec.tolist()] * N_DUP + \
+        [(vec + i + 1).tolist() for i in range(len(DISTINCT))]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array(embs, type=pa.list_(pa.float64()))}),
+        str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_minhash_planted_identical_cluster_bounded(ray_session, planted_dir):
+    from kgforge.ops.dedup import minhash_dedup
+    t0 = time.monotonic()
+    out = minhash_dedup(planted_dir).to_pandas()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120, f"degenerate cluster took {elapsed:.0f}s"
+    # star representation: every member connected to the min-id rep,
+    # NOT the quadratic ~5e7 all-pairs set
+    assert len(out) < 5 * N_DUP
+    in_cluster = out[(out.a < N_DUP) & (out.b < N_DUP)]
+    members = set(in_cluster["a"]) | set(in_cluster["b"])
+    assert members == set(range(N_DUP))
+    assert (in_cluster["jaccard_pct"] == 100).all()
+
+
+def test_simhash_planted_identical_cluster_bounded(ray_session, planted_dir):
+    from kgforge.ops.dedup import simhash_dedup
+    t0 = time.monotonic()
+    out = simhash_dedup(planted_dir).to_pandas()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120, f"degenerate cluster took {elapsed:.0f}s"
+    assert len(out) < 5 * N_DUP
+    in_cluster = out[(out.a < N_DUP) & (out.b < N_DUP)]
+    members = set(in_cluster["a"]) | set(in_cluster["b"])
+    assert members == set(range(N_DUP))
+    assert (in_cluster["hamming"] == 0).all()
+
+
+def test_embedding_planted_identical_bucket_bounded(ray_session,
+                                                    planted_dir):
+    from kgforge.ops.ann import embedding_dup_pairs
+    t0 = time.monotonic()
+    out = embedding_dup_pairs(planted_dir, threshold=0.98).to_pandas()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120, f"degenerate bucket took {elapsed:.0f}s"
+    assert len(out) < 5 * N_DUP
+    in_cluster = out[(out.a < N_DUP) & (out.b < N_DUP)]
+    members = set(in_cluster["a"]) | set(in_cluster["b"])
+    assert members == set(range(N_DUP))
+    assert (in_cluster["sim4"] >= 0.98).all()
+
+
+def test_pair_run_cap_star_fallback(ray_session):
+    """dup_key_pairs over-cap runs emit exactly the star edge set."""
+    import ray
+
+    from kgforge.ops.dedup import dup_key_pairs
+    n = 50
+    tbl = pa.table({"key": pa.array(["k"] * n + ["solo"]),
+                    "doc_id": pa.array(list(range(n + 1)),
+                                       type=pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    import os
+    os.environ["KGFORGE_PAIR_RUN_CAP"] = "10"
+    try:
+        out = dup_key_pairs(ds, ["key"], "doc_id").to_pandas()
+    finally:
+        del os.environ["KGFORGE_PAIR_RUN_CAP"]
+    pairs = set(zip(out["a"], out["b"]))
+    assert pairs == {(0, i) for i in range(1, n)}
+    # under the cap: full all-pairs set
+    out2 = dup_key_pairs(ds, ["key"], "doc_id").to_pandas()
+    assert len(out2) == n * (n - 1) // 2
