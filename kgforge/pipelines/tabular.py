@@ -468,6 +468,44 @@ def v4_kg_part_sql(domain: str = KG_DOMAIN) -> str:
     return v4_to_sql(g, "part", exprs)
 
 
+def _v4_part_store(sf_dir: str) -> str:
+    """Idempotent predicate-partitioned store of the v4 part graph
+    under /tmp, keyed on the source file content (size+mtime) so a
+    regenerated table invalidates the cache."""
+    import glob
+    import hashlib
+    import os
+    src = sorted(glob.glob(os.path.join(sf_dir, "part*.parquet")))
+    stamp = ";".join(f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p):.6f}"
+                     for p in src)
+    key = hashlib.md5(f"v4store:{os.path.abspath(sf_dir)}:{stamp}"
+                      .encode()).hexdigest()[:12]
+    store = f"/tmp/kgforge_v4store_{key}"
+    marker = os.path.join(store, "_SUCCESS")
+    if os.path.exists(marker):
+        return store
+    from ..sinks.ntriples_sink import write_graph_partitioned
+    os.makedirs(store, exist_ok=True)
+    write_graph_partitioned(v4_kg_part(sf_dir), store)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return store
+
+
+def v4_entailed_types(sf_dir: str) -> "ray.data.Dataset":
+    """RDFS-entailed (s, type_uri) pairs for the v4 part graph —
+    answered FROM the predicate-partitioned store via partition-pruned
+    triple-pattern reads (S9 + the Jena inference hand-off,
+    csv2rdf-v4/jena/requests.sparql:22-31, re-expressed Ray-native)."""
+    from ..stages.entailment import entailed_types
+    return entailed_types(_v4_part_store(sf_dir))
+
+
+def v4_entailed_types_sql(domain: str = KG_DOMAIN) -> str:
+    from ..stages.entailment import entailed_types_oracle_sql
+    return entailed_types_oracle_sql(v4_kg_part_sql(domain))
+
+
 # -------------------------------------------------- v3 type-chain mode
 PART_V3_GRAMMAR = """
 [p_name]

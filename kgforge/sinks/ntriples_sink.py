@@ -63,6 +63,25 @@ def write_graph(triples: "ray.data.Dataset", out_dir: str,
     terms.write_parquet(f"{out_dir}/triples.parquet")
 
 
+_LOCAL_RE = None
+
+
+def predicate_key(iri: str) -> str:
+    """Partition key for a predicate IRI: its local name when
+    filesystem-safe, else a crc32 of the full IRI. Shared by the writer
+    and the triple-pattern reader (sinks/store_query.py) so a bound-p
+    query computes the directory to prune to."""
+    global _LOCAL_RE
+    if _LOCAL_RE is None:
+        import re
+        _LOCAL_RE = re.compile(r"[A-Za-z0-9_\-]{1,64}\Z")
+    import zlib
+    local = iri.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+    if _LOCAL_RE.match(local):
+        return local
+    return "h" + format(zlib.crc32(iri.encode()), "08x")
+
+
 def write_graph_partitioned(triples: "ray.data.Dataset",
                             out_dir: str) -> None:
     """Predicate-partitioned Parquet store — the Ray-native answer to
@@ -71,28 +90,15 @@ def write_graph_partitioned(triples: "ray.data.Dataset",
     ``p_key=...`` partition directory instead of scanning the graph;
     any SQL engine (DuckDB here) queries it directly.
 
-    ``p_key`` is the predicate's local name when filesystem-safe, else a
-    crc32 of the full IRI (collision-tolerant: the full ``p`` column is
-    still inside every file, so a reader filters the partition it
-    pruned to)."""
-    import re
-    import zlib
-
+    ``p_key`` is collision-tolerant: the full ``p`` column is still
+    inside every file, so a reader filters the partition it pruned
+    to."""
     import pyarrow.compute as pc
-
-    local_re = re.compile(r"[A-Za-z0-9_\-]{1,64}\Z")
 
     def add_key(batch: pa.Table) -> pa.Table:
         p = batch["p"].combine_chunks().cast(pa.string())
         enc = pc.dictionary_encode(p)
-
-        def key(iri: str) -> str:
-            local = iri.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
-            if local_re.match(local):
-                return local
-            return "h" + format(zlib.crc32(iri.encode()), "08x")
-
-        uniq = [key(u) if u is not None else None
+        uniq = [predicate_key(u) if u is not None else None
                 for u in enc.dictionary.to_pylist()]
         keys = pa.array(uniq, type=pa.string()).take(enc.indices)
         return batch.append_column("p_key", keys)
