@@ -95,6 +95,12 @@ def run_sources(options_path: str, out_dir: str,
 
     for src in sources:
         triples, reqs = source_triples(src, base_dir)
+        if src.date_stamp:
+            # opt-in provenance stamping (disabled in the reference;
+            # see stages/triples.date_stamp_triples)
+            from ..stages.triples import date_stamp_triples
+            triples = date_stamp_triples(triples, src.domain,
+                                         src.date_stamp)
         all_reqs = reqs if all_reqs is None else all_reqs.union(reqs)
         if union_stores:
             union = triples if union is None else union.union(triples)

@@ -26,6 +26,8 @@ grammar plus a hand-written mention/canonicalization SQL mirror.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -324,14 +326,6 @@ def webkg_triples_from_pages(pages: "ray.data.Dataset",
     ``CombinedEmit`` pass resolves both: one streaming pass over pages
     emits the tagged union of the three small derived streams, and only
     THAT is materialized for fan-out."""
-    if linker_concurrency is None:
-        # autoscaling pool sized to cluster width: at num_cpus=0.5 per
-        # actor, a max of 2×CPUs lets the linker saturate the node when
-        # it is the active stage, while min=1 keeps it elastic (no hard
-        # reservation that could starve shuffle aggregator actors)
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
-        linker_concurrency = (1, max(16, 2 * ncpu))
     rs = page_ruleset(domain)
     combined = pages.map_batches(CombinedEmit(rs, domain),
                                  batch_format="pyarrow").materialize()
@@ -339,15 +333,30 @@ def webkg_triples_from_pages(pages: "ray.data.Dataset",
     base = _tagged(combined, "t", ["s", "p", "o_kind", "o_lex", "o_dt"],
                    ["s", "p", "o_kind", "o_lex", "o_dt"])
 
-    alias_ref = ray.put(dict(ALIASES))
-    mentions = (_tagged(combined, "m", ["s", "p"], ["url", "mention"])
-                .map_batches(EntityLinker, batch_format="pyarrow",
-                             fn_constructor_kwargs={
-                                 "alias_source": alias_ref,
-                                 "input_col": "mention",
-                                 "output_col": "canonical"},
-                             concurrency=linker_concurrency, num_cpus=0.5)
-                .map_batches(MentionTripleMint(domain), batch_format="pyarrow"))
+    tagged_m = _tagged(combined, "m", ["s", "p"], ["url", "mention"])
+    if linker_concurrency is None:
+        # the alias table HERE is a tiny broadcast dict — ship the
+        # prebuilt EntityLinker instance in stateless TASKS, which lets
+        # Ray FUSE the whole mention chain (tag-filter → link → mint)
+        # into one operator. Measured at 320k docs / 16 CPUs: the actor
+        # pool broke map fusion, serializing the stage spans, and paid
+        # 1-3 s pool spawn — ~2.5 s total. An actor pool stays the
+        # right shape when the alias source is a LOADED TABLE
+        # (EntityLinker's parquet-path mode): pass linker_concurrency
+        # explicitly to get the pool.
+        linked = tagged_m.map_batches(
+            EntityLinker(dict(ALIASES), "mention", "canonical"),
+            batch_format="pyarrow")
+    else:
+        alias_ref = ray.put(dict(ALIASES))
+        linked = tagged_m.map_batches(
+            EntityLinker, batch_format="pyarrow",
+            fn_constructor_kwargs={"alias_source": alias_ref,
+                                   "input_col": "mention",
+                                   "output_col": "canonical"},
+            concurrency=linker_concurrency, num_cpus=0.5)
+    mentions = linked.map_batches(MentionTripleMint(domain),
+                                  batch_format="pyarrow")
 
     triples = base.union(mentions)
 
@@ -364,12 +373,17 @@ def webkg_triples_from_pages(pages: "ray.data.Dataset",
             pa.schema([("member", pa.string()), ("canon", pa.string())]))
         triples = apply_canonical_mapping(triples, mapping)
         triples = triples.union(sameas_from_mapping(mapping))
-    return dedup_triples(triples, domain=domain)
+    # stages.dedup.distinct_prefilter (exchange row HASHES, shuffle only
+    # the duplicated remainder) is the multi-node path for this final
+    # distinct — on one node the exchange is shared-memory, so the
+    # payload reduction measured net-neutral here; flip via env
+    prefilter = os.environ.get("KGFORGE_DISTINCT_PREFILTER") == "1"
+    return dedup_triples(triples, domain=domain, prefilter=prefilter)
 
 
 def webkg_triples(sf_dir: str, domain: str = DOMAIN,
                   canonicalize: bool = True,
-                  linker_concurrency: tuple[int, int] | int = (1, 16)
+                  linker_concurrency: tuple[int, int] | int | None = None
                   ) -> "ray.data.Dataset":
     """Full flagship: returns the deduped triple Dataset (columnar)."""
     pages = build_prepared_pages(sf_dir)

@@ -555,6 +555,11 @@ class SourceConfig:
     prefix: str = ""
     type_: str = "row"
     ordinal: bool = False
+    # opt-in v5/v4 date_stamp provenance (csv2rdf-v5.py:64-70 —
+    # DISABLED at its reference call sites, so parity output omits it):
+    # an ISO date string to stamp, or "" (off). Fed from run metadata,
+    # never Date.now inside tasks.
+    date_stamp: str = ""
 
 
 def read_options(text_or_path: str) -> list[SourceConfig]:
@@ -576,6 +581,7 @@ def read_options(text_or_path: str) -> list[SourceConfig]:
                     prefix=sec.get("prefix", ""),
                     type_=sec.get("type", "row"),
                     ordinal=sec.get("ordinal") == "True",
+                    date_stamp=sec.get("date_stamp", ""),
                 )
             )
     return out

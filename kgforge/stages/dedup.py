@@ -23,8 +23,8 @@ should track cluster width (default 64).
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -63,13 +63,6 @@ def local_distinct(keys: list[str]):
     return fn
 
 
-def _row_hash(batch: pa.Table, keys: list[str]) -> pd.Series:
-    """Deterministic vectorized row hash (fixed hash_key, no process
-    salt — identical at any parallelism, resume-safe)."""
-    df = batch.select(keys).to_pandas()
-    return pd.util.hash_pandas_object(df, index=False)
-
-
 def distinct(ds: "ray.data.Dataset", keys: list[str],
              num_buckets: int | None = None) -> "ray.data.Dataset":
     """Global exact distinct on ``keys``; output columns = ``keys``.
@@ -84,20 +77,130 @@ def distinct(ds: "ray.data.Dataset", keys: list[str],
         num_buckets = default_num_buckets()
 
     def combine_and_bucket(batch: pa.Table) -> pa.Table:
-        d = _arrow_distinct(batch, keys)
-        bucket = (_row_hash(d, keys) % num_buckets).astype("int32")
-        return d.append_column("_bucket", pa.array(bucket.values))
+        # polars: vectorized native unique + hash_rows — ~6x the
+        # pandas-hash + arrow-group_by path (no Python string boxing);
+        # seed=0 makes the row hash deterministic across processes,
+        # maintain_order keeps output blocks byte-stable for resume
+        import polars as pl
+        u = pl.from_arrow(batch.select(keys)).unique(subset=keys,
+                                                     keep="first",
+                                                     maintain_order=True)
+        b = ((u.hash_rows(seed=0) % num_buckets).cast(pl.Int32)
+             .rename("_bucket"))
+        target = pa.schema([batch.schema.field(k) for k in keys] +
+                           [pa.field("_bucket", pa.int32())])
+        return u.with_columns(b).to_arrow().cast(target)
 
     def bucket_distinct(group: pa.Table) -> pa.Table:
-        return _arrow_distinct(group, keys)
+        import polars as pl
+        target = pa.schema([group.schema.field(k) for k in keys])
+        return (pl.from_arrow(group.select(keys))
+                .unique(subset=keys, keep="first", maintain_order=True)
+                .to_arrow().cast(target))
 
     combined = ds.map_batches(combine_and_bucket, batch_format="pyarrow")
     return combined.groupby("_bucket").map_groups(bucket_distinct,
                                                  batch_format="pyarrow")
 
 
+def distinct_prefilter(ds: "ray.data.Dataset", keys: list[str],
+                       num_buckets: int | None = None
+                       ) -> "ray.data.Dataset":
+    """Global distinct that exchanges 8-BYTE ROW HASHES instead of full
+    rows — for the low-duplicate regime (a webkg triple stream after
+    local combining is >99.9% globally unique, yet the plain path
+    sorts the full ~100 B/row payload all-to-all just to drop the
+    remainder).
+
+    1. local distinct per block + deterministic 64-bit row hash,
+       materialized once (blocks stay put — no exchange).
+    2. hashes only (tiny) shuffle to find globally-duplicated values.
+    3. rows whose hash is NOT duplicated are globally unique — emitted
+       straight from the local blocks, NO shuffle; only the (tiny)
+       hash-duplicated remainder shuffles for an exact per-bucket
+       distinct. A 64-bit collision between distinct rows merely sends
+       both rows down the exact path — never wrong, just unlucky.
+
+    Size-adaptive: if the duplicated-hash set exceeds
+    KGFORGE_BROADCAST_LIMIT (high-dup corpora — Common Crawl exact-dup
+    mass), it falls back to the streaming sort path over the already
+    locally-combined rows, which is then the right tool.
+
+    When it pays: on a MULTI-NODE cluster, where the exchange crosses
+    the network and 8 B/row vs ~100 B/row is the bill. Measured on ONE
+    node (4M triples, 16 CPUs) it is net-neutral-to-slightly-worse: the
+    object-store 'shuffle' is shared-memory there, and the extra
+    materialize barrier eats the savings — hence opt-in
+    (KGFORGE_DISTINCT_PREFILTER=1 for the webkg flagship)."""
+    import os
+
+    import numpy as np
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    def local_hash(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        u = pl.from_arrow(batch.select(keys)).unique(subset=keys,
+                                                     keep="first",
+                                                     maintain_order=True)
+        h = u.hash_rows(seed=0).reinterpret(signed=True).rename("_h")
+        target = pa.schema([batch.schema.field(k) for k in keys] +
+                           [pa.field("_h", pa.int64())])
+        return u.with_columns(h).to_arrow().cast(target)
+
+    local = ds.map_batches(local_hash, batch_format="pyarrow").materialize()
+
+    def proj(batch: pa.Table) -> pa.Table:
+        h = batch["_h"].combine_chunks()
+        hv = h.to_numpy(zero_copy_only=False)
+        b = ((hv & 0x7FFFFFFF) % num_buckets).astype(np.int32)
+        return pa.table({"_h": h, "_bucket": pa.array(b)})
+
+    def dup_hashes(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["_h"]).aggregate([("_h", "count")])
+        return (agg.filter(pc.greater(agg["_h_count"], 1))
+                .select(["_h"]))
+
+    dup_h: list[int] = []
+    for b in (local.map_batches(proj, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(dup_hashes, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        if "_h" in b.schema.names:
+            dup_h.extend(b["_h"].to_pylist())
+    limit = int(os.environ.get("KGFORGE_BROADCAST_LIMIT", 100_000))
+    if len(dup_h) > limit:
+        # high-dup corpus: stream the already-combined rows through the
+        # sort path instead (rows are locally distinct, so the exchange
+        # carries no local redundancy)
+        return distinct(local.drop_columns(["_h"]), keys, num_buckets)
+    dup_arr = np.sort(np.array(dup_h, dtype=np.int64))
+
+    def split(keep_dup: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = batch["_h"].to_numpy(zero_copy_only=False)
+            isdup = np.zeros(len(h), dtype=bool)
+            if len(dup_arr):
+                idx = np.searchsorted(dup_arr, h)
+                idx[idx == len(dup_arr)] = 0
+                isdup = dup_arr[idx] == h
+            mask = isdup if keep_dup else ~isdup
+            return batch.filter(pa.array(mask)).drop_columns(["_h"])
+        return fn
+
+    unique_part = local.map_batches(split(False), batch_format="pyarrow")
+    if not len(dup_arr):
+        return unique_part
+    dup_part = distinct(local.map_batches(split(True),
+                                          batch_format="pyarrow"),
+                        keys, num_buckets)
+    return unique_part.union(dup_part)
+
+
 def dedup_triples(ds: "ray.data.Dataset",
-                  domain: str | None = None) -> "ray.data.Dataset":
+                  domain: str | None = None,
+                  prefilter: bool = False) -> "ray.data.Dataset":
     """Distinct set of (s,p,o_kind,o_lex,o_dt) triples.
 
     When ``domain`` is given, the domain prefix is stripped from the IRI
@@ -109,9 +212,13 @@ def dedup_triples(ds: "ray.data.Dataset",
     that happens to start with '\x01' or with the domain string cannot
     be corrupted (an IRI can never start with '\x01' — schemes are
     alphabetic). Semantics unchanged (verified by the same oracle
-    comparisons)."""
+    comparisons).
+
+    ``prefilter=True`` routes through ``distinct_prefilter`` (hash-only
+    exchange; right for low-dup post-combine streams like webkg)."""
+    d = distinct_prefilter if prefilter else distinct
     if not domain:
-        return distinct(ds, TRIPLE_KEYS)
+        return d(ds, TRIPLE_KEYS)
 
     import pyarrow.compute as pc
 
@@ -152,5 +259,5 @@ def dedup_triples(ds: "ray.data.Dataset",
         return batch
 
     stripped = ds.map_batches(strip, batch_format="pyarrow")
-    return distinct(stripped, TRIPLE_KEYS).map_batches(
+    return d(stripped, TRIPLE_KEYS).map_batches(
         unstrip, batch_format="pyarrow")

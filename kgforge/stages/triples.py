@@ -349,3 +349,45 @@ def triples_to_terms(batch: pa.Table) -> pa.Table:
     """(s,p,o_kind,o_lex,o_dt) → (s,p,o) with o rendered — the engine's
     canonical 3-column comparable form."""
     return render_object_terms(batch).select(["s", "p", "o"])
+
+
+DATE_PREDICATE = "date_created"
+
+
+def date_stamp_triples(triples: "ray.data.Dataset", domain: str,
+                       today: str) -> "ray.data.Dataset":
+    """Opt-in v5/v4 ``date_stamp`` provenance
+    (csv2rdf-v5/csv2rdf-v5.py:64-70; v4 csv2rdf-v4.py:269-273). The
+    feature is DISABLED at every reference call site, so parity output
+    correctly omits it — this flag completes the surface. ``today`` is
+    an ISO date string from RUN metadata (options file / manifest),
+    never Date.now inside a task: deterministic and resume-safe.
+
+    Reference quirk preserved: the object is
+    ``URIRef(Literal(TODAY, XSD.date))`` — rdflib stringifies the
+    literal, so the "date" lands as a (relative) URI whose text is the
+    date, not as a typed literal. The intended (commented-out) call
+    sites stamp every minted cell/pkey URI — exactly the subjects of
+    the emitted rdf:type triples, which is how they are derived here
+    (per-batch distinct; the global dedup downstream removes the
+    rest)."""
+    import ray.data  # noqa: F401  (type only)
+
+    from ..ntriples import RDF_TYPE
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(batch["p"], RDF_TYPE),
+                       pc.starts_with(batch["s"], domain))
+        subs = pc.unique(batch["s"].filter(mask))
+        n = len(subs)
+        stamped = pa.table({
+            "s": subs,
+            "p": _const_col(domain + DATE_PREDICATE, n),
+            "o_kind": _const_col(KIND_URI, n),
+            "o_lex": _const_col(today, n),
+            "o_dt": _const_col("", n),
+        })
+        return pa.concat_tables([batch.select(TRIPLE_SCHEMA.names)
+                                 .cast(TRIPLE_SCHEMA), stamped])
+
+    return triples.map_batches(fn, batch_format="pyarrow")

@@ -101,3 +101,38 @@ def test_pair_run_cap_star_fallback(ray_session):
     # under the cap: full all-pairs set
     out2 = dup_key_pairs(ds, ["key"], "doc_id").to_pandas()
     assert len(out2) == n * (n - 1) // 2
+
+
+def test_distinct_prefilter_matches_plain(ray_session):
+    """Hash-prefilter distinct == sort-path distinct, incl. cross-block
+    duplicates, the zero-dup shortcut, and the forced fallback."""
+    import os
+
+    import ray
+
+    from kgforge.stages.dedup import distinct, distinct_prefilter
+    # period lcm(300, 6) = 300 -> 300 distinct pairs, each duplicated
+    # ~7x across the 8 blocks
+    rows = [(f"s{i % 300}", f"p{i % 6}") for i in range(2000)]
+    tbl = pa.table({"a": pa.array([r[0] for r in rows]),
+                    "b": pa.array([r[1] for r in rows])})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    want = sorted(map(tuple, distinct(ds, ["a", "b"]).to_pandas()
+                      .itertuples(index=False)))
+    got = sorted(map(tuple, distinct_prefilter(ds, ["a", "b"]).to_pandas()
+                     .itertuples(index=False)))
+    assert got == want and len(want) == 300
+    # forced fallback (dup-hash set over the limit -> sort path)
+    os.environ["KGFORGE_BROADCAST_LIMIT"] = "0"
+    try:
+        got_fb = sorted(map(tuple, distinct_prefilter(ds, ["a", "b"])
+                            .to_pandas().itertuples(index=False)))
+    finally:
+        del os.environ["KGFORGE_BROADCAST_LIMIT"]
+    assert got_fb == want
+    # all-unique input: no dup hashes, no shuffle at all
+    uniq = pa.table({"a": pa.array([f"u{i}" for i in range(500)]),
+                     "b": pa.array(["x"] * 500)})
+    ds2 = ray.data.from_arrow(uniq).repartition(4)
+    got2 = distinct_prefilter(ds2, ["a", "b"]).to_pandas()
+    assert len(got2) == 500

@@ -197,3 +197,31 @@ def test_csv_source_ragged_rows(ray_session, tmp_path):
     p.write_text("a;b;c\n1;2;3\n4;5\n6;7;8;9\n")
     df = read_csv_source(str(p), ";").to_pandas()
     assert df["c"].tolist() == ["3", "", "8"]
+
+
+def test_orchestrator_date_stamp_opt_in(ray_session, tmp_path):
+    """`date_stamp = <ISO date>` options flag: every minted type-triple
+    subject gains (s, domain+date_created, <date-as-URI>) — the v5/v4
+    quirk (URIRef(Literal(TODAY))) preserved. Off by default (reference
+    parity: the feature is disabled at its call sites)."""
+    from kgforge.pipelines.orchestrator import run_sources
+    from kgforge.sinks.ntriples_sink import read_graph_lines
+    (tmp_path / "d.csv").write_text("id;name\nx1;Alice\nx2;Bob\n")
+    conf = (f"[d]\nfile = d.csv\ndomain = {DOMAIN}\ndelimiter = ;\n"
+            "active = True\n")
+    (tmp_path / "conf.ini").write_text(conf + "date_stamp = 2026-08-17\n")
+    out = tmp_path / "out"
+    run_sources(str(tmp_path / "conf.ini"), str(out))
+    lines = read_graph_lines(str(out / "d"))
+    stamps = [l for l in lines if "date_created" in l]
+    assert stamps and all(l.endswith("<2026-08-17> .") for l in stamps)
+    subs = {l.split(" ", 1)[0] for l in stamps}
+    type_subs = {l.split(" ", 1)[0] for l in lines
+                 if "rdf-syntax-ns#type" in l}
+    assert subs == type_subs
+    # off by default
+    (tmp_path / "conf.ini").write_text(conf)
+    out2 = tmp_path / "out2"
+    run_sources(str(tmp_path / "conf.ini"), str(out2))
+    assert not [l for l in read_graph_lines(str(out2 / "d"))
+                if "date_created" in l]
