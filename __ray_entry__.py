@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["vocab_topk"] = text.vocab_topk
     q["token_id_stats"] = text.token_id_stats
     q["dataset_split"] = text.dataset_split
+    # deterministic per-stratum sampling (content-keyed, no RNG)
+    q["stratified_sample"] = text.stratified_sample
+    # benchmark decontamination screen (broadcast gram set, streamed corpus)
+    q["contamination_check"] = text.contamination_check
     # per-doc winnowing rollup (checked against the independent scalar
     # reference via an embedded expected table — see kgforge/scalar_ref.py)
     q["doc_fingerprints"] = text.fingerprint_summary
@@ -124,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tumbling_counts"] = relational.tumbling_counts
     q["hopping_counts"] = relational.hopping_counts
     q["event_type_counts"] = relational.event_type_counts
+    # as-of join (point-in-time feature attach; composed from bucket
+    # shuffle + vectorized merge_asof — Ray Data has no primitive)
+    q["asof_last_purchase"] = relational.asof_last_purchase
 
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
@@ -157,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
     o["vocab_topk"] = text.vocab_topk_sql()
     o["token_id_stats"] = text.token_id_stats_sql()
     o["dataset_split"] = text.dataset_split_sql()
+    o["stratified_sample"] = text.stratified_sample_sql()
     o["dedup_exact"] = dedup.EXACT_DEDUP_SQL
     o["ann_topk"] = ann.ann_topk_sql()
     o["pricing_summary"] = relational.PRICING_SUMMARY_SQL
@@ -165,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
     o["tumbling_counts"] = relational.TUMBLING_COUNTS_SQL
     o["hopping_counts"] = relational.hopping_counts_sql()
     o["event_type_counts"] = relational.EVENT_TYPE_COUNTS_SQL
+    o["asof_last_purchase"] = relational.asof_last_purchase_sql()
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import MEDIA_FEATURE_STATS_SQL
     o["media_feature_stats"] = MEDIA_FEATURE_STATS_SQL
@@ -173,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
     # whose expected output is embedded as a VALUES table keyed by the
     # input's content key (kgforge/scalar_ref.py)
     from kgforge import scalar_ref as SR
+    o["contamination_check"] = SR.contamination_oracle_sql()
     o["doc_fingerprints"] = SR.fingerprint_oracle_sql()
     o["neardup_labels"] = SR.neardup_labels_oracle_sql()
     o["dedup_minhash"] = SR.minhash_oracle_sql()

@@ -396,3 +396,93 @@ def event_type_counts(sf_dir: str) -> "ray.data.Dataset":
 EVENT_TYPE_COUNTS_SQL = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type
 """
+
+
+# ------------------------------------------------------------ as-of join
+def asof_last_purchase(sf_dir: str, event_type: str = "purchase",
+                       num_buckets: int | None = None
+                       ) -> "ray.data.Dataset":
+    """AS-OF JOIN: every event picks up the ts/value of its user's most
+    recent STRICTLY-PRIOR ``event_type`` event (nulls when none) —
+    the canonical point-in-time feature-attach step Ray Data has no
+    primitive for.
+
+    Composition (documented partitioning assumption): users shuffle by
+    ``user_id % num_buckets`` so one user's events co-locate, then each
+    bucket runs ONE vectorized ``pd.merge_asof`` (C-level backward
+    search, exact matches excluded) over its ts-sorted slice — never a
+    Python loop per row/user. The right side pre-aggregates to one row
+    per (user_id, ts) keeping the max-event_id value, so tie behavior
+    is pinned identically on the engine and the DuckDB ASOF mirror."""
+    if num_buckets is None:
+        import os
+        env = os.environ.get("KGFORGE_SESSION_BUCKETS")
+        if env:
+            num_buckets = int(env)
+        else:
+            from ..stages.dedup import default_num_buckets
+            num_buckets = default_num_buckets()
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type",
+                             "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = (batch["user_id"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "_bucket", pa.array((uid % num_buckets).astype(np.int32)))
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("last_purchase_ts_us", pa.int64()),
+                            ("last_purchase_value", pa.float64())])
+
+    def bucket_asof(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        right = (df[df["event_type"] == event_type]
+                 .sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+                 .groupby(["user_id", "ts"], as_index=False)
+                 .last()[["user_id", "ts", "value"]])
+        if not len(right):
+            n = len(df)
+            return pa.table({
+                "event_id": pa.array(df["event_id"], type=pa.int64()),
+                "last_purchase_ts_us": pa.nulls(n, pa.int64()),
+                "last_purchase_value": pa.nulls(n, pa.float64()),
+            }).cast(out_schema)
+        right = right.rename(columns={"value": "last_purchase_value"})
+        right["p_ts"] = right["ts"]
+        left = df[["event_id", "ts", "user_id"]].sort_values(
+            ["ts", "event_id"], kind="mergesort")
+        right = right.sort_values("ts", kind="mergesort")
+        m = pd.merge_asof(left, right, on="ts", by="user_id",
+                          direction="backward",
+                          allow_exact_matches=False)
+        ts_us = m["p_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        null_mask = m["p_ts"].isna().to_numpy()
+        return pa.table({
+            "event_id": pa.array(m["event_id"].to_numpy(), type=pa.int64()),
+            "last_purchase_ts_us": pa.array(ts_us, type=pa.int64(),
+                                            mask=null_mask),
+            "last_purchase_value": pa.array(
+                m["last_purchase_value"].to_numpy(), type=pa.float64(),
+                mask=null_mask),
+        }).cast(out_schema)
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(bucket_asof, batch_format="pyarrow"))
+
+
+def asof_last_purchase_sql(event_type: str = "purchase") -> str:
+    return f"""
+WITH p AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS last_purchase_value
+  FROM events WHERE event_type = '{event_type}' GROUP BY user_id, ts
+)
+SELECT e.event_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS last_purchase_ts_us,
+       p.last_purchase_value
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts > p.ts
+"""

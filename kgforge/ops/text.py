@@ -474,3 +474,116 @@ class FingerprintSummary:
 def fingerprint_summary(sf_dir: str) -> "ray.data.Dataset":
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(FingerprintSummary(), batch_format="pyarrow")
+
+
+# --------------------------------------------------- stratified sampling
+def stratified_sample(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Deterministic stratified sampling: per ``lang`` stratum, the k
+    docs with the smallest Knuth multiplicative hash of doc_id
+    (tie-break doc_id) — content-keyed, NO RNG, identical at any
+    parallelism (resume/rerun-stable training splits). Per-batch top-k
+    combiner: each batch forwards at most k × strata rows, the global
+    reduce is tiny — never a global sort."""
+    import pandas as pd
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = (batch["doc_id"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        h = ((ids.astype(np.uint64) * np.uint64(SPLIT_MULT))
+             % np.uint64(1 << 32)).astype(np.int64)
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(),
+                           "doc_id": ids, "h": h})
+        top = (df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+               .groupby("lang", sort=False).head(k))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    frames = [b.to_pandas()
+              for b in parts.iter_batches(batch_format="pyarrow")]
+    out = (pd.concat(frames, ignore_index=True)
+           .sort_values(["lang", "h", "doc_id"], kind="mergesort")
+           .groupby("lang", sort=False).head(k)
+           .sort_values(["lang", "h", "doc_id"], kind="mergesort")
+           .reset_index(drop=True))
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        "h": pa.array(out["h"], type=pa.int64())}))
+
+
+def stratified_sample_sql(k: int = 20) -> str:
+    h = f"((CAST(doc_id AS HUGEINT) * {SPLIT_MULT}) % 4294967296)"
+    return f"""
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST({h} AS BIGINT) AS h
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {k}
+"""
+
+
+# -------------------------------------------- benchmark decontamination
+BENCH_MOD = 97
+
+
+def contamination_check(sf_dir: str, k: int = 8, bench_mod: int = BENCH_MOD
+                        ) -> "ray.data.Dataset":
+    """Benchmark decontamination screen — the training-data op that
+    keeps eval sets out of the corpus. Documents with
+    ``doc_id % bench_mod == 0`` stand in for the benchmark set; every
+    OTHER document reports its unique-k-gram overlap against the
+    benchmark gram set: (doc_id, n_grams, n_hits, contam_pct).
+
+    Scale shape: the benchmark slice is tiny by construction — its ids
+    come from one doc_id column scan and its texts from a
+    predicate-pushdown read; the gram set broadcasts ONCE in the task
+    closure as a sorted int64 array, and each batch's membership test
+    is a vectorized searchsorted against it. The corpus side streams —
+    nothing global, no shuffle."""
+    import pyarrow.parquet as pq
+
+    from .dedup import _shingle_sets_batch
+    ids_col = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_pylist()
+    bench_ids = [i for i in ids_col if i % bench_mod == 0]
+    bench_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "in", bench_ids)])
+    bench_sets = _shingle_sets_batch(
+        bench_tbl["text"].combine_chunks().cast(pa.string()), k)
+    bench = (np.unique(np.concatenate(bench_sets)) if bench_sets
+             else np.zeros(0, np.uint64))
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def screen(batch: pa.Table) -> pa.Table:
+        ids = (batch["doc_id"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        keep = (ids % bench_mod) != 0
+        sub = batch.filter(pa.array(keep))
+        sids = ids[keep]
+        sets = _shingle_sets_batch(
+            sub["text"].combine_chunks().cast(pa.string()), k)
+        n_grams, n_hits, pct = [], [], []
+        for s in sets:
+            n = len(s)
+            if n and len(bench):
+                idx = np.searchsorted(bench, s)
+                idx[idx == len(bench)] = 0
+                hits = int((bench[idx] == s).sum())
+            else:
+                hits = 0
+            n_grams.append(n)
+            n_hits.append(hits)
+            pct.append(int(round(100 * hits / n)) if n else 0)
+        return pa.table({
+            "doc_id": pa.array(sids, type=pa.int64()),
+            "n_grams": pa.array(n_grams, type=pa.int64()),
+            "n_hits": pa.array(n_hits, type=pa.int64()),
+            "contam_pct": pa.array(pct, type=pa.int64()),
+        })
+
+    return ds.map_batches(screen, batch_format="pyarrow")

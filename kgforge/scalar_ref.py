@@ -329,6 +329,27 @@ def embedding_dup_pairs_ref(ids: np.ndarray, M: np.ndarray,
     return sorted(out)
 
 
+# ------------------------------------------------- contamination screen
+def contamination_ref(docs: list[tuple[int, str]], k: int = 8,
+                      bench_mod: int = 97) -> list[tuple[int, int, int, int]]:
+    """Scalar mirror of ops.text.contamination_check: benchmark grams =
+    union of k-gram sets of docs with doc_id % bench_mod == 0; every
+    other doc reports (doc_id, n_grams, n_hits, contam_pct)."""
+    bench: set[int] = set()
+    for doc_id, text in docs:
+        if doc_id % bench_mod == 0:
+            bench |= _shingle_set(text, k)
+    out = []
+    for doc_id, text in docs:
+        if doc_id % bench_mod == 0:
+            continue
+        s = _shingle_set(text, k)
+        n, hits = len(s), len(s & bench)
+        out.append((doc_id, n, hits,
+                    int(round(100 * hits / n)) if n else 0))
+    return sorted(out)
+
+
 # --------------------------------------------------------- SQL codegen
 _TESTDATA_GLOB = "/root/testdata/sf*"
 
@@ -438,6 +459,15 @@ def fingerprint_oracle_sql() -> str:
     return values_oracle_sql(
         rows, ["doc_id", "n_fp", "fp_xor", "fp_min", "fp_max", "pos_sum"],
         ["BIGINT"] * 6)
+
+
+@functools.lru_cache(maxsize=None)
+def contamination_oracle_sql(k: int = 8, bench_mod: int = 97) -> str:
+    rows = {_doc_key(d): contamination_ref(list(_docs(d)), k, bench_mod)
+            for d in _sf_dirs()}
+    return values_oracle_sql(rows,
+                             ["doc_id", "n_grams", "n_hits", "contam_pct"],
+                             ["BIGINT"] * 4)
 
 
 @functools.lru_cache(maxsize=None)

@@ -375,3 +375,40 @@ def test_dataset_split_uint64_wrap():
               % np.uint64(1 << 32) % np.uint64(100)).astype(np.int64)
     expect = [(int(i) * SPLIT_MULT) % (1 << 32) % 100 for i in ids]
     assert bucket.tolist() == expect
+
+
+def test_stratified_sample_vs_sql(ray_session):
+    from kgforge.ops import text as T
+    _match(T.stratified_sample(SF, k=7), T.stratified_sample_sql(k=7),
+           _con())
+    # determinism + per-stratum bound
+    df = T.stratified_sample(SF, k=7).to_pandas()
+    assert (df.groupby("lang").size() <= 7).all()
+    df2 = T.stratified_sample(SF, k=7).to_pandas()
+    assert df.equals(df2)
+
+
+def test_contamination_check_vs_scalar_ref(ray_session):
+    from kgforge.ops import text as T
+    from kgforge.scalar_ref import _docs, contamination_ref
+    got = sorted(map(tuple, T.contamination_check(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = contamination_ref(list(_docs(SF)))
+    assert got == want
+    # benchmark docs are excluded; self-contained docs score > 0 only
+    # via real overlap
+    assert all(d % 97 != 0 for d, *_ in got)
+
+
+def test_asof_join_vs_sql(ray_session):
+    from kgforge.ops import relational as R
+    _match(R.asof_last_purchase(SF), R.asof_last_purchase_sql(), _con())
+    df = R.asof_last_purchase(SF).to_pandas()
+    # strictly-prior: a user's first purchase has no prior purchase
+    con = _con()
+    first = con.sql("SELECT event_id FROM events e WHERE event_type='purchase' "
+                    "AND NOT EXISTS (SELECT 1 FROM events p WHERE "
+                    "p.user_id=e.user_id AND p.event_type='purchase' "
+                    "AND p.ts < e.ts)").df()["event_id"]
+    sub = df[df.event_id.isin(set(first))]
+    assert sub["last_purchase_ts_us"].isna().all()
