@@ -76,3 +76,50 @@ def test_v2_fuzz_engine_equals_sql(rows):
                              for s, c in g.columns.items()})
     got_sql = set(map(tuple, con.sql(sql).fetchall()))
     assert got_sql == _eng_terms(V2TripleGenerator(g), table)
+
+
+V4G = """
+[K]
+cell = pkey
+celltypes = thing,item
+
+[A]
+cell = subject,map(all;*m*)
+celltypes = widget,cls
+columntypes = has_widget,rel
+
+[B]
+cell = object,map(1:3;*m*)
+celltypes = code
+columntypes = coded,rel
+
+[C]
+cell = object,prefix(px )
+celltypes = pref
+columntypes = prefixed
+
+[L]
+cell = object
+celltypes = string
+
+[*m*]
+hit = MAP VAL
+ab = Wide(Val)
+"""
+
+
+@given(st.lists(st.tuples(CELL, CELL, CELL, CELL, CELL),
+                min_size=0, max_size=6))
+@settings(max_examples=40, deadline=None)
+def test_v4_fuzz_engine_equals_sql(rows):
+    from kgforge.functions.v4grammar import (V4TripleGenerator,
+                                             compile_v4_grammar, v4_to_sql)
+    g = compile_v4_grammar(V4G, D)
+    table = pa.table({c: pa.array([r[i] for r in rows], type=pa.string())
+                      for i, c in enumerate("KABCL")})
+    con = duckdb.connect()
+    con.register("t", table)
+    sql = v4_to_sql(g, "t", {s: f'"{c.source_column}"'
+                             for s, c in g.columns.items()})
+    got_sql = set(map(tuple, con.sql(sql).fetchall()))
+    assert got_sql == _eng_terms(V4TripleGenerator(g), table)

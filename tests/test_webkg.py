@@ -211,3 +211,14 @@ def test_flagship_canonicalizes_duplicate_pages(ray_session, tmp_path,
     # the non-canonical page URI no longer appears as a subject of facts
     assert not any(s == member and "in_language" in p
                    for s, p, o in triples)
+
+
+def test_linker_pool_path_equals_fused_path(ray_session):
+    """The actor-pool linker branch (explicit linker_concurrency) and
+    the default task-fused branch must produce the same triples."""
+    from kgforge.pipelines.webkg import webkg_terms
+    a = webkg_terms(SF).to_pandas()
+    b = webkg_terms(SF, linker_concurrency=(1, 2)).to_pandas()
+    ta = set(map(tuple, a[["s", "p", "o"]].itertuples(index=False)))
+    tb = set(map(tuple, b[["s", "p", "o"]].itertuples(index=False)))
+    assert ta == tb and len(ta) > 0
