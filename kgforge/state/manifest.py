@@ -166,8 +166,10 @@ def _mod_mask(col, num_partitions: int, p: int):
     return pa.array(vals % num_partitions == p)
 
 
-def merged_triples(out_dir: str):
-    """Read all completed partitions back as one deduped Dataset."""
+def merged_triples(out_dir: str, domain: str | None = None):
+    """Read all completed partitions back as one deduped Dataset.
+    ``domain`` enables the dedup exchange's prefix-strip transport
+    optimization (see stages.dedup.dedup_triples)."""
     import glob
 
     import ray.data
@@ -177,4 +179,4 @@ def merged_triples(out_dir: str):
     paths = sorted(glob.glob(os.path.join(out_dir, "part-*[0-9]",
                                           "triples.parquet", "*.parquet")))
     ds = ray.data.read_parquet(paths)
-    return dedup_triples(ds)
+    return dedup_triples(ds, domain=domain)

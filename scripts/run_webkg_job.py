@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -42,6 +43,7 @@ def main(argv=None) -> int:
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
+    from kgforge.pipelines.webkg import DOMAIN
     from kgforge.sinks.ntriples_sink import write_graph
     from kgforge.state.manifest import merged_triples, partitioned_kg_run
 
@@ -54,7 +56,22 @@ def main(argv=None) -> int:
         "triples_out": sum(r["triples_out"] for r in manifest.records.values()),
     }
     if not args.skip_merge:
-        write_graph(merged_triples(args.out), f"{args.out}/merged")
+        # merge is resumable too: a marker fingerprinting the completed
+        # partition set makes an unchanged re-run a true no-op
+        import hashlib
+        fp = hashlib.md5(json.dumps(
+            sorted((str(k), r["triples_out"])
+                   for k, r in manifest.records.items())).encode()
+        ).hexdigest()
+        marker = os.path.join(args.out, "merged", "_MERGED")
+        prev = open(marker).read() if os.path.exists(marker) else None
+        if prev != fp:
+            write_graph(merged_triples(args.out, domain=DOMAIN),
+                        f"{args.out}/merged")
+            with open(marker, "w") as mf:
+                mf.write(fp)
+        else:
+            totals["merge_skipped"] = True
     totals["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(totals))
     ray.shutdown()
