@@ -225,14 +225,12 @@ def dup_key_pairs(ds: "ray.data.Dataset", key_cols: list[str],
     num_buckets`` and each bucket finds its duplicate-key runs with one
     numpy lexsort — Python touches only the duplicated runs, and pair
     emission is vectorized per run."""
-    import pandas as pd
-
     def bucketize(batch: pa.Table) -> pa.Table:
+        import polars as pl
         sel = batch.select(key_cols + [id_col])
-        h = pd.util.hash_pandas_object(sel.select(key_cols).to_pandas(),
-                                       index=False)
-        return sel.append_column(
-            "_bucket", pa.array((h % num_buckets).astype("int32").values))
+        h = pl.from_arrow(sel.select(key_cols)).hash_rows(seed=0)
+        bucket = (h % num_buckets).cast(pl.Int32).to_numpy()
+        return sel.append_column("_bucket", pa.array(bucket))
 
     cap = pair_run_cap()   # driver-time read: workers may predate the env
 

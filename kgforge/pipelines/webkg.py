@@ -178,14 +178,15 @@ class _TextHashUri:
     def __call__(self, batch: pa.Table) -> pa.Table:
         # vectorized deterministic 64-bit text hash (internal grouping
         # key only — the SQL mirror partitions by the text itself, so
-        # the hash function is free to choose; hash_pandas_object uses a
-        # fixed key, no process salt)
-        import pandas as pd
+        # the hash function is free to choose; polars hash_rows with a
+        # fixed seed is process-stable and boxes no Python strings)
+        import polars as pl
         from ..stages.triples import mint_uris
         text = batch["text"].combine_chunks().cast(pa.string())
         url = batch["url"].combine_chunks().cast(pa.string())
-        h = pd.util.hash_pandas_object(text.to_pandas(), index=False)
-        return pa.table({"h": pa.array(h.values.astype("int64")),
+        h = (pl.from_arrow(pa.table({"t": text})).hash_rows(seed=0)
+             .reinterpret(signed=True).to_numpy())
+        return pa.table({"h": pa.array(h, type=pa.int64()),
                          "uri": mint_uris(self.domain, url)})
 
 

@@ -208,12 +208,11 @@ def skolem_canonical_mapping(labels: "ray.data.Dataset", domain: str,
     RNG, no ordinals). Returns a (member, canon) Dataset; components
     shuffle by a hash bucket of their canon label so Python only ever
     touches ``num_buckets`` groups, each holding whole components."""
-    import pandas as pd
-
     def bucketize(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(batch["canon"].to_pandas(), index=False)
+        import polars as pl
+        h = pl.from_arrow(batch.select(["canon"])).hash_rows(seed=0)
         return batch.append_column(
-            "_bucket", pa.array((h % num_buckets).astype("int32").values))
+            "_bucket", pa.array((h % num_buckets).cast(pl.Int32).to_numpy()))
 
     def per_bucket(group: pa.Table) -> pa.Table:
         df = group.to_pandas().sort_values(["canon", "node"], kind="mergesort")
