@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
     q["media_feature_stats"] = multimodal.media_feature_stats
+    # video-shaped flat-map: payload -> sampled frame rows -> rollup
+    q["frame_sample_stats"] = multimodal.frame_sample_stats
 
     return q
 
@@ -175,8 +177,10 @@ def oracle_sql() -> dict[str, str]:
     o["event_type_counts"] = relational.EVENT_TYPE_COUNTS_SQL
     o["asof_last_purchase"] = relational.asof_last_purchase_sql()
     # sha256-based featurizer has an exact DuckDB mirror
-    from kgforge.ops.multimodal import MEDIA_FEATURE_STATS_SQL
+    from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
+                                        MEDIA_FEATURE_STATS_SQL)
     o["media_feature_stats"] = MEDIA_FEATURE_STATS_SQL
+    o["frame_sample_stats"] = FRAME_SAMPLE_STATS_SQL
     # sketch/LSH ops are not SQL-expressible (crc32 / 64-bit mixing) —
     # their oracle is an INDEPENDENT scalar reference implementation
     # whose expected output is embedded as a VALUES table keyed by the

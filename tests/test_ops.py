@@ -412,3 +412,38 @@ def test_asof_join_vs_sql(ray_session):
                     "AND p.ts < e.ts)").df()["event_id"]
     sub = df[df.event_id.isin(set(first))]
     assert sub["last_purchase_ts_us"].isna().all()
+
+
+def test_frame_sample_stats_vs_sql(ray_session):
+    from kgforge.ops import multimodal as M
+    _match(M.frame_sample_stats(SF), M.FRAME_SAMPLE_STATS_SQL, _con())
+
+
+def test_frame_sample_actor_pool_equals_tasks(ray_session):
+    """FrameSample as an actor pool (codec state loaded per actor)
+    produces the same frame rows as the task-fused path."""
+    from kgforge.ops import multimodal as M
+    media = M.synth_media(SF, limit=50)
+    tasks = (media.map_batches(M.FrameSample(fake=True),
+                               batch_format="pyarrow").to_pandas()
+             .sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+    pool = (media.map_batches(M.FrameSample, batch_format="pyarrow",
+                              fn_constructor_kwargs={"fake": True},
+                              concurrency=2, num_cpus=0.5,
+                              batch_size=16).to_pandas()
+            .sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+    assert tasks.equals(pool) and len(tasks) > 0
+
+
+def test_resize_stub_dims_and_determinism(ray_session):
+    from kgforge.ops import multimodal as M
+    import pytest as _pt
+    out = (M.synth_media(SF, limit=20)
+           .map_batches(M.ResizeStub(8, 4), batch_format="pyarrow")
+           .to_pandas())
+    assert (out["payload"].map(len) == 32).all()
+    assert (out["width"] == 8).all() and (out["height"] == 4).all()
+    with _pt.raises(NotImplementedError):
+        M.ResizeStub(8, 4, fake=False)
+    with _pt.raises(NotImplementedError):
+        M.FrameSample(fake=False)
