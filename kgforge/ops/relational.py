@@ -92,8 +92,13 @@ def topk_rows(ds: "ray.data.Dataset", k: int, sort_cols: list[str],
               .head(k))
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    parts = ds.map_batches(local_topk, batch_format="pyarrow",
-                           batch_size=SANITIZE_BATCH)
+    # tree combine: a second top-k pass over coalesced partials (large
+    # batch_size) bounds the driver reduce at ≤ k × (a few) rows even
+    # when the corpus has 100k+ blocks
+    parts = (ds.map_batches(local_topk, batch_format="pyarrow",
+                            batch_size=SANITIZE_BATCH)
+             .map_batches(local_topk, batch_format="pyarrow",
+                          batch_size=65536))
     frames = [b.to_pandas() for b in parts.iter_batches(batch_format="pyarrow")]
     if not frames:
         return pd.DataFrame()

@@ -498,7 +498,18 @@ def stratified_sample(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
                .groupby("lang", sort=False).head(k))
         return pa.Table.from_pandas(top, preserve_index=False)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow")
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        top = (df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+               .groupby("lang", sort=False).head(k))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    # tree combine: coalesce many per-block partials per task (big
+    # batch_size) so the driver reduce sees ≤ k × strata × (a few)
+    # rows even at 100k-block corpora, not k × strata × num_blocks
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .map_batches(combine, batch_format="pyarrow",
+                          batch_size=65536))
     frames = [b.to_pandas()
               for b in parts.iter_batches(batch_format="pyarrow")]
     out = (pd.concat(frames, ignore_index=True)
