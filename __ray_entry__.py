@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- RDFS entailment over the predicate-partitioned store (S9 +
     # Jena-inference hand-off, partition-pruned triple-pattern reads)
     q["kg_rdfs_types_part"] = tabular.v4_entailed_types
+    # CONSTRUCT inference (facts via subPropertyOf closure)
+    q["kg_entailed_facts_part"] = tabular.v4_entailed_facts
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -159,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_customer_v2"] = tabular.v2_kg_customer_sql()
     o["kg_part_v4"] = tabular.v4_kg_part_sql()
     o["kg_rdfs_types_part"] = tabular.v4_entailed_types_sql()
+    o["kg_entailed_facts_part"] = tabular.v4_entailed_facts_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

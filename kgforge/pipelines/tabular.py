@@ -506,6 +506,20 @@ def v4_entailed_types_sql(domain: str = KG_DOMAIN) -> str:
     return entailed_types_oracle_sql(v4_kg_part_sql(domain))
 
 
+def v4_entailed_facts(sf_dir: str) -> "ray.data.Dataset":
+    """The reference's CONSTRUCT inference
+    (csv2rdf-v4/jena/requests.sparql:10-13) over the v4 part graph:
+    facts derived through the rdfs:subPropertyOf closure, answered from
+    the partitioned store with pruned reads."""
+    from ..stages.entailment import entailed_facts
+    return entailed_facts(_v4_part_store(sf_dir))
+
+
+def v4_entailed_facts_sql(domain: str = KG_DOMAIN) -> str:
+    from ..stages.entailment import entailed_facts_oracle_sql
+    return entailed_facts_oracle_sql(v4_kg_part_sql(domain))
+
+
 # -------------------------------------------------- v3 type-chain mode
 PART_V3_GRAMMAR = """
 [p_name]

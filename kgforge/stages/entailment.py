@@ -220,3 +220,55 @@ types AS (SELECT s, t FROM types0
           ON t0.t = c.sub)
 SELECT DISTINCT s, t AS type_uri FROM types
 """
+
+
+def entailed_facts(store_dir: str) -> "ray.data.Dataset":
+    """The reference's CONSTRUCT-inference
+    (csv2rdf-v4/jena/requests.sparql:10-13): DISTINCT derived facts
+    ``(s, r, o)`` for every base fact ``(s, q, o)`` with
+    ``q rdfs:subPropertyOf+ r``. Partition-pruned: only the (tiny)
+    subPropertyOf partition and the partitions of properties that HAVE
+    superproperties are read; the closure ships in the task closure."""
+    from ..sinks.store_query import query_triples
+    from .canonicalize import SANITIZE_BATCH
+    from .dedup import distinct
+
+    spo = transitive_closure(_schema_edges(store_dir, RDFS_SUBPROPERTYOF))
+    schema = pa.schema([("s", pa.string()), ("p", pa.string()),
+                        ("o", pa.string())])
+    parts = []
+    for prop in sorted(spo):
+        sups = sorted(spo[prop])
+
+        def derive(batch: pa.Table, _sups=tuple(sups)) -> pa.Table:
+            tbls = [pa.table({"s": batch["s"],
+                              "p": pa.array([r] * batch.num_rows,
+                                            type=pa.string()),
+                              "o": batch["o"]}) for r in _sups]
+            return pa.concat_tables(tbls) if tbls else schema.empty_table()
+
+        parts.append(query_triples(store_dir, p=prop)
+                     .map_batches(derive, batch_format="pyarrow",
+                                  batch_size=SANITIZE_BATCH))
+    if not parts:
+        return ray.data.from_arrow(schema.empty_table())
+    ds = parts[0]
+    for extra in parts[1:]:
+        ds = ds.union(extra)
+    return distinct(ds, ["s", "p", "o"])
+
+
+def entailed_facts_oracle_sql(base_sql: str) -> str:
+    """DuckDB recursive mirror of ``entailed_facts``."""
+    return f"""
+WITH RECURSIVE
+base AS ({base_sql}),
+spo_e AS (SELECT s AS sub, trim(o, '<>') AS sup FROM base
+          WHERE p = '{RDFS_SUBPROPERTYOF}'),
+spo(sub, sup) AS (SELECT sub, sup FROM spo_e
+                  UNION
+                  SELECT a.sub, e.sup FROM spo a
+                  JOIN spo_e e ON a.sup = e.sub)
+SELECT DISTINCT b.s, q.sup AS p, b.o
+FROM base b JOIN spo q ON b.p = q.sub
+"""

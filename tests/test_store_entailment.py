@@ -96,3 +96,18 @@ def test_transitive_closure_cycle_safe():
     c = transitive_closure([("a", "b"), ("b", "a"), ("b", "c")])
     assert c["a"] == {"a", "b", "c"}
     assert c["b"] == {"a", "b", "c"}
+
+
+def test_entailed_facts_construct_inference(ray_session, store):
+    """The reference's CONSTRUCT rule (requests.sparql:10-13): facts
+    derived through the subPropertyOf closure."""
+    from kgforge.stages.entailment import (entailed_facts,
+                                           entailed_facts_oracle_sql)
+    got = set(map(tuple, entailed_facts(store).to_pandas()
+                  [["s", "p", "o"]].itertuples(index=False)))
+    assert got == {(f"{DOM}rex", f"{DOM}related_to", f"<{DOM}ann>")}
+    con = duckdb.connect()
+    con.register("g", _graph())
+    odf = con.sql(entailed_facts_oracle_sql("SELECT s, p, o FROM g")).df()
+    assert got == set(map(tuple,
+                          odf[["s", "p", "o"]].itertuples(index=False)))
