@@ -87,3 +87,50 @@ def query_triples_sql(store_dir: str, s: str | None = None,
             conds.append(f"{col} = '{val}'")
     return (f"SELECT s, p, o FROM read_parquet('{base}/*/*.parquet') "
             f"WHERE {' AND '.join(conds)}")
+
+
+def query_minus(store_dir: str, p: str,
+                exclude_props: list[str]) -> "ray.data.Dataset":
+    """The reference's versioning MINUS pattern
+    (csv2rdf-v4/jena/requests.sparql:22-31): DISTINCT (s, o) pairs
+    linked via ``p`` EXCEPT pairs also linked by any of
+    ``exclude_props`` (e.g. the other subProperties of ``p``'s parent
+    — "use only the latest version of the relation").
+
+    Both sides are partition-pruned bound-predicate reads; the
+    exclusion is a hash-partitioned LEFT OUTER anti-join on (s, o) —
+    no driver-side set at any exclusion mass."""
+    from ..stages.canonicalize import (SANITIZE_BATCH,
+                                       default_shuffle_partitions)
+    from ..stages.dedup import distinct
+    keep = distinct(query_triples(store_dir, p=p), ["s", "o"])
+    # explicit batch_size coalesces the distinct's EMPTY zero-column
+    # blocks away before the join (they poison Acero key resolution)
+    keep = keep.map_batches(lambda t: t, batch_format="pyarrow",
+                            batch_size=SANITIZE_BATCH)
+    excl_parts = [query_triples(store_dir, p=q) for q in exclude_props]
+    if not excl_parts:
+        return keep
+    excl = excl_parts[0]
+    for e in excl_parts[1:]:
+        excl = excl.union(e)
+
+    def tag(b: pa.Table) -> pa.Table:
+        import numpy as np
+        return pa.table({"_es": b["s"], "_eo": b["o"],
+                         "_hit": pa.array(np.ones(b.num_rows, np.int8))})
+
+    excl = distinct(excl, ["s", "o"]).map_batches(
+        tag, batch_format="pyarrow", batch_size=SANITIZE_BATCH)
+    if excl.count() == 0:
+        return keep
+    j = keep.join(excl, join_type="left_outer",
+                  num_partitions=default_shuffle_partitions(),
+                  on=("s", "o"), right_on=("_es", "_eo"))
+
+    def unmatched(b: pa.Table) -> pa.Table:
+        keep_mask = pc.is_null(b["_hit"])
+        return b.filter(keep_mask).select(["s", "o"])
+
+    return j.map_batches(unmatched, batch_format="pyarrow",
+                         batch_size=SANITIZE_BATCH)

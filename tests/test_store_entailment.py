@@ -111,3 +111,33 @@ def test_entailed_facts_construct_inference(ray_session, store):
     odf = con.sql(entailed_facts_oracle_sql("SELECT s, p, o FROM g")).df()
     assert got == set(map(tuple,
                           odf[["s", "p", "o"]].itertuples(index=False)))
+
+
+def test_query_minus_latest_version_pattern(ray_session, tmp_path):
+    """requests.sparql:22-31: pairs via the v2 relation MINUS pairs
+    also linked by another subproperty of the parent relation."""
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    from kgforge.sinks.store_query import query_minus
+    rows = [
+        # part1 linked via BOTH versions -> excluded; part2 only via v2
+        (f"{DOM}part1", f"{DOM}applicable_v2", f"<{DOM}cfgA>"),
+        (f"{DOM}part1", f"{DOM}applicable_v1", f"<{DOM}cfgA>"),
+        (f"{DOM}part2", f"{DOM}applicable_v2", f"<{DOM}cfgB>"),
+        (f"{DOM}part3", f"{DOM}applicable_v1", f"<{DOM}cfgC>"),
+        (f"{DOM}applicable_v1", f"{RDFS}subPropertyOf",
+         f"<{DOM}applicable>"),
+        (f"{DOM}applicable_v2", f"{RDFS}subPropertyOf",
+         f"<{DOM}applicable>"),
+    ]
+    tbl = pa.table({"s": pa.array([r[0] for r in rows]),
+                    "p": pa.array([r[1] for r in rows]),
+                    "o": pa.array([r[2] for r in rows])})
+    d = tmp_path / "vstore"
+    write_graph_partitioned(ray.data.from_arrow(tbl), str(d))
+    out = query_minus(str(d), f"{DOM}applicable_v2",
+                      [f"{DOM}applicable_v1"]).to_pandas()
+    got = set(map(tuple, out[["s", "o"]].itertuples(index=False)))
+    assert got == {(f"{DOM}part2", f"<{DOM}cfgB>")}
+    # empty exclusion set -> identity
+    out2 = query_minus(str(d), f"{DOM}applicable_v2", []).to_pandas()
+    assert len(out2) == 2
