@@ -181,13 +181,17 @@ def compile_v4_grammar(text_or_path: str, domain: str) -> V4Grammar:
             cols[s] = V4Column(s, "descr")
             continue
         role = o["cell"].split(",")[0]
-        if role not in ("subject", "object"):
+        if role == "predicate":
+            # the reference hard-exits ONLY on 'predicate'
+            # (csv2rdf-v4.py:432-434); any other unknown role falls
+            # through its if/elif silently AFTER step 1 typed the cell
+            # (:411-412) — modelled here as a type-only column
             raise GrammarError(
-                f"v4 cell role '{role}' unsupported — the reference "
-                "exits on 'predicate' (csv2rdf-v4.py:475-478)")
+                "v4 cell role 'predicate' unsupported — the reference "
+                "exits on it (csv2rdf-v4.py:432-434)")
         cols[s] = V4Column(s, "general", role,
                            tuple(o["celltypes"].split(",")),
-                           tuple(o["columntypes"].split(",")),
+                           tuple(o.get("columntypes", "").split(",")),
                            alteration=parse_alteration(o["cell"], lists))
     if pkey_section is None:
         raise GrammarError("v4 grammar: no pkey section")
@@ -259,12 +263,17 @@ class V4TripleGenerator:
                 rdfcell = pc.binary_join_element_wise(
                     pa.scalar(dom), v4_sanitize_array(v), "")
                 ct_uri = dom + f(col.celltypes[0])
-                colt_uri = dom + f(col.columntypes[0])
                 pku = pc.binary_join_element_wise(pa.scalar(dom), pkv, "")
                 # 1. type the cell (:411)
                 emit(rdfcell, _const_col(RDF_TYPE, n),
                      _const_col(KIND_URI, n), _const_col(ct_uri, n),
                      _const_col("", n))
+                if col.role not in ("subject", "object"):
+                    # unknown non-predicate role: the reference's
+                    # if/elif (:417-434) matches nothing, so only the
+                    # step-1 typing triple is emitted
+                    continue
+                colt_uri = dom + f(col.columntypes[0])
                 # 2. standard triple + domain/range (:417-428)
                 if col.role == "subject":
                     emit(rdfcell, _const_col(colt_uri, n),
@@ -327,11 +336,13 @@ def v4_to_sql(g: V4Grammar, table: str,
             v = v4_alteration_sql(col.alteration, cell)
             rdfcell = f"({sql_quote(dom)} || {san(v)})"
             ct = dom + f(col.celltypes[0])
-            colt = dom + f(col.columntypes[0])
             pku = f"({sql_quote(dom)} || {pk})"
             sels.append(f"SELECT {rdfcell} AS s, {sql_quote(RDF_TYPE)} AS p,"
                         f" {sql_quote('<' + ct + '>')} AS o "
                         f"FROM {table} WHERE {fired}")
+            if col.role not in ("subject", "object"):
+                continue   # unknown role: type-only (see generator)
+            colt = dom + f(col.columntypes[0])
             if col.role == "subject":
                 sels.append(f"SELECT {rdfcell} AS s, {sql_quote(colt)} AS p,"
                             f" ('<' || {pku} || '>') AS o "

@@ -264,6 +264,11 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None,
                 return index_dir
         import shutil
         shutil.rmtree(index_dir)  # stale: source changed under the marker
+    elif os.path.isdir(index_dir):
+        # marker-less dir = crashed build; rebuilding into it would
+        # APPEND duplicate vector files (write_parquet never cleans)
+        import shutil
+        shutil.rmtree(index_dir)
     cents = train_ivf_centroids(sf_dir, n_lists)
     os.makedirs(index_dir, exist_ok=True)
     pq.write_table(

@@ -484,11 +484,19 @@ def _v4_part_store(sf_dir: str) -> str:
     marker = os.path.join(store, "_SUCCESS")
     if os.path.exists(marker):
         return store
+    import shutil
+    # a dir without its _SUCCESS marker is a crashed build — a rebuild
+    # into it would APPEND a second copy of every partition (Ray's
+    # write_parquet never cleans), so build in a tmp dir and rename
+    shutil.rmtree(store, ignore_errors=True)
+    tmp = store + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
     from ..sinks.ntriples_sink import write_graph_partitioned
-    os.makedirs(store, exist_ok=True)
-    write_graph_partitioned(v4_kg_part(sf_dir), store)
-    with open(marker, "w") as f:
+    os.makedirs(tmp, exist_ok=True)
+    write_graph_partitioned(v4_kg_part(sf_dir), tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
+    os.replace(tmp, store)
     return store
 
 

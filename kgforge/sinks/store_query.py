@@ -80,11 +80,12 @@ def query_triples_sql(store_dir: str, s: str | None = None,
                       p: str | None = None, o: str | None = None) -> str:
     """DuckDB mirror of the same pattern over the same store files —
     used by tests to check the pruned answer against a full scan."""
+    from ..sqlgen import sql_quote
     base = os.path.join(store_dir, _STORE_SUB)
     conds = ["TRUE"]
     for col, val in (("s", s), ("p", p), ("o", o)):
         if val is not None:
-            conds.append(f"{col} = '{val}'")
+            conds.append(f"{col} = {sql_quote(val)}")
     return (f"SELECT s, p, o FROM read_parquet('{base}/*/*.parquet') "
             f"WHERE {' AND '.join(conds)}")
 

@@ -58,11 +58,19 @@ def main(argv=None) -> int:
     if not args.skip_merge:
         # merge is resumable too: a marker fingerprinting the completed
         # partition set makes an unchanged re-run a true no-op
+        import glob
         import hashlib
-        fp = hashlib.md5(json.dumps(
+        # content-derived: counts alone would skip a re-merge whose
+        # partition CONTENTS changed but whose per-partition counts
+        # happen to match — include every parquet shard's size+mtime
+        files = sorted(glob.glob(os.path.join(
+            args.out, "part-*[0-9]", "triples.parquet", "*.parquet")))
+        fstamp = [(os.path.relpath(f, args.out), os.path.getsize(f),
+                   round(os.path.getmtime(f), 6)) for f in files]
+        fp = hashlib.md5(json.dumps([
             sorted((str(k), r["triples_out"])
-                   for k, r in manifest.records.items())).encode()
-        ).hexdigest()
+                   for k, r in manifest.records.items()),
+            fstamp]).encode()).hexdigest()
         marker = os.path.join(args.out, "merged", "_MERGED")
         prev = open(marker).read() if os.path.exists(marker) else None
         if prev != fp:

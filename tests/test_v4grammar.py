@@ -61,6 +61,42 @@ columntypes = y
 """, DOM)
 
 
+def test_v4_unknown_role_is_type_only():
+    """Non-predicate unknown roles compile and emit ONLY the step-1
+    cell-typing triple (csv2rdf-v4.py:411 runs before the role
+    dispatch :417-434, which matches nothing and falls through)."""
+    g = compile_v4_grammar("""
+[a]
+cell = pkey
+celltypes = t
+
+[b]
+cell = sideways
+celltypes = x
+columntypes = y
+""", DOM)
+    rows = pa.table({"a": pa.array(["k1"]), "b": pa.array(["v1"])})
+    out = V4TripleGenerator(g)(rows)
+    b_trips = [(s, p, l) for s, p, l in zip(
+        out["s"].to_pylist(), out["p"].to_pylist(), out["o_lex"].to_pylist())
+        if f"{DOM}v1" in (s, l)]
+    assert b_trips == [(f"{DOM}v1",
+                        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                        f"{DOM}x")]
+    # no domain/range, no columntype chain for the unknown-role column
+    assert not any(f"{DOM}y" in (s, l) for s, _, l in zip(
+        out["s"].to_pylist(), out["p"].to_pylist(), out["o_lex"].to_pylist()))
+    # SQL mirror agrees
+    con = duckdb.connect()
+    con.register("t", rows)
+    sql = v4_to_sql(g, "t", {sec: c.source_column
+                             for sec, c in g.columns.items()})
+    odf = con.sql(sql).df()
+    assert f"{DOM}v1" in set(odf["s"])
+    assert f"{DOM}y" not in set(odf["p"])
+    assert not any(f"{DOM}y" in o for o in set(odf["o"]))
+
+
 GRAMMAR = """
 [name]
 cell = pkey
