@@ -81,6 +81,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # CONSTRUCT inference (facts via subPropertyOf closure)
     q["kg_entailed_facts_part"] = tabular.v4_entailed_facts
 
+    # --- SPARQL text front-end: the reference's OWN query file
+    # (csv2rdf-v4/jena/requests.sparql) parsed and planned onto the
+    # partition-pruned store reads (kgforge/sparql.py)
+    from kgforge.pipelines import versioning
+    q["sparql_select_store"] = versioning.sparql_select_store
+    q["sparql_construct_facts"] = versioning.sparql_construct_facts
+    q["sparql_insert_facts"] = versioning.sparql_insert_facts
+    q["sparql_versioning_minus"] = versioning.sparql_versioning_minus
+
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
     q["lang_id"] = text.lang_id
@@ -162,6 +171,11 @@ def oracle_sql() -> dict[str, str]:
     o["kg_part_v4"] = tabular.v4_kg_part_sql()
     o["kg_rdfs_types_part"] = tabular.v4_entailed_types_sql()
     o["kg_entailed_facts_part"] = tabular.v4_entailed_facts_sql()
+    from kgforge.pipelines import versioning
+    o["sparql_select_store"] = versioning.sparql_select_store_sql()
+    o["sparql_construct_facts"] = versioning.sparql_facts_sql()
+    o["sparql_insert_facts"] = versioning.sparql_facts_sql()
+    o["sparql_versioning_minus"] = versioning.sparql_versioning_minus_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

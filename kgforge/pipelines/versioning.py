@@ -1,0 +1,199 @@
+"""Versioned-property store + the reference's .sparql text as gates.
+
+The reference ships a literal query file
+(/root/reference/csv2rdf-v4/jena/requests.sparql:1-31) and a versioning
+test graph (jena/test-version.ttl:1-28: ``ns1v1:applicable_to`` /
+``ns1v2:applicable_to`` both ``rdfs:subPropertyOf ns1:applicable_to``,
+instance pairs per version).  This module scales that ttl's SHAPE to
+the testdata ``part`` table deterministically and runs the reference's
+own query text through the SPARQL front-end (kgforge/sparql.py) as
+driver gates:
+
+- statement 1 (``select ?x ?y ?z``)      -> full-store scan, v4 store;
+- statement 2 (CONSTRUCT inference)      -> must hash-match the
+  programmatic ``entailed_facts`` plan (kg_entailed_facts_part gate);
+- statement 3 (INSERT .. WHERE)          -> same derivation (executed
+  as CONSTRUCT in the gate; ``sparql_insert`` mutation is covered by
+  tests/test_sparql.py);
+- statement 4 (versioning SELECT+MINUS)  -> over the versioned store.
+
+Versioned fixture (deterministic in the part table, SQL-mirrorable):
+every part ``k`` has a v1 pair ``(part{k}, sz{p_size})``; v2 carries
+the v1 pair for even ``k`` and adds ``(part{k}, sz{(p_size*7)%50+1})``
+for every ``k``.  The versioning query therefore returns the v2 pairs
+NOT also asserted at v1 — "latest version only", as the reference's
+comment says.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..ntriples import RDF_TYPE
+from ..sparql import load_reference_requests, parse_sparql
+from ..stages.entailment import RDFS_SUBPROPERTYOF
+
+#: the reference's own namespaces (jena/test-version.ttl:1-3) — the
+#: query text binds these prefixes, so the fixture mints under them
+NS1 = "https://www.olivier.com/rdf/mipl/"
+NS1V1 = NS1 + "v01/"
+NS1V2 = NS1 + "v02/"
+RDF_PROPERTY = "http://www.w3.org/1999/02/22-rdf-syntax-ns#Property"
+
+
+def versioned_triples(sf_dir: str) -> "ray.data.Dataset":
+    """Term-form (s, p, o) rows of the scaled test-version graph."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_size"])
+
+    def build(b: pa.Table) -> pa.Table:
+        import numpy as np
+        k = b["p_partkey"].combine_chunks().cast(pa.string())
+        keys = (b["p_partkey"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        size = (b["p_size"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        s = pc.binary_join_element_wise(pa.scalar(NS1 + "part"), k, "")
+        z1 = pc.binary_join_element_wise(
+            pa.scalar("<" + NS1 + "sz"),
+            pa.array(size.astype(str)), pa.scalar(">"), "")
+        alt = (size * 7) % 50 + 1
+        z2 = pc.binary_join_element_wise(
+            pa.scalar("<" + NS1 + "sz"),
+            pa.array(alt.astype(str)), pa.scalar(">"), "")
+        even = pa.array(keys % 2 == 0)
+
+        def block(subj, pred, obj):
+            return pa.table({
+                "s": subj,
+                "p": pa.array([pred] * len(subj), type=pa.string()),
+                "o": obj})
+
+        parts = [
+            block(s, NS1V1 + "applicable_to", z1),              # v1: all
+            block(s.filter(even), NS1V2 + "applicable_to",
+                  z1.filter(even)),                             # carried
+            block(s, NS1V2 + "applicable_to", z2),              # v2 new
+        ]
+        return pa.concat_tables(parts)
+
+    inst = ds.map_batches(build, batch_format="pyarrow")
+    schema_rows = pa.table({
+        "s": pa.array([NS1V1 + "applicable_to", NS1V2 + "applicable_to",
+                       NS1V1 + "applicable_to", NS1V2 + "applicable_to",
+                       NS1 + "applicable_to"], type=pa.string()),
+        "p": pa.array([RDFS_SUBPROPERTYOF, RDFS_SUBPROPERTYOF,
+                       RDF_TYPE, RDF_TYPE, RDF_TYPE], type=pa.string()),
+        "o": pa.array([f"<{NS1}applicable_to>", f"<{NS1}applicable_to>",
+                       f"<{RDF_PROPERTY}>", f"<{RDF_PROPERTY}>",
+                       f"<{RDF_PROPERTY}>"], type=pa.string()),
+    })
+    return inst.union(ray.data.from_arrow(schema_rows))
+
+
+def versioned_store(sf_dir: str) -> str:
+    """Idempotent predicate-partitioned store of the versioned graph
+    under /tmp (content-keyed cache, atomic build)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    src = sorted(glob.glob(os.path.join(sf_dir, "part*.parquet")))
+    stamp = ";".join(f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p):.6f}"
+                     for p in src)
+    key = hashlib.md5(f"verstore:{os.path.abspath(sf_dir)}:{stamp}"
+                      .encode()).hexdigest()[:12]
+    store = f"/tmp/kgforge_verstore_{key}"
+    marker = os.path.join(store, "_SUCCESS")
+    if os.path.exists(marker):
+        return store
+    shutil.rmtree(store, ignore_errors=True)
+    tmp = store + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    from ..sinks.ntriples_sink import write_graph_partitioned
+    os.makedirs(tmp, exist_ok=True)
+    write_graph_partitioned(versioned_triples(sf_dir), tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    os.replace(tmp, store)
+    return store
+
+
+# ------------------------------------------------------------ gates
+
+def _statements():
+    return parse_sparql(load_reference_requests())
+
+
+def sparql_select_store(sf_dir: str) -> "ray.data.Dataset":
+    """requests.sparql statement 1 (``select ?x ?y ?z``) parsed from
+    the reference's own text, run over the v4 part store."""
+    from ..sparql import execute_sparql
+    from .tabular import _v4_part_store
+    q = _statements()[0]
+    assert q.form == "select" and not q.distinct
+    return execute_sparql(_v4_part_store(sf_dir), q)
+
+
+def sparql_select_store_sql() -> str:
+    from .tabular import v4_kg_part_sql
+    return (f"SELECT s AS x, p AS y, o AS z FROM ({v4_kg_part_sql()})")
+
+
+def sparql_construct_facts(sf_dir: str) -> "ray.data.Dataset":
+    """Statement 2 (the CONSTRUCT inference principle) parsed from the
+    reference text — the planner must land on the same partition-pruned
+    closure plan as the programmatic ``entailed_facts``."""
+    from ..sparql import execute_sparql
+    from .tabular import _v4_part_store
+    q = _statements()[1]
+    assert q.form == "construct"
+    return execute_sparql(_v4_part_store(sf_dir), q)
+
+
+def sparql_insert_facts(sf_dir: str) -> "ray.data.Dataset":
+    """Statement 3 (INSERT .. WHERE): the gate runs the read-only
+    derivation (identical rows to the CONSTRUCT); the store-mutating
+    path (``sparql_insert``) is exercised in tests on a scratch
+    store."""
+    from ..sparql import execute_sparql
+    from .tabular import _v4_part_store
+    q = _statements()[2]
+    assert q.form == "insert"
+    return execute_sparql(_v4_part_store(sf_dir), q)
+
+
+def sparql_facts_sql() -> str:
+    from .tabular import v4_entailed_facts_sql
+    return v4_entailed_facts_sql()
+
+
+def sparql_versioning_minus(sf_dir: str) -> "ray.data.Dataset":
+    """Statement 4 (versioning MINUS) from the reference text, over the
+    scaled test-version store: DISTINCT v2 pairs not reachable through
+    any OTHER subproperty of the mother relation."""
+    from ..sparql import execute_sparql
+    q = _statements()[3]
+    assert q.form == "select" and q.distinct
+    return execute_sparql(versioned_store(sf_dir), q)
+
+
+def sparql_versioning_minus_sql() -> str:
+    part_s = f"'{NS1}part' || CAST(p_partkey AS VARCHAR)"
+    z1 = f"'<{NS1}sz' || CAST(p_size AS VARCHAR) || '>'"
+    z2 = f"'<{NS1}sz' || CAST((p_size * 7) % 50 + 1 AS VARCHAR) || '>'"
+    return f"""
+WITH v1 AS (SELECT {part_s} AS x, {z1} AS z FROM part),
+v2 AS (
+  SELECT {part_s} AS x, {z1} AS z FROM part WHERE p_partkey % 2 = 0
+  UNION ALL
+  SELECT {part_s} AS x, {z2} AS z FROM part
+)
+SELECT DISTINCT x, z FROM v2
+EXCEPT
+SELECT x, z FROM v1
+"""

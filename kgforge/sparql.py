@@ -1,0 +1,757 @@
+"""SPARQL text front-end for the predicate-partitioned store.
+
+The reference's end-use artifact is a literal query file
+(/root/reference/csv2rdf-v4/jena/requests.sparql:1-31) run against a
+Fuseki endpoint with RDFS inference (jena/test-conf.ttl:34-44,
+RDFSExptRuleReasoner over the published TDB graph). This module parses
+that file's SPARQL subset and PLANS it onto the Ray-native store
+machinery that already answers the same four shapes programmatically:
+
+- basic graph patterns  -> partition-pruned ``query_triples`` reads
+  (sinks/store_query.py) joined on shared variables;
+- ``?q rdfs:subPropertyOf ?r`` / ``rdfs:subClassOf`` patterns -> the
+  driver-side TRANSITIVE closure of the (ontology-sized) schema
+  partition (stages/entailment.transitive_closure) — i.e. the pattern
+  is matched against the RDFS-entailed schema, exactly what the
+  reference's InfModel endpoint would expose.  The closure is
+  non-reflexive: rdfs6-style ``p subPropertyOf p`` bindings are
+  excluded, matching the intent of the reference's versioning query
+  (a reflexive binding would MINUS away every pair);
+- ``CONSTRUCT``/``INSERT .. WHERE`` -> template instantiation over the
+  joined bindings (the inference-principle rule, requests.sparql:9-19);
+- ``MINUS`` + ``FILTER(?v != t)`` -> size-adaptive anti-join on the
+  shared variables (requests.sparql:22-31).
+
+Plan shape at scale: schema patterns never leave the driver (they are
+ontology-sized); instance patterns with a constant — or a
+schema-bound — predicate read ONLY the matching ``p_key=`` partition
+dirs; a predicate VARIABLE bound by a schema pattern expands to pruned
+reads per closure value instead of a full scan.  Nothing materializes
+the store driver-side.
+
+Semantics note: plain BGPs are answered over the ASSERTED graph;
+entailment enters only through schema-pattern closure and the explicit
+CONSTRUCT/INSERT rules — entailment-on-demand rather than a
+materialized InfModel.  ``tests/test_sparql.py`` pins hash-equality of
+the parsed plans against the programmatic ``query_triples`` /
+``entailed_facts`` / ``query_minus`` results.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .ntriples import RDF_TYPE
+from .stages.entailment import (RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF,
+                                _schema_edges, transitive_closure)
+
+# ------------------------------------------------------------ AST
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Iri:
+    value: str
+
+
+@dataclass(frozen=True)
+class Lit:
+    value: str
+
+
+@dataclass
+class Pattern:
+    s: object
+    p: object
+    o: object
+
+    def vars(self) -> list[str]:
+        return [t.name for t in (self.s, self.p, self.o)
+                if isinstance(t, Var)]
+
+
+@dataclass
+class Filter:
+    var: str
+    op: str                  # only '!=' in the subset
+    term: object
+
+
+@dataclass
+class Group:
+    patterns: list[Pattern] = field(default_factory=list)
+    minus: list["Group"] = field(default_factory=list)
+    filters: list[Filter] = field(default_factory=list)
+
+
+@dataclass
+class Query:
+    form: str                # 'select' | 'construct' | 'insert'
+    distinct: bool
+    select_vars: list[str]
+    template: list[Pattern]
+    where: Group
+    prefixes: dict[str, str]
+
+
+class SparqlError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------ lexer
+
+_TOKEN_RE = re.compile(r"""
+    (?P<iri><[^<>\s]*>)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<comment>\#[^\n]*)
+  | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|:[A-Za-z0-9_.\-]+)
+  | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<punct>!=|\{|\}|\(|\)|\.|;|,)
+  | (?P<ws>\s+)
+""", re.X)
+
+
+def _tokenize(text: str) -> list[str]:
+    toks, i = [], 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if m is None:
+            raise SparqlError(f"lexer: unexpected char {text[i]!r} at {i}")
+        i = m.end()
+        if m.lastgroup not in ("ws", "comment"):
+            toks.append(m.group())
+    return toks
+
+
+# ------------------------------------------------------------ parser
+
+_FORMS = {"select", "construct", "insert"}
+
+
+def _is_kw(tok: str, kw: str) -> bool:
+    return tok.lower() == kw and ":" not in tok
+
+
+class _P:
+    def __init__(self, toks: list[str], prefixes: dict[str, str]):
+        self.t = toks
+        self.i = 0
+        self.prefixes = prefixes
+
+    def peek(self) -> str | None:
+        return self.t[self.i] if self.i < len(self.t) else None
+
+    def next(self) -> str:
+        if self.i >= len(self.t):
+            raise SparqlError("unexpected end of query")
+        tok = self.t[self.i]
+        self.i += 1
+        return tok
+
+    def expect(self, lit: str) -> None:
+        tok = self.next()
+        if tok.lower() != lit.lower():
+            raise SparqlError(f"expected {lit!r}, got {tok!r}")
+
+    def term(self):
+        tok = self.next()
+        if tok.startswith("?"):
+            return Var(tok[1:])
+        if tok.startswith("<") and tok.endswith(">"):
+            return Iri(tok[1:-1])
+        if tok.startswith('"'):
+            return Lit(tok[1:-1])
+        if _is_kw(tok, "a"):
+            return Iri(RDF_TYPE)
+        if ":" in tok:
+            pfx, local = tok.split(":", 1)
+            if pfx not in self.prefixes:
+                raise SparqlError(f"undeclared prefix {pfx!r} in {tok!r}")
+            return Iri(self.prefixes[pfx] + local)
+        raise SparqlError(f"cannot parse term {tok!r}")
+
+    def triples_block(self, out: list[Pattern], stop: set[str]) -> None:
+        """subject (pred obj (',' obj)*) (';' pred obj ...)* '.'?"""
+        s = self.term()
+        while True:
+            p = self.term()
+            while True:
+                o = self.term()
+                out.append(Pattern(s, p, o))
+                if self.peek() == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek() == ";":
+                self.next()
+                if self.peek() in stop:   # dangling ';' before '}'
+                    break
+                continue
+            break
+        if self.peek() == ".":
+            self.next()
+
+    def group(self) -> Group:
+        self.expect("{")
+        g = Group()
+        while True:
+            tok = self.peek()
+            if tok is None:
+                raise SparqlError("unterminated group")
+            if tok == "}":
+                self.next()
+                return g
+            if tok == "{":               # plain nested group: flatten
+                sub = self.group()
+                g.patterns.extend(sub.patterns)
+                g.minus.extend(sub.minus)
+                g.filters.extend(sub.filters)
+                if self.peek() == ".":
+                    self.next()
+                continue
+            if _is_kw(tok, "minus"):
+                self.next()
+                g.minus.append(self.group())
+                continue
+            if _is_kw(tok, "filter"):
+                self.next()
+                self.expect("(")
+                v = self.term()
+                if not isinstance(v, Var):
+                    raise SparqlError("FILTER subset needs ?var on the left")
+                op = self.next()
+                if op != "!=":
+                    raise SparqlError(f"FILTER op {op!r} unsupported "
+                                      "(subset: !=)")
+                t = self.term()
+                self.expect(")")
+                g.filters.append(Filter(v.name, "!=", t))
+                continue
+            self.triples_block(g.patterns, {"}"})
+        # unreachable
+
+    def template(self) -> list[Pattern]:
+        self.expect("{")
+        out: list[Pattern] = []
+        while self.peek() != "}":
+            self.triples_block(out, {"}"})
+        self.next()
+        return out
+
+
+def parse_sparql(text: str) -> list[Query]:
+    """Parse a .sparql FILE (the reference keeps several statements in
+    one file separated by comment banners) into a list of queries."""
+    toks = _tokenize(text)
+    prefixes: dict[str, str] = {}
+    queries: list[Query] = []
+    p = _P(toks, prefixes)
+    while p.peek() is not None:
+        tok = p.peek()
+        if _is_kw(tok, "prefix"):
+            p.next()
+            name = p.next()
+            if not name.endswith(":"):
+                raise SparqlError(f"bad PREFIX name {name!r}")
+            iri = p.next()
+            if not (iri.startswith("<") and iri.endswith(">")):
+                raise SparqlError(f"bad PREFIX iri {iri!r}")
+            prefixes[name[:-1]] = iri[1:-1]
+            continue
+        low = tok.lower()
+        if low not in _FORMS:
+            raise SparqlError(f"expected a query form, got {tok!r}")
+        p.next()
+        if low == "select":
+            distinct = False
+            if p.peek() and _is_kw(p.peek(), "distinct"):
+                p.next()
+                distinct = True
+            sel: list[str] = []
+            while p.peek() and p.peek().startswith("?"):
+                sel.append(p.next()[1:])
+            p.expect("where")
+            queries.append(Query("select", distinct, sel, [], p.group(),
+                                 dict(prefixes)))
+        else:
+            tmpl = p.template()
+            p.expect("where")
+            queries.append(Query(low, True, [], tmpl, p.group(),
+                                 dict(prefixes)))
+    return queries
+
+
+# ------------------------------------------------------------ planner
+
+_SCHEMA_PREDS = (RDFS_SUBPROPERTYOF, RDFS_SUBCLASSOF)
+
+
+def _broadcast_limit() -> int:
+    """A minus side at or below this row count broadcasts into the
+    anti-join instead of shuffling (0 forces the hash-join path —
+    same knob as the canonicalize/dedup stages)."""
+    return int(os.environ.get("KGFORGE_BROADCAST_LIMIT", "200000"))
+
+
+def _batch_guard(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    # coalesce zero-column empty blocks away (they poison Acero joins)
+    from .stages.canonicalize import SANITIZE_BATCH
+    return ds.map_batches(lambda t: t, batch_format="pyarrow",
+                          batch_size=SANITIZE_BATCH)
+
+
+class _Bind:
+    """Current solution bindings: columns = variable names. ``cls``
+    remembers each variable's term-position class ('iri' for s/p
+    positions, 'term' for o positions — the store renders o).
+    ``columns`` is tracked explicitly: an empty Dataset (e.g. a pattern
+    over a store partition that does not exist) has NO schema, so the
+    plan can never rely on ``Dataset.schema()`` for its column set."""
+
+    def __init__(self, data, cls: dict[str, str],
+                 columns: list[str] | None = None):
+        self.data = data                     # pa.Table | Dataset
+        self.cls = cls
+        if columns is None:
+            columns = (data.schema.names if isinstance(data, pa.Table)
+                       else data.schema().names)
+        self.columns = list(columns)
+
+    @property
+    def small(self) -> bool:
+        return isinstance(self.data, pa.Table)
+
+    def cols(self) -> list[str]:
+        return list(self.columns)
+
+
+def _const_repr(term, pos_cls: str) -> str:
+    if isinstance(term, Iri):
+        return f"<{term.value}>" if pos_cls == "term" else term.value
+    if isinstance(term, Lit):
+        return f'"{term.value}"'
+    raise SparqlError(f"not a constant: {term}")
+
+
+def _closure_table(store_dir: str, pred: str) -> pa.Table:
+    """Non-reflexive transitive closure of one schema predicate as
+    (sub, sup) — the RDFS-entailed view of the pattern."""
+    clo = transitive_closure(_schema_edges(store_dir, pred))
+    subs, sups = [], []
+    for a in sorted(clo):
+        for b in sorted(clo[a]):
+            subs.append(a)
+            sups.append(b)
+    return pa.table({"sub": pa.array(subs, type=pa.string()),
+                     "sup": pa.array(sups, type=pa.string())})
+
+
+def _pattern_cols(pat: Pattern) -> dict[str, str]:
+    """store column -> variable name for the pattern's variables."""
+    out = {}
+    for col, t in (("s", pat.s), ("p", pat.p), ("o", pat.o)):
+        if isinstance(t, Var):
+            out[col] = t.name
+    return out
+
+
+def _eval_schema_pattern(store_dir: str, pat: Pattern) -> pa.Table:
+    tbl = _closure_table(store_dir, pat.p.value)
+    mask = None
+    for col, t in (("sub", pat.s), ("sup", pat.o)):
+        if not isinstance(t, Var):
+            want = t.value if isinstance(t, Iri) else t.value
+            m = pc.equal(tbl[col], want)
+            mask = m if mask is None else pc.and_(mask, m)
+    if mask is not None:
+        tbl = tbl.filter(mask)
+    names, keep = [], []
+    for col, t in (("sub", pat.s), ("sup", pat.o)):
+        if isinstance(t, Var):
+            keep.append(col)
+            names.append(t.name)
+    return tbl.select(keep).rename_columns(names)
+
+
+def _eval_store_pattern(store_dir: str, pat: Pattern,
+                        p_values: list[str] | None) -> "ray.data.Dataset":
+    """One triple pattern -> Dataset of its variable columns.
+    ``p_values``: when the predicate is a variable already bound to a
+    small value set, expand to pruned reads (one partition dir per
+    value) instead of a full scan."""
+    from .sinks.store_query import query_triples
+    s = pat.s.value if isinstance(pat.s, Iri) else None
+    o = _const_repr(pat.o, "term") if not isinstance(pat.o, Var) else None
+    if isinstance(pat.p, Iri):
+        ds = query_triples(store_dir, s=s, p=pat.p.value, o=o)
+    elif p_values is not None:
+        parts = [query_triples(store_dir, s=s, p=v, o=o)
+                 for v in p_values]
+        if not parts:
+            sch = pa.schema([("s", pa.string()), ("p", pa.string()),
+                             ("o", pa.string())])
+            ds = ray.data.from_arrow(sch.empty_table())
+        else:
+            ds = parts[0]
+            for e in parts[1:]:
+                ds = ds.union(e)
+    else:
+        ds = query_triples(store_dir, s=s, o=o)
+    ren = _pattern_cols(pat)
+
+    def project(b: pa.Table, _ren=dict(ren)) -> pa.Table:
+        cols = [b[c] for c in _ren]
+        return pa.table(dict(zip(_ren.values(), cols)))
+
+    out = ds.map_batches(project, batch_format="pyarrow")
+    if ren:
+        # a pattern over a missing partition yields a block-less Dataset
+        # with no schema; union a typed empty table so downstream plan
+        # steps (cols(), joins) always see the variable columns
+        sch = pa.schema([(v, pa.string()) for v in ren.values()])
+        out = ray.data.from_arrow(sch.empty_table()).union(out)
+    return out
+
+
+def _join_small(a: pa.Table, b: pa.Table, on: list[str]) -> pa.Table:
+    if not on:
+        raise SparqlError("cartesian product between patterns unsupported")
+    return a.join(b, keys=on, join_type="inner")
+
+
+def _broadcast_join(ds: "ray.data.Dataset", tbl: pa.Table,
+                    on: list[str]) -> "ray.data.Dataset":
+    def jn(b: pa.Table, _t=tbl, _on=list(on)) -> pa.Table:
+        return b.join(_t, keys=_on, join_type="inner")
+
+    return ds.map_batches(jn, batch_format="pyarrow")
+
+
+def _anti_join(bind: _Bind, minus: _Bind, on: list[str]) -> _Bind:
+    """MINUS: drop solutions compatible with any minus solution on the
+    shared variables. Size-adaptive: broadcast below the limit, else a
+    hash-partitioned left-outer join (same shape as
+    store_query.query_minus)."""
+    from .stages.canonicalize import default_shuffle_partitions
+    if not on:
+        return bind
+    if minus.small:
+        mt = minus.data.select(on)
+        import polars as pl
+        mt = pl.from_arrow(mt).unique().to_arrow().cast(mt.schema)
+        if bind.small:
+            marked = mt.append_column(
+                "_hit", pa.array([1] * mt.num_rows, type=pa.int8()))
+            j = bind.data.join(marked, keys=on, join_type="left outer")
+            out = j.filter(pc.is_null(j["_hit"])).drop_columns(["_hit"])
+            return _Bind(out, bind.cls)
+
+        def anti(b: pa.Table, _mt=mt, _on=list(on)) -> pa.Table:
+            marked = _mt.append_column(
+                "_hit", pa.array([1] * _mt.num_rows, type=pa.int8()))
+            j = b.join(marked, keys=_on, join_type="left outer")
+            return (j.filter(pc.is_null(j["_hit"]))
+                    .drop_columns(["_hit"]).select(b.schema.names))
+
+        return _Bind(bind.data.map_batches(anti, batch_format="pyarrow"),
+                     bind.cls, bind.cols())
+    # big minus side: distinct + hash-partitioned anti-join
+    from .stages.dedup import distinct
+    mds = _batch_guard(distinct(minus.data, on)).materialize()
+    if mds.count() == 0:        # empty minus: nothing to subtract (an
+        return bind             # empty Dataset has no schema and would
+                                # poison the Acero join below)
+
+    def tag(b: pa.Table) -> pa.Table:
+        cols = {f"_m_{c}": b[c] for c in on}
+        cols["_hit"] = pa.array([1] * b.num_rows, type=pa.int8())
+        return pa.table(cols)
+
+    mds = mds.map_batches(tag, batch_format="pyarrow")
+    left = bind.data if not bind.small else ray.data.from_arrow(bind.data)
+    left_cols = bind.cols()
+    j = _batch_guard(left).join(
+        mds, join_type="left_outer",
+        num_partitions=default_shuffle_partitions(),
+        on=tuple(on), right_on=tuple(f"_m_{c}" for c in on))
+
+    def unmatched(b: pa.Table, _cols=list(left_cols)) -> pa.Table:
+        return b.filter(pc.is_null(b["_hit"])).select(_cols)
+
+    return _Bind(_batch_guard(j.map_batches(unmatched,
+                                            batch_format="pyarrow")),
+                 bind.cls, bind.cols())
+
+
+def _apply_filters(bind: _Bind, filters: list[Filter]) -> _Bind:
+    pend = [f for f in filters if f.var in bind.cols()]
+    if not pend:
+        return bind
+
+    def flt(b: pa.Table, _fs=list(pend), _cls=dict(bind.cls)) -> pa.Table:
+        mask = None
+        for f_ in _fs:
+            want = _const_repr(f_.term, _cls.get(f_.var, "iri"))
+            m = pc.not_equal(b[f_.var], want)
+            mask = m if mask is None else pc.and_(mask, m)
+        return b.filter(mask)
+
+    if bind.small:
+        return _Bind(flt(bind.data), bind.cls, bind.cols())
+    return _Bind(bind.data.map_batches(flt, batch_format="pyarrow"),
+                 bind.cls, bind.cols())
+
+
+def _pattern_order(patterns: list[Pattern]) -> list[Pattern]:
+    """Schema-closure patterns first (driver-side, they bind predicate
+    variables cheaply), then by boundness (more constants first)."""
+    def key(p: Pattern):
+        is_schema = (isinstance(p.p, Iri) and p.p.value in _SCHEMA_PREDS)
+        bound = sum(0 if isinstance(t, Var) else 1 for t in (p.s, p.p, p.o))
+        return (0 if is_schema else 1, -bound)
+    return sorted(patterns, key=key)
+
+
+def _merge_cls(cls: dict[str, str], pat: Pattern) -> None:
+    for col, t in (("s", pat.s), ("p", pat.p), ("o", pat.o)):
+        if isinstance(t, Var):
+            cls.setdefault(t.name, "term" if col == "o" else "iri")
+
+
+def _eval_group(store_dir: str, g: Group) -> _Bind:
+    bind: _Bind | None = None
+    cls: dict[str, str] = {}
+    for pat in _pattern_order(g.patterns):
+        is_schema = (isinstance(pat.p, Iri) and pat.p.value in _SCHEMA_PREDS)
+        _merge_cls(cls, pat)
+        if is_schema:
+            tbl = _eval_schema_pattern(store_dir, pat)
+            for v in _pattern_cols(pat).values():
+                cls[v] = "iri"           # closure stores raw IRIs
+            new = _Bind(tbl, cls)
+        else:
+            p_values = None
+            if (isinstance(pat.p, Var) and bind is not None and bind.small
+                    and pat.p.name in bind.cols()):
+                vals = bind.data[pat.p.name]
+                p_values = sorted(set(
+                    v for v in vals.to_pylist() if v is not None))
+            new = _Bind(_eval_store_pattern(store_dir, pat, p_values), cls,
+                        list(_pattern_cols(pat).values()))
+        if bind is None:
+            bind = new
+        else:
+            on = sorted(set(bind.cols()) & set(new.cols()))
+            joined = bind.cols() + [c for c in new.cols()
+                                    if c not in bind.cols()]
+            if bind.small and new.small:
+                bind = _Bind(_join_small(bind.data, new.data, on), cls,
+                             joined)
+            elif bind.small:
+                bind = _Bind(_broadcast_join(new.data, bind.data, on), cls,
+                             joined)
+            elif new.small:
+                bind = _Bind(_broadcast_join(bind.data, new.data, on), cls,
+                             joined)
+            else:
+                from .stages.canonicalize import default_shuffle_partitions
+                bind = _Bind(
+                    _batch_guard(_batch_guard(bind.data).join(
+                        _batch_guard(new.data), join_type="inner",
+                        num_partitions=default_shuffle_partitions(),
+                        on=tuple(on))),
+                    cls, joined)
+        bind = _apply_filters(bind, g.filters)
+    if bind is None:
+        raise SparqlError("empty group")
+    for m in g.minus:
+        mb = _eval_group(store_dir, m)
+        mb = _apply_filters(mb, m.filters)
+        on = sorted(set(bind.cols()) & set(mb.cols()))
+        # pull a Dataset minus side driver-side when it is small enough
+        if not mb.small:
+            from .stages.dedup import distinct
+            md = distinct(mb.data, on)
+            if md.count() <= _broadcast_limit():
+                empty = pa.table({c: pa.array([], type=pa.string())
+                                  for c in on})
+                mb = _Bind(pa.concat_tables(
+                    list(md.iter_batches(batch_format="pyarrow"))
+                    or [empty]), mb.cls)
+        bind = _anti_join(bind, mb, on)
+    return bind
+
+
+def _render_template(bind: _Bind, template: list[Pattern]
+                     ) -> "ray.data.Dataset":
+    """CONSTRUCT/INSERT instantiation: bindings -> graph rows (s, p, o
+    term form), deduped (a constructed graph is a set)."""
+    from .stages.dedup import distinct
+
+    def build(b: pa.Table, _t=template, _cls=dict(bind.cls)) -> pa.Table:
+        outs = []
+        n = b.num_rows
+        for pat in _t:
+            cols = {}
+            for name, t, want in (("s", pat.s, "iri"), ("p", pat.p, "iri"),
+                                  ("o", pat.o, "term")):
+                if isinstance(t, Var):
+                    arr = b[t.name].combine_chunks().cast(pa.string())
+                    if _cls.get(t.name, "iri") == "iri" and want == "term":
+                        arr = pc.binary_join_element_wise(
+                            pa.scalar("<"), arr, pa.scalar(">"), "")
+                    elif _cls.get(t.name) == "term" and want == "iri":
+                        arr = pc.utf8_trim(arr, characters="<>")
+                    cols[name] = arr
+                else:
+                    cols[name] = pa.array([_const_repr(t, want)] * n,
+                                          type=pa.string())
+            outs.append(pa.table(cols))
+        if not outs:
+            return pa.schema([("s", pa.string()), ("p", pa.string()),
+                              ("o", pa.string())]).empty_table()
+        return pa.concat_tables(outs)
+
+    spo = pa.schema([("s", pa.string()), ("p", pa.string()),
+                     ("o", pa.string())])
+    ds = (ray.data.from_arrow(build(bind.data)) if bind.small
+          else ray.data.from_arrow(spo.empty_table()).union(
+              bind.data.map_batches(build, batch_format="pyarrow")))
+    return distinct(ds, ["s", "p", "o"])
+
+
+def execute_sparql(store_dir: str, q: Query) -> "ray.data.Dataset":
+    """Run one parsed query against a ``write_graph_partitioned``
+    store. SELECT returns a Dataset with the selected variables as
+    columns; CONSTRUCT/INSERT return the derived graph (s, p, o)."""
+    bind = _eval_group(store_dir, q.where)
+    if q.form in ("construct", "insert"):
+        return _render_template(bind, q.template)
+    sel = q.select_vars or sorted(bind.cols())
+    missing = [v for v in sel if v not in bind.cols()]
+    if missing:
+        raise SparqlError(f"selected vars not bound: {missing}")
+    if bind.small:
+        ds = ray.data.from_arrow(bind.data.select(sel))
+    else:
+        sch = pa.schema([(v, pa.string()) for v in sel])
+        ds = ray.data.from_arrow(sch.empty_table()).union(
+            bind.data.map_batches(
+                lambda b, _s=list(sel): b.select(_s),
+                batch_format="pyarrow"))
+    if q.distinct:
+        from .stages.dedup import distinct
+        ds = distinct(ds, sel)
+    return ds
+
+
+def sparql_insert(store_dir: str, q: Query) -> "ray.data.Dataset":
+    """SPARQL-Update INSERT..WHERE applied to the store: derive the
+    template graph, anti-join against the already-asserted partitions
+    of the derived predicates (graph union is a SET — a re-run inserts
+    nothing), append the genuinely new rows to the partitioned layout.
+    Returns the derived graph (same rows a CONSTRUCT would yield)."""
+    from .sinks.ntriples_sink import write_graph_partitioned
+    from .sinks.store_query import query_triples
+    derived = execute_sparql(store_dir, q).materialize()
+    preds = set()
+    for b in derived.iter_batches(batch_format="pyarrow"):
+        preds.update(pc.unique(b["p"].combine_chunks()).to_pylist())
+    existing_parts = [query_triples(store_dir, p=pr) for pr in sorted(preds)]
+    spo = ["s", "p", "o"]
+    new = _Bind(derived, {"s": "iri", "p": "iri", "o": "term"}, spo)
+    if existing_parts:
+        ex = existing_parts[0]
+        for e in existing_parts[1:]:
+            ex = ex.union(e)
+        new = _anti_join(
+            new, _Bind(ex, {"s": "iri", "p": "iri", "o": "term"}, spo),
+            spo)
+    data = (ray.data.from_arrow(new.data) if new.small else new.data)
+    data = data.materialize()
+    if data.count() > 0:
+        write_graph_partitioned(data, store_dir)
+    return derived
+
+
+def run_sparql_file(store_dir: str, text: str,
+                    apply_updates: bool = False) -> list["ray.data.Dataset"]:
+    """Parse a multi-statement .sparql file and run every statement
+    against the store, in order. INSERT statements mutate the store
+    only when ``apply_updates`` is set (else they behave like
+    CONSTRUCT)."""
+    out = []
+    for q in parse_sparql(text):
+        if q.form == "insert" and apply_updates:
+            out.append(sparql_insert(store_dir, q))
+        else:
+            out.append(execute_sparql(store_dir, q))
+    return out
+
+
+# ------------------------------------------------- the reference file
+
+#: Verbatim copy of the reference's hand-off artifact
+#: (/root/reference/csv2rdf-v4/jena/requests.sparql:1-31) — query DATA,
+#: not engine code; tests assert byte-parity with the original when the
+#: reference tree is present.
+REQUESTS_SPARQL = """\
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+prefix ns1: <https://www.olivier.com/rdf/mipl/>
+prefix ns1v1: <https://www.olivier.com/rdf/mipl/v01/>
+prefix ns1v2: <https://www.olivier.com/rdf/mipl/v02/>
+
+select ?x ?y ?z where {?x ?y ?z}
+
+#### Inference principle
+CONSTRUCT {?x ?r ?y .}
+WHERE {?x ?q ?y .
+?q rdfs:subPropertyOf ?r }
+
+
+#### Créer les enregistrements sur un endpoint /update
+INSERT { ?x ?r ?y . }
+  where {
+  { ?x ?q ?y .
+  ?q rdfs:subPropertyOf ?r . }
+}
+
+#### gestion des versions avec utilisation de la dernière version et de la relation mère uniquement
+SELECT distinct ?x ?z
+WHERE
+{
+	?x ns1v2:applicable_to ?z .
+	MINUS {
+		?x ?r1 ?z .
+		?r1 rdfs:subPropertyOf ns1:applicable_to .
+		filter(?r1 != ns1v2:applicable_to)
+	}
+}
+
+
+
+"""
+
+_REFERENCE_PATH = "/root/reference/csv2rdf-v4/jena/requests.sparql"
+
+
+def load_reference_requests() -> str:
+    """The reference's own .sparql text: read the file when the
+    reference tree is mounted, else the verbatim embedded copy."""
+    if os.path.exists(_REFERENCE_PATH):
+        with open(_REFERENCE_PATH, encoding="utf-8") as f:
+            return f.read()
+    return REQUESTS_SPARQL

@@ -1,0 +1,160 @@
+"""SPARQL text front-end (kgforge/sparql.py): parser subset, plan
+parity with the programmatic store APIs, INSERT mutation, and byte
+parity with the reference's own requests.sparql."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from kgforge.sparql import (REQUESTS_SPARQL, Iri, SparqlError, Var,
+                            execute_sparql, load_reference_requests,
+                            parse_sparql, run_sparql_file, sparql_insert)
+
+SF = "/root/testdata/sf0.001"
+REF = "/root/reference/csv2rdf-v4/jena/requests.sparql"
+
+
+# ------------------------------------------------------------ parser
+
+def test_embedded_copy_matches_reference_file():
+    if not os.path.exists(REF):
+        pytest.skip("reference tree not mounted")
+    with open(REF, encoding="utf-8") as f:
+        assert f.read() == REQUESTS_SPARQL
+    assert load_reference_requests() == REQUESTS_SPARQL
+
+
+def test_parse_all_four_statements():
+    qs = parse_sparql(load_reference_requests())
+    assert [q.form for q in qs] == ["select", "construct", "insert",
+                                    "select"]
+    assert qs[0].select_vars == ["x", "y", "z"] and not qs[0].distinct
+    assert qs[3].distinct and qs[3].select_vars == ["x", "z"]
+    m = qs[3].where.minus[0]
+    assert len(m.patterns) == 2 and m.filters[0].op == "!="
+    assert m.filters[0].var == "r1"
+    # prefixes resolved into full IRIs
+    assert isinstance(m.patterns[1].o, Iri)
+    assert m.patterns[1].o.value.endswith("/mipl/applicable_to")
+
+
+def test_parse_predicate_object_lists():
+    qs = parse_sparql("""
+PREFIX ex: <http://e/>
+SELECT ?a WHERE { ?a ex:p ex:b , ex:c ; ex:q "lit" . }
+""")
+    pats = qs[0].where.patterns
+    assert [(p.p.value, getattr(p.o, "value", None)) for p in pats] == [
+        ("http://e/p", "http://e/b"), ("http://e/p", "http://e/c"),
+        ("http://e/q", "lit")]
+    assert all(p.s == Var("a") for p in pats)
+
+
+def test_parse_a_keyword_and_comments():
+    qs = parse_sparql("""
+# standalone comment with <brackets> and "quotes"
+PREFIX ex: <http://e/>
+SELECT ?a WHERE { ?a a ex:T }  # trailing comment
+""")
+    p = qs[0].where.patterns[0]
+    assert p.p.value.endswith("22-rdf-syntax-ns#type")
+
+
+def test_parser_errors():
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?x WHERE { ?x ex:p ?y }")   # undeclared prefix
+    with pytest.raises(SparqlError):
+        parse_sparql("ASK { ?x ?y ?z }")                 # unsupported form
+    with pytest.raises(SparqlError):
+        parse_sparql("PREFIX e: <http://e/> SELECT ?x WHERE "
+                     "{ FILTER(?x > 3) ?x e:p ?y }")     # op subset
+
+
+# ------------------------------------------------- plan parity (ray)
+
+@pytest.fixture(scope="module")
+def v4store(ray_session):
+    from kgforge.pipelines.tabular import _v4_part_store
+    return _v4_part_store(SF)
+
+
+def _rows(ds):
+    return sorted(map(tuple, ds.to_pandas().itertuples(index=False)))
+
+
+def test_select_all_matches_store_scan(ray_session, v4store):
+    from kgforge.sinks.store_query import query_triples
+    q = parse_sparql(load_reference_requests())[0]
+    got = execute_sparql(v4store, q)
+    want = query_triples(v4store)
+    assert _rows(got) == _rows(want)
+    assert got.schema().names == ["x", "y", "z"]
+
+
+def test_construct_matches_entailed_facts(ray_session, v4store):
+    from kgforge.stages.entailment import entailed_facts
+    q = parse_sparql(load_reference_requests())[1]
+    got = execute_sparql(v4store, q)
+    assert got.schema().names == ["s", "p", "o"]
+    assert _rows(got) == _rows(entailed_facts(v4store))
+
+
+def test_versioning_minus_matches_query_minus(ray_session):
+    """The parsed MINUS plan must equal the programmatic query_minus
+    with the closure-derived exclusion list."""
+    from kgforge.pipelines.versioning import NS1, NS1V1, NS1V2, versioned_store
+    from kgforge.sinks.store_query import query_minus
+    store = versioned_store(SF)
+    q = parse_sparql(load_reference_requests())[3]
+    got = execute_sparql(store, q)
+    want = query_minus(store, NS1V2 + "applicable_to",
+                       [NS1V1 + "applicable_to"])
+    got_rows = _rows(got)
+    assert got_rows == _rows(want)
+    assert len(got_rows) > 0
+
+
+def test_versioning_minus_hash_join_path(ray_session, monkeypatch):
+    """KGFORGE_BROADCAST_LIMIT=0 forces the hash-partitioned anti-join;
+    result must be identical to the broadcast path."""
+    from kgforge.pipelines.versioning import versioned_store
+    store = versioned_store(SF)
+    q = parse_sparql(load_reference_requests())[3]
+    base = _rows(execute_sparql(store, q))
+    monkeypatch.setenv("KGFORGE_BROADCAST_LIMIT", "0")
+    forced = _rows(execute_sparql(store, q))
+    assert forced == base
+
+
+def test_insert_mutates_store_idempotently(ray_session, tmp_path):
+    """INSERT..WHERE applied twice: first run asserts the derived
+    facts, second run inserts nothing (graph is a set)."""
+    import shutil
+
+    from kgforge.pipelines.versioning import versioned_store
+    from kgforge.sinks.store_query import query_triples
+    from kgforge.stages.entailment import entailed_facts
+    src = versioned_store(SF)
+    store = str(tmp_path / "store")
+    shutil.copytree(src, store)
+    parent = "https://www.olivier.com/rdf/mipl/applicable_to"
+    q = parse_sparql(load_reference_requests())[2]
+    before = query_triples(store, p=parent).count()
+    derived = entailed_facts(store).count()
+    out1 = sparql_insert(store, q)
+    assert out1.count() == derived
+    after1 = query_triples(store, p=parent).count()
+    assert after1 == before + derived
+    # idempotent: nothing new on re-apply
+    sparql_insert(store, q)
+    assert query_triples(store, p=parent).count() == after1
+
+
+def test_run_sparql_file_runs_all_statements(ray_session, v4store):
+    outs = run_sparql_file(v4store, load_reference_requests())
+    assert len(outs) == 4
+    assert outs[0].schema().names == ["x", "y", "z"]
+    assert outs[1].schema().names == ["s", "p", "o"]
+    # CONSTRUCT and read-only INSERT derive the same graph
+    assert _rows(outs[1]) == _rows(outs[2])
