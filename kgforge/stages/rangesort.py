@@ -10,9 +10,14 @@ is keyed by ONE int32 and all string comparisons happen in vectorized
 numpy / polars kernels.
 
 Shape:
-1. deterministic per-batch quantile sample of ``keys[0]`` -> driver
-   boundaries (tiny; depends only on batch contents, so identical
-   reruns produce identical file boundaries — the resume contract);
+1. CONTENT-KEYED quantile sample of ``keys[0]`` -> driver boundaries:
+   a KMV sketch of the distinct keys (k smallest deterministic hashes,
+   polars ``hash_rows(seed=0)``), so the sample — and therefore the
+   boundary set and every bucket's CONTENT — depends only on the
+   distinct-key set, never on block structure, input sharding, or
+   duplicate multiplicity. Reruns over a differently-sharded copy of
+   the same data produce identical buckets (the resume /
+   byte-stable-output contract);
 2. vectorized bucket assignment: numpy ``searchsorted`` over a
    fixed-width U-dtype view. Truncation-safe: every boundary's length
    bounds the dtype width, and ``side='right'`` sends rows whose
@@ -36,36 +41,75 @@ import pyarrow as pa
 import ray.data
 
 
+def content_boundaries(ds: "ray.data.Dataset", key: str,
+                       num_buckets: int,
+                       sample_per_bucket: int = 64) -> list[str]:
+    """Range-bucket boundaries for ``key`` that depend ONLY on the
+    distinct-key SET: a KMV (k-minimum-values) sketch keeps the
+    ``k = num_buckets * sample_per_bucket`` distinct values with the
+    smallest deterministic content hash (seeded polars row hash). The
+    k-smallest-hash values are a uniform pseudo-random sample of the
+    distinct keys, so sorting them lexicographically and cutting at
+    ``num_buckets`` quantiles yields stable range edges. Unlike a
+    Bernoulli row sample, the sketch is insensitive to duplicate
+    multiplicity AND block structure — reruns over a differently
+    sharded / differently deduped copy of the same key set freeze
+    identical boundaries (the byte-stable-output contract). One
+    streaming pass; per-batch combiner emits ≤ k rows; driver keeps a
+    running k-smallest merge (O(k) memory). Returns [] when the input
+    is too small to cut (callers fall back to a plain sort)."""
+    import polars as pl
+    k = num_buckets * sample_per_bucket
+
+    def sample(b: pa.Table) -> pa.Table:
+        s = (pl.from_arrow(b.select([key]))
+             .rename({key: "q"}).cast(pl.String)
+             .unique(subset=["q"]))
+        return (s.with_columns(s.hash_rows(seed=0).alias("_h"))
+                .sort("_h").head(k).to_arrow())
+
+    best = None
+    for b in (ds.map_batches(sample, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        part = pl.from_arrow(b)
+        best = part if best is None else pl.concat([best, part])
+        best = best.unique(subset=["q"]).sort("_h").head(k)
+    if best is None or best.height < 2:
+        return []
+    qs = sorted(best["q"].to_list())
+    return sorted({qs[i * len(qs) // num_buckets]
+                   for i in range(1, num_buckets)})
+
+
+def boundary_array(bnds: list[str]) -> np.ndarray:
+    """Boundaries as the fixed-width U-dtype array ``bucket_assign``
+    compares against (see module docstring for truncation safety)."""
+    maxw = max(1, max((len(x) for x in bnds), default=1))
+    return np.array(bnds, dtype=f"U{maxw}")
+
+
+def bucket_assign(b: pa.Table, key: str, bnds_arr: np.ndarray,
+                  col: str = "_bucket") -> pa.Table:
+    """Append the int32 range-bucket index of ``key`` per row."""
+    s = b[key].combine_chunks().cast(pa.string())
+    sn = s.to_numpy(zero_copy_only=False).astype(bnds_arr.dtype)
+    bk = np.searchsorted(bnds_arr, sn, side="right").astype(np.int32)
+    return b.append_column(col, pa.array(bk))
+
+
 def range_sorted(ds: "ray.data.Dataset", keys: list[str],
                  num_buckets: int | None = None,
-                 samples_per_batch: int = 32) -> "ray.data.Dataset":
+                 sample_per_bucket: int = 64) -> "ray.data.Dataset":
     if num_buckets is None:
         from .dedup import default_num_buckets
         num_buckets = default_num_buckets()
-    key0 = keys[0]
-
-    def sample(b: pa.Table) -> pa.Table:
-        s = b[key0].combine_chunks().cast(pa.string())
-        arr = np.sort(s.to_numpy(zero_copy_only=False))
-        step = max(1, len(arr) // samples_per_batch)
-        return pa.table({"q": pa.array(arr[::step], type=pa.string())})
-
-    qs: list[str] = []
-    for b in (ds.map_batches(sample, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
-        qs.extend(b["q"].to_pylist())
-    qs.sort()
-    if len(qs) < 2:
+    bnds = content_boundaries(ds, keys[0], num_buckets, sample_per_bucket)
+    if not bnds:
         return ds.sort(keys)      # trivial input: Ray's sort is fine
-    bnds = [qs[i * len(qs) // num_buckets] for i in range(1, num_buckets)]
-    maxw = max(1, max(len(x) for x in bnds))
-    bnds_arr = np.array(bnds, dtype=f"U{maxw}")
+    bnds_arr = boundary_array(bnds)
 
     def assign(b: pa.Table) -> pa.Table:
-        s = b[key0].combine_chunks().cast(pa.string())
-        sn = s.to_numpy(zero_copy_only=False).astype(f"U{maxw}")
-        bk = np.searchsorted(bnds_arr, sn, side="right").astype(np.int32)
-        return b.append_column("_bucket", pa.array(bk))
+        return bucket_assign(b, keys[0], bnds_arr)
 
     def bucket_sort(g: pa.Table) -> pa.Table:
         import polars as pl

@@ -43,9 +43,7 @@ def main(argv=None) -> int:
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
-    from kgforge.pipelines.webkg import DOMAIN
-    from kgforge.sinks.ntriples_sink import write_graph
-    from kgforge.state.manifest import merged_triples, partitioned_kg_run
+    from kgforge.state.manifest import partitioned_kg_run
 
     t0 = time.time()
     manifest = partitioned_kg_run(args.input, args.out,
@@ -56,29 +54,14 @@ def main(argv=None) -> int:
         "triples_out": sum(r["triples_out"] for r in manifest.records.values()),
     }
     if not args.skip_merge:
-        # merge is resumable too: a marker fingerprinting the completed
-        # partition set makes an unchanged re-run a true no-op
-        import glob
-        import hashlib
-        # content-derived: counts alone would skip a re-merge whose
-        # partition CONTENTS changed but whose per-partition counts
-        # happen to match — include every parquet shard's size+mtime
-        files = sorted(glob.glob(os.path.join(
-            args.out, "part-*[0-9]", "triples.parquet", "*.parquet")))
-        fstamp = [(os.path.relpath(f, args.out), os.path.getsize(f),
-                   round(os.path.getmtime(f), 6)) for f in files]
-        fp = hashlib.md5(json.dumps([
-            sorted((str(k), r["triples_out"])
-                   for k, r in manifest.records.items()),
-            fstamp]).encode()).hexdigest()
-        marker = os.path.join(args.out, "merged", "_MERGED")
-        prev = open(marker).read() if os.path.exists(marker) else None
-        if prev != fp:
-            write_graph(merged_triples(args.out, domain=DOMAIN),
-                        f"{args.out}/merged")
-            with open(marker, "w") as mf:
-                mf.write(fp)
-        else:
+        # incremental sorted-run merge (stages/mergestore.py): unchanged
+        # partitions reuse their sorted runs, unchanged range buckets
+        # keep their output shards — a one-partition delta re-merges
+        # O(delta), an unchanged re-run is a marker-only no-op
+        from kgforge.stages.mergestore import incremental_merge
+        mstats = incremental_merge(args.out)
+        totals.update(mstats)
+        if mstats["runs_rebuilt"] == 0 and mstats["buckets_merged"] == 0:
             totals["merge_skipped"] = True
     totals["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(totals))
