@@ -175,6 +175,27 @@ def run_bench() -> dict:
     # end-of-run canary: catches contention that ARRIVED mid-run
     canary_end_s = canary()
     contended = canary_s > quiet_thr or canary_end_s > quiet_thr
+
+    # object-store spill telemetry: a scaling level whose runtime is
+    # partly disk-spill throughput is not measuring CPU scaling — the
+    # recorded spill volume makes such readings self-documenting
+    # (VERDICT r3 item 5: the ×256 lo-level runs sit near store pressure)
+    def spilled_mib():
+        # no grpc in this sandbox -> memory_summary unavailable; the
+        # spill volume IS the on-disk size of the session's
+        # ray_spilled_objects dir (created only when spilling occurs)
+        try:
+            import glob as _glob
+            sd = ray._private.worker.global_worker.node \
+                .get_session_dir_path()
+            n = sum(os.path.getsize(f) for f in _glob.glob(
+                os.path.join(sd, "ray_spilled_objects*", "**"),
+                recursive=True) if os.path.isfile(f))
+            return round(n / 2**20, 1)
+        except Exception:
+            return None
+
+    spill = spilled_mib()
     out = {
         "metric": "kgforge_bench_total",
         "value": round(total, 3),
@@ -190,6 +211,7 @@ def run_bench() -> dict:
         "canary_quiet_threshold_s": quiet_thr,
         "host_load_avg": load_start,
         "host_contended": contended,
+        "spilled_mib": spill,
     }
     if contended:
         print("WARNING: host_contended=true — external load inflated this "
@@ -290,6 +312,8 @@ def run_scaling() -> dict:
         "docs": lo.get("docs"),
         "webkg_docs_per_s_lo": lo.get("webkg_docs_per_s"),
         "webkg_docs_per_s_hi": hi.get("webkg_docs_per_s"),
+        "spilled_mib_lo": lo.get("spilled_mib"),
+        "spilled_mib_hi": hi.get("spilled_mib"),
         "scaling_efficiency": round(eff, 3),
         "host_contended": (lo.get("host_contended", False)
                           or hi.get("host_contended", False)),

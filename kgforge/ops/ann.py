@@ -420,6 +420,9 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98,
             print(f"[kgforge] embedding_dup_pairs: bucket of {n} rows "
                   f"over cap={cap} degraded to star comparisons",
                   file=sys.stderr)
+            from ..state import counters
+            counters.inc("embdup.buckets_star_capped", 1)
+            counters.inc("embdup.bucket_rows_star_capped", n)
             sims = np.round(m[1:] @ m[0], 4)
             keep = sims >= threshold
             return pa.table({

@@ -268,10 +268,14 @@ def dup_key_pairs(ds: "ray.data.Dataset", key_cols: list[str],
                 b_parts.append(run[ju])
         if capped_runs:
             import sys
+
+            from ..state import counters
             print(f"[kgforge] dup_key_pairs: {capped_runs} run(s) over "
                   f"cap={cap} degraded to star edges "
                   f"({suppressed} all-pairs edges suppressed; connectivity "
                   f"preserved)", file=sys.stderr)
+            counters.inc("dedup.pair_runs_star_capped", capped_runs)
+            counters.inc("dedup.pair_edges_suppressed", suppressed)
         a_out = np.concatenate(a_parts) if a_parts else np.zeros(0, np.int64)
         b_out = np.concatenate(b_parts) if b_parts else np.zeros(0, np.int64)
         return pa.table({"a": pa.array(a_out.astype(np.int64),
@@ -359,6 +363,8 @@ def _expand_exact_groups(verified: "ray.data.Dataset",
     import sys
 
     import ray
+
+    from ..state import counters
     cap = pair_run_cap()
     limit = int(os.environ.get("KGFORGE_GROUP_BROADCAST_LIMIT", 100_000))
     if n_members > limit:
@@ -366,6 +372,8 @@ def _expand_exact_groups(verified: "ray.data.Dataset",
               f"exceeds the broadcast limit: emitting star within-group "
               f"edges + rep-level near-dup pairs (connectivity-exact, "
               f"pair-list truncated)", file=sys.stderr)
+        counters.inc("minhash.group_broadcast_exceeded", 1)
+        counters.inc("minhash.group_members_star_only", n_members)
         within_star = gm.map_batches(
             lambda t: pa.table({
                 "a": t["a"], "b": t["b"],
@@ -395,6 +403,7 @@ def _expand_exact_groups(verified: "ray.data.Dataset",
     if capped:
         print(f"[kgforge] minhash: {capped} exact-dup group(s) over "
               f"cap={cap} emitted as star edges", file=sys.stderr)
+        counters.inc("minhash.exact_groups_star_capped", capped)
     within = ray.data.from_arrow(pa.table({
         "a": pa.array(wa, type=pa.int64()),
         "b": pa.array(wb, type=pa.int64()),
@@ -424,8 +433,10 @@ def _expand_exact_groups(verified: "ray.data.Dataset",
                     b_out.append(hi)
                     j_out.append(jv)
         if trunc:
+            from ..state import counters as _counters
             print(f"[kgforge] minhash: {trunc} cross-group expansion(s) "
                   f"over cap={cap} kept as rep pairs", file=sys.stderr)
+            _counters.inc("minhash.cross_expansions_rep_capped", trunc)
         return pa.table({"a": pa.array(a_out, type=pa.int64()),
                          "b": pa.array(b_out, type=pa.int64()),
                          "jaccard_pct": pa.array(j_out, type=pa.int64())})

@@ -63,6 +63,13 @@ def main(argv=None) -> int:
         totals.update(mstats)
         if mstats["runs_rebuilt"] == 0 and mstats["buckets_merged"] == 0:
             totals["merge_skipped"] = True
+    # truncation-rate visibility: any cap-degradation event (star-edge
+    # fallbacks, broadcast-limit bypass) fired during this job shows up
+    # in the job totals, not just worker stderr
+    from kgforge.state import counters
+    degraded = counters.snapshot()
+    if degraded:
+        totals["lineage_counters"] = degraded
     totals["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(totals))
     ray.shutdown()

@@ -40,6 +40,8 @@ def planted_dir(tmp_path_factory):
 
 def test_minhash_planted_identical_cluster_bounded(ray_session, planted_dir):
     from kgforge.ops.dedup import minhash_dedup
+    from kgforge.state import counters
+    counters.reset()
     t0 = time.monotonic()
     out = minhash_dedup(planted_dir).to_pandas()
     elapsed = time.monotonic() - t0
@@ -51,6 +53,9 @@ def test_minhash_planted_identical_cluster_bounded(ray_session, planted_dir):
     members = set(in_cluster["a"]) | set(in_cluster["b"])
     assert members == set(range(N_DUP))
     assert (in_cluster["jaccard_pct"] == 100).all()
+    # the degradation is visible in lineage counters, not just stderr
+    assert counters.snapshot().get("minhash.exact_groups_star_capped",
+                                   0) >= 1
 
 
 def test_simhash_planted_identical_cluster_bounded(ray_session, planted_dir):
@@ -69,6 +74,8 @@ def test_simhash_planted_identical_cluster_bounded(ray_session, planted_dir):
 def test_embedding_planted_identical_bucket_bounded(ray_session,
                                                     planted_dir):
     from kgforge.ops.ann import embedding_dup_pairs
+    from kgforge.state import counters
+    counters.reset()
     t0 = time.monotonic()
     out = embedding_dup_pairs(planted_dir, threshold=0.98).to_pandas()
     elapsed = time.monotonic() - t0
@@ -78,6 +85,9 @@ def test_embedding_planted_identical_bucket_bounded(ray_session,
     members = set(in_cluster["a"]) | set(in_cluster["b"])
     assert members == set(range(N_DUP))
     assert (in_cluster["sim4"] >= 0.98).all()
+    snap = counters.snapshot()
+    assert snap.get("embdup.buckets_star_capped", 0) >= 1
+    assert snap.get("embdup.bucket_rows_star_capped", 0) >= N_DUP
 
 
 def test_pair_run_cap_star_fallback(ray_session):
@@ -91,6 +101,9 @@ def test_pair_run_cap_star_fallback(ray_session):
                                        type=pa.int64())})
     ds = ray.data.from_arrow(tbl)
     import os
+
+    from kgforge.state import counters
+    counters.reset()
     os.environ["KGFORGE_PAIR_RUN_CAP"] = "10"
     try:
         out = dup_key_pairs(ds, ["key"], "doc_id").to_pandas()
@@ -98,6 +111,11 @@ def test_pair_run_cap_star_fallback(ray_session):
         del os.environ["KGFORGE_PAIR_RUN_CAP"]
     pairs = set(zip(out["a"], out["b"]))
     assert pairs == {(0, i) for i in range(1, n)}
+    snap = counters.snapshot()
+    assert snap.get("dedup.pair_runs_star_capped", 0) == 1
+    # exactly the all-pairs edges the star fallback suppressed
+    assert snap.get("dedup.pair_edges_suppressed", 0) == \
+        n * (n - 1) // 2 - (n - 1)
     # under the cap: full all-pairs set
     out2 = dup_key_pairs(ds, ["key"], "doc_id").to_pandas()
     assert len(out2) == n * (n - 1) // 2
