@@ -324,8 +324,46 @@ def run_scaling() -> dict:
     }
 
 
+def run_exchange_bytes() -> dict:
+    """Payload-bytes comparison behind distinct_prefilter's multi-node
+    claim (VERDICT r3 item 7): on the webkg flagship's final-distinct
+    stream (domain-stripped, locally combined — exactly what the
+    exchange moves), weigh the plain sort path's full-row shuffle
+    against the prefilter's hash-plus-duplicated-remainder shuffle. On
+    one node both land in shared memory (prefilter is net-neutral wall
+    time, hence opt-in); on a real cluster these bytes are the network
+    bill."""
+    _preflight()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.read_op_min_num_blocks = NCPU
+
+    from kgforge.pipelines.webkg import (DOMAIN, build_prepared_pages,
+                                         webkg_triples_from_pages)
+    from kgforge.stages.dedup import (TRIPLE_KEYS, domain_strip_transforms,
+                                      exchange_payload_report)
+    pages = build_prepared_pages(SF_DIR)
+    triples = webkg_triples_from_pages(pages, dedup=False)
+    strip, _ = domain_strip_transforms(DOMAIN)
+    rep = exchange_payload_report(
+        triples.map_batches(strip, batch_format="pyarrow"), TRIPLE_KEYS)
+    rep.update({"metric": "kgforge_exchange_bytes", "unit": "MiB",
+                "value": rep["plain_exchange_mib"],
+                "sf": _sf_label(SF_DIR), "num_cpus": NCPU})
+    ray.shutdown()
+    return rep
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--exchange-bytes" in sys.argv:
+        print(json.dumps(run_exchange_bytes()))
     else:
         print(json.dumps(run_bench()))

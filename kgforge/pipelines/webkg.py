@@ -317,7 +317,8 @@ def webkg_triples_from_pages(pages: "ray.data.Dataset",
                              domain: str = DOMAIN,
                              canonicalize: bool = True,
                              linker_concurrency: tuple[int, int] | int | None
-                             = None) -> "ray.data.Dataset":
+                             = None,
+                             dedup: bool = True) -> "ray.data.Dataset":
     """The transform half: prepared pages -> deduped triples.
 
     The pages stream feeds THREE consumers (grammar triples, mention
@@ -388,6 +389,9 @@ def webkg_triples_from_pages(pages: "ray.data.Dataset",
         if mapping.count() > 0:   # no dup pages -> skip both rewrites
             triples = apply_canonical_mapping(triples, mapping)
             triples = triples.union(sameas_from_mapping(mapping))
+    if not dedup:
+        # pre-distinct stream (exchange-payload measurement hook)
+        return triples
     # stages.dedup.distinct_prefilter (exchange row HASHES, shuffle only
     # the duplicated remainder) is the multi-node path for this final
     # distinct — on one node the exchange is shared-memory, so the

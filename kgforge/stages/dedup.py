@@ -219,7 +219,17 @@ def dedup_triples(ds: "ray.data.Dataset",
     d = distinct_prefilter if prefilter else distinct
     if not domain:
         return d(ds, TRIPLE_KEYS)
+    strip, unstrip = domain_strip_transforms(domain)
+    stripped = ds.map_batches(strip, batch_format="pyarrow")
+    return d(stripped, TRIPLE_KEYS).map_batches(
+        unstrip, batch_format="pyarrow")
 
+
+def domain_strip_transforms(domain: str):
+    """(strip, unstrip) batch fns for the domain-prefix transport
+    optimization described in :func:`dedup_triples` — factored out so
+    measurement tooling (``exchange_payload_report``) can weigh the
+    exact stream the distinct exchange actually moves."""
     import pyarrow.compute as pc
 
     n = len(domain)
@@ -258,6 +268,96 @@ def dedup_triples(ds: "ray.data.Dataset",
                                      col, out)
         return batch
 
-    stripped = ds.map_batches(strip, batch_format="pyarrow")
-    return d(stripped, TRIPLE_KEYS).map_batches(
-        unstrip, batch_format="pyarrow")
+    return strip, unstrip
+
+
+def exchange_payload_report(ds: "ray.data.Dataset", keys: list[str],
+                            num_buckets: int | None = None) -> dict:
+    """Measurement companion to :func:`distinct_prefilter`: the byte
+    volumes each global-distinct path pushes through the all-to-all
+    exchange on THIS stream. On one node the object-store 'exchange' is
+    shared memory, so the prefilter's payload reduction doesn't show up
+    in wall time — this report is the number behind the multi-node
+    claim, where exchange bytes cross the network.
+
+    - ``plain_exchange_mib``: Arrow payload of the locally-combined key
+      columns — what ``distinct``'s sort shuffle moves.
+    - ``prefilter_exchange_mib``: 8 B/row of hashes plus the payload of
+      rows whose hash is globally duplicated (the only full rows the
+      prefilter shuffles).
+    """
+    import numpy as np
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    def local_hash(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        u = pl.from_arrow(batch.select(keys)).unique(subset=keys,
+                                                     keep="first",
+                                                     maintain_order=True)
+        h = u.hash_rows(seed=0).reinterpret(signed=True).rename("_h")
+        target = pa.schema([batch.schema.field(k) for k in keys] +
+                           [pa.field("_h", pa.int64())])
+        return u.with_columns(h).to_arrow().cast(target)
+
+    local = ds.map_batches(local_hash, batch_format="pyarrow").materialize()
+
+    def summarize(keep: np.ndarray | None = None):
+        def fn(batch: pa.Table) -> pa.Table:
+            sel = batch
+            if keep is not None and len(keep):
+                h = batch["_h"].to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(keep, h)
+                idx[idx == len(keep)] = 0
+                sel = batch.filter(pa.array(keep[idx] == h))
+            sel = sel.select(keys).combine_chunks()
+            return pa.table({
+                "rows": pa.array([sel.num_rows], type=pa.int64()),
+                "nbytes": pa.array([sel.nbytes], type=pa.int64())})
+        return fn
+
+    def totals(summary_ds) -> tuple[int, int]:
+        rows = nbytes = 0
+        for b in summary_ds.iter_batches(batch_format="pyarrow"):
+            rows += sum(b["rows"].to_pylist())
+            nbytes += sum(b["nbytes"].to_pylist())
+        return rows, nbytes
+
+    rows, payload = totals(local.map_batches(summarize(),
+                                             batch_format="pyarrow"))
+
+    # duplicated-hash detection — same shape as prefilter stage 2
+    def proj(batch: pa.Table) -> pa.Table:
+        h = batch["_h"].combine_chunks()
+        hv = h.to_numpy(zero_copy_only=False)
+        b = ((hv & 0x7FFFFFFF) % num_buckets).astype(np.int32)
+        return pa.table({"_h": h, "_bucket": pa.array(b)})
+
+    def dup_hashes(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["_h"]).aggregate([("_h", "count")])
+        return (agg.filter(pc.greater(agg["_h_count"], 1))
+                .select(["_h"]))
+
+    dup_h: list[int] = []
+    for b in (local.map_batches(proj, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(dup_hashes, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        if "_h" in b.schema.names:
+            dup_h.extend(b["_h"].to_pylist())
+    dup_arr = np.sort(np.array(dup_h, dtype=np.int64))
+    dup_rows, dup_payload = (0, 0) if not len(dup_arr) else totals(
+        local.map_batches(summarize(dup_arr), batch_format="pyarrow"))
+
+    hash_bytes = rows * 8
+    pre = hash_bytes + dup_payload
+    return {
+        "rows_local_distinct": rows,
+        "dup_hash_rows": dup_rows,
+        "plain_exchange_mib": round(payload / 2**20, 2),
+        "prefilter_hash_mib": round(hash_bytes / 2**20, 2),
+        "prefilter_dup_payload_mib": round(dup_payload / 2**20, 2),
+        "prefilter_exchange_mib": round(pre / 2**20, 2),
+        "exchange_savings_pct": round(100 * (1 - pre / payload), 1)
+        if payload else 0.0,
+    }

@@ -154,3 +154,28 @@ def test_distinct_prefilter_matches_plain(ray_session):
     ds2 = ray.data.from_arrow(uniq).repartition(4)
     got2 = distinct_prefilter(ds2, ["a", "b"]).to_pandas()
     assert len(got2) == 500
+
+
+def test_exchange_payload_report(ray_session):
+    """The payload-bytes comparison behind the prefilter's multi-node
+    claim: on a low-dup stream the hash-only exchange must be a small
+    fraction of the full-row exchange, and the dup accounting must
+    match the known duplicate structure."""
+    import ray
+
+    from kgforge.stages.dedup import exchange_payload_report
+    # 8 blocks; 300 distinct pairs duplicated ~7x ACROSS blocks, plus
+    # 2000 globally-unique wide rows that never re-shuffle
+    rows = [(f"s{i % 300}", f"p{i % 6}") for i in range(2000)]
+    rows += [(f"uniq-{i}-" + "x" * 64, f"q{i}") for i in range(2000)]
+    tbl = pa.table({"a": pa.array([r[0] for r in rows]),
+                    "b": pa.array([r[1] for r in rows])})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    rep = exchange_payload_report(ds, ["a", "b"], num_buckets=16)
+    # local distinct: 300 dup keys survive once per block they touch
+    # (> 300, < 2400) + 2000 unique rows
+    assert 2300 <= rep["rows_local_distinct"] <= 4400
+    # every duplicated row is detected; no unique row is
+    assert 600 <= rep["dup_hash_rows"] <= 2400
+    assert rep["prefilter_exchange_mib"] < rep["plain_exchange_mib"]
+    assert rep["exchange_savings_pct"] > 40
