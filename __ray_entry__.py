@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_feature_stats"] = multimodal.media_feature_stats
     # video-shaped flat-map: payload -> sampled frame rows -> rollup
     q["frame_sample_stats"] = multimodal.frame_sample_stats
+    # REAL codec round trip: stdlib wave RIFF encode -> actor-pool
+    # wave decode -> integer-exact clip stats
+    q["media_audio_stats"] = multimodal.media_audio_stats
 
     return q
 
@@ -195,9 +198,11 @@ def oracle_sql() -> dict[str, str]:
     o["asof_last_purchase"] = relational.asof_last_purchase_sql()
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
+                                        MEDIA_AUDIO_STATS_SQL,
                                         MEDIA_FEATURE_STATS_SQL)
     o["media_feature_stats"] = MEDIA_FEATURE_STATS_SQL
     o["frame_sample_stats"] = FRAME_SAMPLE_STATS_SQL
+    o["media_audio_stats"] = MEDIA_AUDIO_STATS_SQL
     # sketch/LSH ops are not SQL-expressible (crc32 / 64-bit mixing) —
     # their oracle is an INDEPENDENT scalar reference implementation
     # whose expected output is embedded as a VALUES table keyed by the
