@@ -19,8 +19,9 @@ production table format uses:
    multiplicity across partitions) and reused by every later
    merge, so a delta can never invalidate unrelated buckets by moving
    range edges.
-3. **Bucket merges, one per range** (``merged/graph.nt/bucket-*.nt`` +
-   ``merged/triples.parquet/bucket-*.parquet``): bucket ``b`` merges
+3. **Bucket merges, one per range** (``merged/graph.nt/bucket-*.nt``,
+   plus ``merged/triples.parquet/bucket-*.parquet`` when the optional
+   parquet mirror is enabled): bucket ``b`` merges
    the ``b``-slices of all runs (each already sorted and tiny), with a
    per-bucket fingerprint over the runs' CONTENT hashes. A bucket
    whose inputs are content-identical is skipped without reading a
@@ -47,6 +48,7 @@ import shutil
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
@@ -116,58 +118,108 @@ def load_or_create_boundaries(out_dir: str,
     return bnds
 
 
-def _build_run(run_dir: str, parquet_dir: str, bnds: list[str],
-               fingerprint: str) -> dict:
-    """One partition -> sorted bucketed run (atomic). Returns the run
-    marker dict ({"fingerprint", "buckets": {bucket: {rows, md5}}})."""
-    tmp = run_dir + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+def _build_runs(runs_root: str, to_build: list[tuple[str, str, str]],
+                bnds: list[str]) -> dict[str, dict]:
+    """Rebuild MANY sorted runs in ONE Ray pipeline. Per-partition
+    pipelines pay the fixed DAG/shuffle spin-up once per partition
+    (measured: 8 × ~7 s at 320k docs), and chaining ``Dataset.union``
+    instead builds a left-deep DAG Ray executes branch-by-branch
+    (measured 63 s for the same work). So: ONE ``read_parquet`` over
+    every changed partition's files with ``include_paths=True``, a
+    vectorized path→run lookup, and a single int-keyed bucket shuffle
+    (key = run_idx × n_buckets + bucket) whose groups write each
+    (run, bucket) sorted slice directly — 8.5 s for the same input.
+    Work still scales with the CHANGED partitions only.
+
+    ``to_build``: (run_name, partition parquet dir, fingerprint).
+    Returns {run_name: marker dict}; each run dir is built in a .tmp
+    and atomically renamed, so a crash mid-build never leaves a
+    half-run with a valid marker."""
     bnds_arr = boundary_array(bnds) if bnds else np.array([], dtype="U1")
+    n_buckets = len(bnds) + 1
     target = _spo_schema()
 
     from .triples import triples_to_terms
 
-    def to_bucketed_terms(b: pa.Table) -> pa.Table:
-        import polars as pl
-        t = triples_to_terms(b)
-        # per-batch combiner: drop local duplicates before the bucket
-        # exchange (canonical distinct happens per bucket below)
-        t = (pl.from_arrow(t).unique(subset=_SPO, keep="first",
-                                     maintain_order=True)
-             .to_arrow().cast(target))
-        return bucket_assign(t, "s", bnds_arr)
+    tmps: dict[int, str] = {}
+    markers: dict[str, dict] = {}
+    all_files: list[str] = []
+    file2run: dict[str, int] = {}
+    for idx, (run_name, parquet_dir, fp) in enumerate(to_build):
+        tmp = os.path.join(runs_root, run_name) + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        tmps[idx] = tmp
+        markers[run_name] = {"format": _FORMAT, "fingerprint": fp,
+                             "buckets": {}}
+        files = sorted(glob.glob(os.path.join(parquet_dir, "*.parquet")))
+        file2run.update({f: idx for f in files})
+        all_files.extend(files)
 
-    def write_bucket(g: pa.Table, _tmp=tmp) -> pa.Table:
-        import polars as pl
-        bucket = g["_bucket"][0].as_py()
-        df = _canon(pl.from_arrow(g.select(_SPO)))
-        tbl = df.to_arrow().cast(target)
-        pq.write_table(tbl, os.path.join(_tmp, f"bucket-{bucket:06d}.parquet"))
-        digest = hashlib.md5(df.write_csv().encode()).hexdigest()
-        return pa.table({"bucket": pa.array([bucket], type=pa.int32()),
-                         "rows": pa.array([tbl.num_rows], type=pa.int64()),
-                         "md5": pa.array([digest], type=pa.string())})
+    if all_files:
 
-    files = sorted(glob.glob(os.path.join(parquet_dir, "*.parquet")))
-    buckets: dict[str, dict] = {}
-    if files:
-        stats = (ray.data.read_parquet(files)
-                 .map_batches(to_bucketed_terms, batch_format="pyarrow")
-                 .groupby("_bucket")
+        def to_bucketed_terms(b: pa.Table) -> pa.Table:
+            import polars as pl
+            # vectorized path -> run index (batches can span files)
+            upaths, inv = np.unique(
+                np.asarray(b["path"].to_pylist()), return_inverse=True)
+            lut = np.array([file2run[p] for p in upaths], dtype=np.int32)
+            t = triples_to_terms(b.drop_columns(["path"]))
+            t = t.append_column("_run", pa.array(lut[inv]))
+            # per-batch combiner: drop local duplicates before the
+            # bucket exchange (canonical distinct happens per bucket);
+            # _run in the key — a triple present in two partitions
+            # must stay in BOTH runs
+            t = (pl.from_arrow(t)
+                 .unique(subset=_SPO + ["_run"], keep="first",
+                         maintain_order=True).to_arrow())
+            run = t["_run"].combine_chunks().cast(pa.int32())
+            t = bucket_assign(t.select(_SPO).cast(target), "s",
+                              bnds_arr, col="_key")
+            key = pc.add(t["_key"].combine_chunks(),
+                         pc.multiply(run, pa.scalar(n_buckets,
+                                                    pa.int32())))
+            return t.set_column(t.schema.get_field_index("_key"),
+                                "_key", key)
+
+        ds = (ray.data.read_parquet(all_files, include_paths=True)
+              .map_batches(to_bucketed_terms, batch_format="pyarrow"))
+
+        def write_bucket(g: pa.Table) -> pa.Table:
+            import polars as pl
+            key = g["_key"][0].as_py()
+            run_idx, bucket = divmod(key, n_buckets)
+            df = _canon(pl.from_arrow(g.select(_SPO)))
+            tbl = df.to_arrow().cast(target)
+            pq.write_table(tbl, os.path.join(
+                tmps[run_idx], f"bucket-{bucket:06d}.parquet"))
+            digest = hashlib.md5(df.write_csv().encode()).hexdigest()
+            return pa.table({
+                "run_idx": pa.array([run_idx], type=pa.int32()),
+                "bucket": pa.array([bucket], type=pa.int32()),
+                "rows": pa.array([tbl.num_rows], type=pa.int64()),
+                "md5": pa.array([digest], type=pa.string())})
+
+        stats = (ds.groupby("_key")
                  .map_groups(write_bucket, batch_format="pyarrow"))
         for b in stats.iter_batches(batch_format="pyarrow"):
-            for bk, rows, digest in zip(b["bucket"].to_pylist(),
-                                        b["rows"].to_pylist(),
-                                        b["md5"].to_pylist()):
-                buckets[str(bk)] = {"rows": rows, "md5": digest}
-    marker = {"format": _FORMAT, "fingerprint": fingerprint,
-              "buckets": buckets}
-    with open(os.path.join(tmp, "run.json"), "w", encoding="utf-8") as f:
-        json.dump(marker, f)
-    shutil.rmtree(run_dir, ignore_errors=True)
-    os.replace(tmp, run_dir)
-    return marker
+            for ri, bk, rows, digest in zip(b["run_idx"].to_pylist(),
+                                            b["bucket"].to_pylist(),
+                                            b["rows"].to_pylist(),
+                                            b["md5"].to_pylist()):
+                run_name = to_build[ri][0]
+                markers[run_name]["buckets"][str(bk)] = {
+                    "rows": rows, "md5": digest}
+
+    for idx, (run_name, _, _) in enumerate(to_build):
+        tmp = tmps[idx]
+        with open(os.path.join(tmp, "run.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(markers[run_name], f)
+        run_dir = os.path.join(runs_root, run_name)
+        shutil.rmtree(run_dir, ignore_errors=True)
+        os.replace(tmp, run_dir)
+    return markers
 
 
 def _load_run_marker(run_dir: str) -> dict | None:
@@ -181,7 +233,8 @@ def _load_run_marker(run_dir: str) -> dict | None:
 
 def _merge_bucket(row: dict) -> dict:
     """Merge one range bucket: concat the runs' sorted slices, canonical
-    sort+unique, write .nt shard + parquet mirror atomically."""
+    sort+unique, write .nt shard (+ optional parquet mirror)
+    atomically."""
     import polars as pl
     import pyarrow.compute as pc
     bucket, paths = row["bucket"], list(row["paths"])
@@ -189,7 +242,6 @@ def _merge_bucket(row: dict) -> dict:
     df = _canon(pl.from_arrow(tbl))
     out = df.to_arrow().cast(_spo_schema())
     nt_path = os.path.join(row["nt_dir"], f"bucket-{bucket:06d}.nt")
-    pq_path = os.path.join(row["pq_dir"], f"bucket-{bucket:06d}.parquet")
     lines = pc.binary_join_element_wise(
         "<", out["s"].combine_chunks(), "> <", out["p"].combine_chunks(),
         "> ", out["o"].combine_chunks(), " .\n", "")
@@ -198,34 +250,45 @@ def _merge_bucket(row: dict) -> dict:
     with open(tmp, "w", encoding="utf-8", newline="") as f:
         f.write(body)
     os.replace(tmp, nt_path)
-    tmp = pq_path + ".tmp"
-    pq.write_table(out, tmp)
-    os.replace(tmp, pq_path)
+    if row.get("pq_dir"):
+        pq_path = os.path.join(row["pq_dir"],
+                               f"bucket-{bucket:06d}.parquet")
+        tmp = pq_path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, pq_path)
     return {"bucket": bucket, "rows": out.num_rows, "fp": row["fp"]}
 
 
 def incremental_merge(out_dir: str,
-                      num_buckets: int | None = None) -> dict:
+                      num_buckets: int | None = None,
+                      parquet_mirror: bool = False) -> dict:
     """Merge the runner's completed partitions into the sorted deduped
     graph at ``out_dir/merged`` incrementally. Work scales with the
     DELTA: unchanged partitions reuse their sorted runs (file-stamp
     fingerprint), unchanged range buckets keep their output shards
     (content fingerprint over the runs' bucket hashes). Returns merge
-    stats (runs rebuilt/reused, buckets merged/skipped, triples_out)."""
+    stats (runs rebuilt/reused, buckets merged/skipped, triples_out).
+
+    ``parquet_mirror=True`` additionally writes each merged bucket as
+    ``merged/triples.parquet/bucket-*.parquet`` (a queryable columnar
+    copy of the graph) — off by default since it doubles the merge's
+    write volume and the runner's contract is the .nt graph."""
     merged = os.path.join(out_dir, "merged")
     runs_root = os.path.join(merged, "runs")
     nt_dir = os.path.join(merged, "graph.nt")
     pq_dir = os.path.join(merged, "triples.parquet")
-    for d in (runs_root, nt_dir, pq_dir):
+    dirs = [runs_root, nt_dir] + ([pq_dir] if parquet_mirror else [])
+    for d in dirs:
         os.makedirs(d, exist_ok=True)
 
     bnds = load_or_create_boundaries(out_dir, num_buckets)
     bnds_key = _md5(bnds)
 
-    # ---- stage 1: sorted runs (O(changed partitions))
+    # ---- stage 1: sorted runs (O(changed partitions), one pipeline)
     stats = {"runs_rebuilt": 0, "runs_reused": 0}
     markers: dict[str, dict] = {}
     wanted_runs = set()
+    to_build: list[tuple[str, str, str]] = []
     for part, tp in _partitions(out_dir):
         run_name = part.replace("part-", "run-")
         wanted_runs.add(run_name)
@@ -236,10 +299,12 @@ def incremental_merge(out_dir: str,
         m = _load_run_marker(run_dir)
         if m is not None and m["fingerprint"] == fp:
             stats["runs_reused"] += 1
+            markers[run_name] = m
         else:
-            m = _build_run(run_dir, tp, bnds, fp)
-            stats["runs_rebuilt"] += 1
-        markers[run_name] = m
+            to_build.append((run_name, tp, fp))
+    if to_build:
+        markers.update(_build_runs(runs_root, to_build, bnds))
+        stats["runs_rebuilt"] = len(to_build)
     # drop runs whose partition vanished
     for d in glob.glob(os.path.join(runs_root, "run-*")):
         if os.path.basename(d).split(".")[0] not in wanted_runs:
@@ -264,18 +329,22 @@ def incremental_merge(out_dir: str,
         pqf = os.path.join(pq_dir, f"bucket-{bk:06d}.parquet")
         prev = old_meta.get(str(bk))
         if (prev and prev["fp"] == fp and os.path.exists(nt)
-                and os.path.exists(pqf)):
+                and (not parquet_mirror or os.path.exists(pqf))):
             new_meta[str(bk)] = prev
             continue
         todo.append({
-            "bucket": bk, "fp": fp, "nt_dir": nt_dir, "pq_dir": pq_dir,
+            "bucket": bk, "fp": fp, "nt_dir": nt_dir,
+            "pq_dir": pq_dir if parquet_mirror else "",
             "paths": [os.path.join(runs_root, rn, f"bucket-{bk:06d}.parquet")
                       for rn, _ in per_bucket[bk]]})
     if todo:
         # one Ray task per changed bucket (this is a task LIST — a few
-        # hundred coordination rows — not a per-record hot path)
-        for r in (ray.data.from_items(todo).map(_merge_bucket)
-                  .iter_rows()):
+        # hundred coordination rows — not a per-record hot path).
+        # override_num_blocks: from_items defaults to a handful of
+        # blocks, which would run the bucket merges nearly serially
+        for r in (ray.data.from_items(todo,
+                                      override_num_blocks=len(todo))
+                  .map(_merge_bucket).iter_rows()):
             new_meta[str(r["bucket"])] = {"fp": r["fp"], "rows": r["rows"]}
 
     # stale shards: buckets that no longer exist, or files from an old
@@ -286,9 +355,12 @@ def incremental_merge(out_dir: str,
     for f in glob.glob(os.path.join(nt_dir, "*")):
         if os.path.basename(f) not in keep_nt:
             os.remove(f)
-    for f in glob.glob(os.path.join(pq_dir, "*")):
-        if os.path.basename(f) not in keep_pq:
-            os.remove(f)
+    if parquet_mirror:
+        for f in glob.glob(os.path.join(pq_dir, "*")):
+            if os.path.basename(f) not in keep_pq:
+                os.remove(f)
+    else:
+        shutil.rmtree(pq_dir, ignore_errors=True)
 
     tmp = meta_path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:

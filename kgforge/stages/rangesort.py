@@ -68,9 +68,16 @@ def content_boundaries(ds: "ray.data.Dataset", key: str,
         return (s.with_columns(s.hash_rows(seed=0).alias("_h"))
                 .sort("_h").head(k).to_arrow())
 
+    # batch_size=None on BOTH sides: the sample must see whole blocks
+    # (the default 1024-row batches would be smaller than k, so head(k)
+    # would cap nothing), and the driver must merge per block (the
+    # default 256-row iter batches turn the k-way merge into tens of
+    # thousands of tiny concat+sort passes — measured 60 s of driver
+    # CPU at 4M rows vs <1 s per-block)
     best = None
-    for b in (ds.map_batches(sample, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
+    for b in (ds.map_batches(sample, batch_format="pyarrow",
+                             batch_size=None)
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
         part = pl.from_arrow(b)
         best = part if best is None else pl.concat([best, part])
         best = best.unique(subset=["q"]).sort("_h").head(k)

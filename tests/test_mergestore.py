@@ -39,14 +39,18 @@ def test_incremental_merge_scenario(ray_session, tmp_path):
     partitioned_kg_run(SF, out, num_partitions=3)
 
     # ---- initial merge equals the full-sort path, line for line
-    s1 = incremental_merge(out, num_buckets=NB)
+    # (parquet_mirror on: this test also covers the columnar copy)
+    s1 = incremental_merge(out, num_buckets=NB, parquet_mirror=True)
     assert s1["runs_rebuilt"] == 3 and s1["buckets_merged"] > 0
     inc = _nt_lines(os.path.join(out, "merged"))
     assert inc == _full_merge_lines(out, tmp_path, "initial")
     assert s1["triples_out"] == len(inc)
+    mirror = sorted(glob.glob(os.path.join(
+        out, "merged", "triples.parquet", "*.parquet")))
+    assert sum(pq.read_metadata(f).num_rows for f in mirror) == len(inc)
 
     # ---- unchanged re-run is a marker-only no-op
-    s2 = incremental_merge(out, num_buckets=NB)
+    s2 = incremental_merge(out, num_buckets=NB, parquet_mirror=True)
     assert s2["runs_rebuilt"] == 0 and s2["buckets_merged"] == 0
     assert s2["runs_reused"] == 3
     assert s2["buckets_skipped"] == s1["buckets_merged"] + s1["buckets_skipped"]
@@ -66,7 +70,7 @@ def test_incremental_merge_scenario(ray_session, tmp_path):
                          pa.array(lex, type=tbl.schema.field("o_lex").type))
     pq.write_table(tbl, part_files[0])
 
-    s3 = incremental_merge(out, num_buckets=NB)
+    s3 = incremental_merge(out, num_buckets=NB, parquet_mirror=True)
     total_buckets = s3["buckets_merged"] + s3["buckets_skipped"]
     # O(delta): only the edited partition's run rebuilds, and only the
     # bucket(s) holding the edited subject re-merge
