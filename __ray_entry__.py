@@ -18,19 +18,10 @@ from typing import Any
 
 def _tune_context() -> None:
     """Idempotent Ray Data tuning for whatever session the driver owns
-    (no ray.init here). Rationale measured in BASELINE.md: the default
-    200-block read floor shreds small inputs, the pull-based sort
-    shuffle is 1.7x slower on the dedup exchange, and the default
-    hash-shuffle aggregator pool (64 actors) dwarfs small sessions."""
-    import ray
-    from ray.data import DataContext
-    from ray.data.context import ShuffleStrategy
+    (no ray.init here). Knobs + measured rationale: kgforge/tuning.py."""
+    from kgforge.tuning import tune_data_context
 
-    ctx = DataContext.get_current()
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    ctx.read_op_min_num_blocks = max(8, ncpu)
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
-    ctx.max_hash_shuffle_aggregators = max(2, min(8, ncpu // 4))
+    tune_data_context()
 
 
 def entry() -> Any:

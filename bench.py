@@ -57,14 +57,10 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
-    # session-size-aware tuning (see tests/conftest.py rationale): block
-    # count tracks CPUs, not the 200-block default that shreds small files
-    ctx.max_hash_shuffle_aggregators = max(2, min(8, NCPU // 4))
-    ctx.read_op_min_num_blocks = NCPU
-    # push-based sort shuffle pipelines map output into reducers —
-    # measured 1.7x on the dedup exchange vs the pull-based default
-    from ray.data.context import ShuffleStrategy
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    # shared measured knobs (block floor, push shuffle, aggregator pool,
+    # op-reservation off) — see kgforge/tuning.py for the rationale
+    from kgforge.tuning import tune_data_context
+    tune_data_context(NCPU)
 
     from kgforge.ops import ann, dedup, relational, text
     from kgforge.pipelines import tabular, webkg
@@ -342,7 +338,8 @@ def run_exchange_bytes() -> dict:
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    ctx.read_op_min_num_blocks = NCPU
+    from kgforge.tuning import tune_data_context
+    tune_data_context(NCPU)
 
     from kgforge.pipelines.webkg import (DOMAIN, build_prepared_pages,
                                          webkg_triples_from_pages)

@@ -37,12 +37,12 @@ def main(argv=None) -> int:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
-    from ray.data.context import ShuffleStrategy
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
+    from kgforge.tuning import tune_data_context
+    tune_data_context(args.num_cpus)
     from kgforge.state.manifest import partitioned_kg_run
 
     t0 = time.time()
