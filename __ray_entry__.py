@@ -133,6 +133,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # as-of join (point-in-time feature attach; composed from bucket
     # shuffle + vectorized merge_asof — Ray Data has no primitive)
     q["asof_last_purchase"] = relational.asof_last_purchase
+    # salted two-phase groupby-aggregate: exact per-entity distinct-doc
+    # counts where every key is hot (north-rule skew handling made
+    # explicit — a hot key's value set spreads over salt cells instead
+    # of one reducer; kgforge/ops/skew.py)
+    from kgforge.ops import skew
+    q["entity_doc_frequency"] = skew.entity_doc_frequency
 
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
@@ -187,6 +193,8 @@ def oracle_sql() -> dict[str, str]:
     o["hopping_counts"] = relational.hopping_counts_sql()
     o["event_type_counts"] = relational.EVENT_TYPE_COUNTS_SQL
     o["asof_last_purchase"] = relational.asof_last_purchase_sql()
+    from kgforge.ops import skew
+    o["entity_doc_frequency"] = skew.entity_doc_frequency_sql()
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
                                         MEDIA_AUDIO_STATS_SQL,
