@@ -139,6 +139,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # of one reducer; kgforge/ops/skew.py)
     from kgforge.ops import skew
     q["entity_doc_frequency"] = skew.entity_doc_frequency
+    # mergeable sketches: KMV per-key distinct estimate (exchange is
+    # <= k hashes per key per block, corpus-size-independent) and
+    # two-pass provably-exact heavy hitters (bounded-memory candidates
+    # + exact-count-candidates-only second pass)
+    from kgforge.ops import sketch
+    q["entity_doc_frequency_kmv"] = sketch.entity_doc_frequency_kmv
+    q["token_heavy_hitters"] = sketch.token_heavy_hitters
 
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
@@ -193,8 +200,9 @@ def oracle_sql() -> dict[str, str]:
     o["hopping_counts"] = relational.hopping_counts_sql()
     o["event_type_counts"] = relational.EVENT_TYPE_COUNTS_SQL
     o["asof_last_purchase"] = relational.asof_last_purchase_sql()
-    from kgforge.ops import skew
+    from kgforge.ops import skew, sketch
     o["entity_doc_frequency"] = skew.entity_doc_frequency_sql()
+    o["token_heavy_hitters"] = sketch.token_heavy_hitters_sql()
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
                                         MEDIA_AUDIO_STATS_SQL,
@@ -219,4 +227,5 @@ def oracle_sql() -> dict[str, str]:
     o["embedding_clusters"] = SR.embedding_clusters_oracle_sql()
     # full per-position stream: VALUES oracle from the scalar reference
     o["doc_fingerprints_full"] = SR.fingerprint_full_oracle_sql()
+    o["entity_doc_frequency_kmv"] = SR.kmv_doc_frequency_oracle_sql()
     return o

@@ -350,6 +350,41 @@ def contamination_ref(docs: list[tuple[int, str]], k: int = 8,
     return sorted(out)
 
 
+# ------------------------------------------------ KMV distinct sketch
+def _splitmix64_scalar(v: int) -> int:
+    """Scalar splitmix64 finalizer (the published spec shared with
+    ops/sketch.splitmix64)."""
+    z = (v + 0x9E3779B97F4A7C15) & MASK64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK64
+    return (z ^ (z >> 31)) & MASK64
+
+
+def kmv_doc_frequency_ref(docs: list[tuple[int, str]],
+                          lexicon: tuple[str, ...], k: int = 64
+                          ) -> list[tuple[str, int]]:
+    """Scalar mirror of ops.sketch.entity_doc_frequency_kmv: per
+    gazetteer entity, the KMV estimate of COUNT(DISTINCT doc_id) —
+    plain set/sort loops, integer-exact estimator."""
+    lex = set(lexicon)
+    doc_sets: dict[str, set[int]] = {m: set() for m in lex}
+    for doc_id, text in docs:
+        for tok in text.split(" "):
+            if tok in lex:
+                doc_sets[tok].add(doc_id)
+    out = []
+    for mention in sorted(lex):
+        hs = sorted(_splitmix64_scalar(d) for d in doc_sets[mention])
+        if not hs:
+            continue
+        if len(hs) < k:
+            est = len(hs)
+        else:
+            est = ((k - 1) << 64) // (hs[k - 1] + 1)
+        out.append((mention, est))
+    return out
+
+
 # --------------------------------------------------------- SQL codegen
 _TESTDATA_GLOB = "/root/testdata/sf*"
 
@@ -392,6 +427,8 @@ def _emb(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 def _lit(v) -> str:
     if isinstance(v, float):
         return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
     return str(v)
 
 
@@ -520,3 +557,12 @@ def embedding_dup_oracle_sql(threshold: float = 0.45,
             ids, M, threshold, effective_lsh_bits(len(ids), n_bits))
     return values_oracle_sql(rows, ["a", "b", "sim4"],
                              ["BIGINT", "BIGINT", "DOUBLE"])
+
+
+@functools.lru_cache(maxsize=None)
+def kmv_doc_frequency_oracle_sql(k: int = 64) -> str:
+    from .pipelines.webkg import LEXICON
+    rows = {_doc_key(d): kmv_doc_frequency_ref(list(_docs(d)), LEXICON, k)
+            for d in _sf_dirs()}
+    return values_oracle_sql(rows, ["mention", "doc_freq_est"],
+                             ["VARCHAR", "BIGINT"])
