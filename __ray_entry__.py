@@ -146,6 +146,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgforge.ops import sketch
     q["entity_doc_frequency_kmv"] = sketch.entity_doc_frequency_kmv
     q["token_heavy_hitters"] = sketch.token_heavy_hitters
+    # iterative graph analytics over the constructed KG: integer-exact
+    # damped PageRank (K join+aggregate rounds; salted replicated join
+    # above the broadcast limit) and exact grouped percentiles via
+    # counting pre-agg (holistic aggregate without the hot-key trap)
+    from kgforge.ops import graph, quantile
+    q["entity_pagerank"] = graph.entity_pagerank
+    q["lang_length_quantiles"] = quantile.lang_length_quantiles
 
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
@@ -200,9 +207,13 @@ def oracle_sql() -> dict[str, str]:
     o["hopping_counts"] = relational.hopping_counts_sql()
     o["event_type_counts"] = relational.EVENT_TYPE_COUNTS_SQL
     o["asof_last_purchase"] = relational.asof_last_purchase_sql()
-    from kgforge.ops import skew, sketch
+    from kgforge.ops import graph, quantile, skew, sketch
     o["entity_doc_frequency"] = skew.entity_doc_frequency_sql()
     o["token_heavy_hitters"] = sketch.token_heavy_hitters_sql()
+    # PageRank is iterative but K is fixed — the mirror unrolls the
+    # iterations as chained CTEs in the same int64 arithmetic
+    o["entity_pagerank"] = graph.entity_pagerank_sql()
+    o["lang_length_quantiles"] = quantile.lang_length_quantiles_sql()
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
                                         MEDIA_AUDIO_STATS_SQL,

@@ -1,0 +1,351 @@
+"""Iterative graph analytics over the constructed knowledge graph.
+
+The north-star KG pipeline does not stop at materializing triples: a
+web-scale corpus wants link analysis over the extracted entity graph
+(authority ranking for entity disambiguation priors, crawl
+prioritization, graph-quality telemetry). This module implements
+**PageRank** as K rounds of Ray Data joins + algebraic aggregates —
+and, like every numeric operator in this repo that must be gate-hashed
+against an independent oracle, it runs in **pure int64 arithmetic**:
+
+    rank_0(n)    = SCALE
+    rank_t+1(u)  = BASE + (DAMP * sum_{v->u} (rank_t(v) // deg(v))) // DEN
+
+with ``SCALE = 10**9``, ``DAMP/DEN = 85/100``, ``BASE = (DEN-DAMP) *
+SCALE // DEN``. Integer sums are associative/commutative regardless of
+execution order, so the distributed result is bit-identical to the
+scalar reference and to a DuckDB mirror (K iterations unrolled as
+chained CTEs with ``//`` integer division) — no float summation-order
+flake. Overflow bound: a node's incoming sum is < total mass
+≈ nodes × SCALE, safe in int64 up to ~9×10^9 nodes at SCALE=10^9.
+
+Scale design (the part the sandbox can only exercise at toy size but
+the shapes are the 100 TB ones):
+
+* The edge table is built ONCE (globally-distinct symmetric edges via
+  a (src,dst)-hash bucket shuffle — skew-free because the bucket key
+  includes dst) and materialized; every iteration re-reads it from the
+  object store instead of re-deriving it from the corpus.
+* Per-iteration state (the rank table) is **node-sized, never
+  corpus-sized**; it is materialized between rounds so iteration t+1
+  does not re-execute the whole lazy prefix.
+* Attaching ``rank(src)`` to edges is the skewed step: a hot entity
+  (mentioned by a double-digit share of all pages) owns a huge edge
+  list, and a plain hash join ships all of it to one partition. Two
+  adaptive paths, same contract as ``stages/canonicalize``:
+  - node count ≤ ``KGFORGE_GRAPH_BROADCAST_LIMIT`` → the contrib map
+    is a ``ray.put`` broadcast dict read zero-copy by every map task
+    (one corpus-stream pass, no shuffle at all);
+  - above the limit → **salted replicated join** (the north-rule
+    move): the node-sized rank table is replicated ``SALT`` ways,
+    edges deterministically pick ``salt = hash(dst) % SALT``, and the
+    join key becomes ``(src, salt)`` — a hot key's edge list spreads
+    over up to SALT partitions at the cost of SALT× the *small* side.
+* The per-dst incoming sum is algebraic: per-batch pyarrow pre-agg
+  (one row per dst per block) before a bucket-hash reduce — the same
+  combiner-first shape as ``ops/relational.pricing_summary``.
+
+Reference scope note: the csv2rdf reference has no graph analytics;
+this is a beyond-reference operator mandated by the large-scale
+training-data-pipeline brief (SURVEY §2 "beyond" block).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..stages.dedup import default_num_buckets
+
+SCALE = 10**9
+DAMP, DEN = 85, 100
+BASE = (DEN - DAMP) * SCALE // DEN   # 150_000_000
+DEFAULT_SALT = 64
+
+
+def _broadcast_limit() -> int:
+    return int(os.environ.get("KGFORGE_GRAPH_BROADCAST_LIMIT", 1_000_000))
+
+
+# ------------------------------------------------------- edge building
+def symmetric_edges(pairs: "ray.data.Dataset", left: str, right: str,
+                    num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Globally-distinct undirected edges from a (left, right) pair
+    stream: output ``(src, dst)`` strings with BOTH directions present
+    exactly once. Nodes are namespaced (``d:<left>`` / ``e:<right>``)
+    so the two id spaces cannot collide. Dedup shuffles by
+    ``hash(src,dst) % B`` — pair-keyed, so a hot entity's pairs spread
+    over all buckets."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        l = pc.binary_join_element_wise(
+            pa.scalar("d:"), batch[left].combine_chunks().cast(pa.string()),
+            "")
+        r = pc.binary_join_element_wise(
+            pa.scalar("e:"), batch[right].combine_chunks().cast(pa.string()),
+            "")
+        df = pl.from_arrow(pa.table({"a": l, "b": r})).unique(
+            subset=["a", "b"], keep="first", maintain_order=True)
+        bucket = ((df.hash_rows(seed=0) % num_buckets)
+                  .cast(pl.Int32).rename("_bucket"))
+        return df.with_columns(bucket).to_arrow().cast(
+            pa.schema([("a", pa.string()), ("b", pa.string()),
+                       ("_bucket", pa.int32())]))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        import polars as pl
+        u = (pl.from_arrow(group.select(["a", "b"]))
+             .unique(subset=["a", "b"], keep="first").sort(["a", "b"]))
+        fwd = u.to_arrow()
+        return pa.table({
+            "src": pa.concat_arrays([fwd["a"].combine_chunks(),
+                                     fwd["b"].combine_chunks()]),
+            "dst": pa.concat_arrays([fwd["b"].combine_chunks(),
+                                     fwd["a"].combine_chunks()]),
+        })
+
+    return (pairs.map_batches(to_pairs, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pyarrow"))
+
+
+def _bucket_sum(ds: "ray.data.Dataset", key: str, val: str,
+                num_buckets: int, out: str) -> "ray.data.Dataset":
+    """Skew-free exact ``SUM(val) GROUP BY key`` for high-cardinality
+    string keys: per-batch pyarrow pre-agg (combiner) → bucket-hash
+    shuffle → per-bucket polars sum. Output (key, out:int64)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        g = batch.group_by(key).aggregate([(val, "sum")])
+        t = pa.table({key: g[key],
+                      val: g[f"{val}_sum"].cast(pa.int64())})
+        df = pl.from_arrow(t)
+        bucket = ((df.select(key).hash_rows(seed=0) % num_buckets)
+                  .cast(pl.Int32).rename("_bucket"))
+        return df.with_columns(bucket).to_arrow().cast(
+            pa.schema([(key, pa.string()), (val, pa.int64()),
+                       ("_bucket", pa.int32())]))
+
+    def reduce(group: pa.Table) -> pa.Table:
+        g = group.group_by(key).aggregate([(val, "sum")])
+        return pa.table({key: g[key],
+                         out: g[f"{val}_sum"].cast(pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(reduce, batch_format="pyarrow"))
+
+
+# ----------------------------------------------------------- pagerank
+def _ones(batch: pa.Table) -> pa.Table:
+    return pa.table({"src": batch["src"],
+                     "one": pa.array([1] * batch.num_rows, pa.int64())})
+
+
+def pagerank(edges: "ray.data.Dataset", iterations: int = 3,
+             salt: int = DEFAULT_SALT,
+             num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Integer-exact damped PageRank over a symmetric ``(src, dst)``
+    edge Dataset (every node therefore has deg ≥ 1 and at least one
+    in-edge). Returns ``(node:string, pr:int64)`` for every node.
+
+    Path choice per the module docstring: broadcast contrib map below
+    KGFORGE_GRAPH_BROADCAST_LIMIT nodes, salted replicated join above."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    edges = edges.materialize()
+    deg = _bucket_sum(edges.map_batches(_ones, batch_format="pyarrow"),
+                      "src", "one", num_buckets, "deg").materialize()
+    n_nodes = deg.count()
+
+    if n_nodes <= _broadcast_limit():
+        return _pagerank_broadcast(edges, deg, iterations, num_buckets)
+    return _pagerank_salted(edges, deg, iterations, salt, num_buckets)
+
+
+def _finish_rank(sums: "ray.data.Dataset") -> "ray.data.Dataset":
+    def fin(batch: pa.Table) -> pa.Table:
+        s = batch["insum"].combine_chunks().cast(pa.int64())
+        r = pc.add(pa.scalar(BASE, pa.int64()),
+                   pc.divide(pc.multiply(pa.scalar(DAMP, pa.int64()), s),
+                             pa.scalar(DEN, pa.int64())))
+        return pa.table({"node": batch["dst"], "pr": r})
+    return sums.map_batches(fin, batch_format="pyarrow")
+
+
+def _pagerank_broadcast(edges, deg, iterations, num_buckets):
+    """Contrib table as a ray.put broadcast (node array + aligned
+    contrib array, looked up with vectorized ``pc.index_in``): per
+    iteration ONE streaming pass over edges + an algebraic bucket sum;
+    driver state is node-sized and bounded by the broadcast limit."""
+    deg_tbl = pa.concat_tables(
+        b for b in deg.iter_batches(batch_size=None, batch_format="pyarrow"))
+    nodes = deg_tbl["src"].combine_chunks()
+    degs = deg_tbl["deg"].combine_chunks().cast(pa.int64())
+    ranks = pa.array([SCALE] * len(nodes), pa.int64())
+
+    out = None
+    for _ in range(iterations):
+        contribs = pc.divide(ranks, degs)
+        ref = ray.put((nodes, contribs))
+
+        def partial(batch: pa.Table, ref=ref) -> pa.Table:
+            node_arr, carr = ray.get(ref)
+            idx = pc.index_in(batch["src"].combine_chunks(),
+                              value_set=node_arr)
+            return pa.table({"dst": batch["dst"],
+                             "c": pc.take(carr, idx)})
+
+        sums = _bucket_sum(
+            edges.map_batches(partial, batch_format="pyarrow"),
+            "dst", "c", num_buckets, "insum")
+        out = _finish_rank(sums).materialize()
+        rt = pa.concat_tables(
+            b for b in out.iter_batches(batch_size=None,
+                                        batch_format="pyarrow"))
+        # realign the new ranks to the fixed node order
+        pos = pc.index_in(nodes, value_set=rt["node"].combine_chunks())
+        ranks = pc.take(rt["pr"].combine_chunks().cast(pa.int64()), pos)
+    return out
+
+
+def _pagerank_salted(edges, deg, iterations, salt, num_buckets):
+    """Salted replicated join: the node-sized (node, rank//deg) table
+    is replicated ``salt`` ways; each edge deterministically picks
+    ``_salt = hash(dst) % salt`` so a hot src's edge list joins against
+    ``salt`` different partitions. Join is on (src, _salt)."""
+    import polars as pl
+
+    from ..stages.canonicalize import (SANITIZE_BATCH,
+                                       default_shuffle_partitions)
+
+    def edge_salt(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["src", "dst"]))
+        s = ((df.select("dst").hash_rows(seed=7) % salt)
+             .cast(pl.Int32).rename("_salt"))
+        return df.with_columns(s).to_arrow().cast(
+            pa.schema([("src", pa.string()), ("dst", pa.string()),
+                       ("_salt", pa.int32())]))
+
+    # batch_size coalesces away empty blocks before every join input —
+    # an empty block skips the map fn and reaches the join with its
+    # upstream schema (see ops/relational.top_revenue_orders)
+    salted_edges = edges.map_batches(
+        edge_salt, batch_format="pyarrow",
+        batch_size=SANITIZE_BATCH).materialize()
+    nparts = default_shuffle_partitions()
+
+    # rank state starts as (node, pr=SCALE) derived from deg
+    state = deg.map_batches(
+        lambda b: pa.table({
+            "node": b["src"],
+            "deg": b["deg"].cast(pa.int64()),
+            "pr": pa.array([SCALE] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    out = None
+    for _ in range(iterations):
+        def replicate(batch: pa.Table) -> pa.Table:
+            c = pc.divide(batch["pr"].combine_chunks(),
+                          batch["deg"].combine_chunks())
+            parts = []
+            for sv in range(salt):
+                parts.append(pa.table({
+                    "jnode": batch["node"].combine_chunks(),
+                    "_jsalt": pa.array([sv] * batch.num_rows, pa.int32()),
+                    "c": c}))
+            return pa.concat_tables(parts)
+
+        contrib = state.map_batches(replicate, batch_format="pyarrow",
+                                    batch_size=SANITIZE_BATCH)
+        joined = salted_edges.join(
+            contrib, join_type="inner", num_partitions=nparts,
+            on=("src", "_salt"), right_on=("jnode", "_jsalt"))
+        sums = _bucket_sum(joined.select_columns(["dst", "c"]),
+                           "dst", "c", num_buckets, "insum")
+        ranks = _finish_rank(sums).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=SANITIZE_BATCH)
+        # attach deg for the next round: node-sized ⋈ node-sized
+        state = ranks.join(
+            state.select_columns(["node", "deg"]).map_batches(
+                lambda b: pa.table({"dnode": b["node"], "deg": b["deg"]}),
+                batch_format="pyarrow", batch_size=SANITIZE_BATCH),
+            join_type="inner", num_partitions=nparts,
+            on=("node",), right_on=("dnode",)).materialize()
+        out = state.select_columns(["node", "pr"])
+    return out
+
+
+# ------------------------------------------------- gate: entity pagerank
+def mention_pairs_ds(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct-per-batch (mention, doc_id) pairs of gazetteer entities
+    over the documents corpus (same extraction as ops/skew)."""
+    from ..pipelines.webkg import LEXICON
+    value_set = pa.array(sorted(LEXICON), type=pa.string())
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks().cast(pa.string())
+        doc_id = batch["doc_id"].combine_chunks().cast(pa.int64())
+        split = pc.split_pattern(text, pattern=" ")
+        flat = split.flatten()
+        parents = pc.list_parent_indices(split)
+        mask = pc.is_in(flat, value_set=value_set)
+        t = pa.table({"doc_id": doc_id.take(parents.filter(mask)),
+                      "mention": flat.filter(mask)})
+        return t.group_by(["doc_id", "mention"]).aggregate([])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def entity_pagerank(sf_dir: str, iterations: int = 3
+                    ) -> "ray.data.Dataset":
+    """Gate: PageRank over the bipartite doc↔entity mention graph
+    (symmetric edges, so docs rank by how entity-dense they are and
+    entities by how broadly they are mentioned). Output
+    ``(node:string, pr:int64)`` — integer-exact, hash-comparable."""
+    edges = symmetric_edges(mention_pairs_ds(sf_dir), "doc_id", "mention")
+    return pagerank(edges, iterations=iterations)
+
+
+def entity_pagerank_sql(iterations: int = 3) -> str:
+    """DuckDB mirror: K iterations unrolled as chained CTEs, same
+    integer arithmetic (``//`` floor division; positive operands)."""
+    from ..pipelines.webkg import LEXICON
+    from ..sqlgen import sql_quote
+
+    in_list = ", ".join(sql_quote(t) for t in sorted(LEXICON))
+    ctes = [f"""pairs AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+    FROM documents)
+  WHERE token IN ({in_list})),
+edges AS (
+  SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, 'e:' || token AS dst
+  FROM pairs
+  UNION ALL
+  SELECT 'e:' || token, 'd:' || CAST(doc_id AS VARCHAR) FROM pairs),
+deg AS (SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY 1),
+r0 AS (SELECT n, CAST({SCALE} AS BIGINT) AS r FROM deg)"""]
+    for t in range(1, iterations + 1):
+        ctes.append(f"""r{t} AS (
+  SELECT e.dst AS n,
+         CAST({BASE} AS BIGINT) +
+         (CAST({DAMP} AS BIGINT) * SUM(r{t-1}.r // deg.d))
+           // CAST({DEN} AS BIGINT) AS r
+  FROM edges e
+  JOIN deg ON deg.n = e.src
+  JOIN r{t-1} ON r{t-1}.n = e.src
+  GROUP BY e.dst)""")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT n AS node, CAST(r AS BIGINT) AS pr FROM r{iterations}")

@@ -1,0 +1,124 @@
+"""Graph analytics (ops/graph.py) and exact grouped quantiles
+(ops/quantile.py): integer-exact PageRank vs a scalar naive reference
+and vs the unrolled-CTE DuckDB mirror; path equivalence under the
+broadcast-limit flip; percentile_disc semantics pinned on the
+boundary cases."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def scalar_pagerank(edges: list[tuple[str, str]], iterations: int):
+    """Naive dict/loop mirror of ops/graph.pagerank's integer
+    arithmetic (edges must already be symmetric)."""
+    from kgforge.ops.graph import BASE, DAMP, DEN, SCALE
+
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: SCALE for n in deg}
+    for _ in range(iterations):
+        insum = {n: 0 for n in deg}
+        for s, d in edges:
+            insum[d] += rank[s] // deg[s]
+        rank = {n: BASE + (DAMP * insum[n]) // DEN for n in deg}
+    return rank
+
+
+def test_pagerank_matches_scalar_reference(ray_session):
+    import ray
+    from kgforge.ops.graph import pagerank
+
+    pairs = [(d, m) for d in range(9) for m in ("x", "y", "z")
+             if (d + len(m) * 3) % (d % 3 + 2) == 0] + [(0, "x")]
+    sym = []
+    for d, m in sorted(set(pairs)):
+        sym.append((f"d:{d}", f"e:{m}"))
+        sym.append((f"e:{m}", f"d:{d}"))
+    t = pa.table({"src": [e[0] for e in sym], "dst": [e[1] for e in sym]})
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = {r["node"]: r["pr"] for r in pagerank(ds, iterations=4).take_all()}
+    assert got == scalar_pagerank(sym, 4)
+
+
+def test_pagerank_gate_broadcast_equals_salted(ray_session, monkeypatch):
+    """The salted replicated-join scale path must produce the same
+    int64 ranks as the broadcast path on the same input."""
+    from kgforge.ops.graph import entity_pagerank
+
+    a = sorted((r["node"], r["pr"])
+               for r in entity_pagerank(SF).take_all())
+    monkeypatch.setenv("KGFORGE_GRAPH_BROADCAST_LIMIT", "0")
+    b = sorted((r["node"], r["pr"])
+               for r in entity_pagerank(SF).take_all())
+    assert a == b and len(a) > 100
+
+
+def test_pagerank_gate_matches_sql(ray_session):
+    from kgforge.ops.graph import entity_pagerank, entity_pagerank_sql
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = {n: r for n, r in con.execute(entity_pagerank_sql()).fetchall()}
+    got = {r["node"]: r["pr"] for r in entity_pagerank(SF).take_all()}
+    assert got == want
+
+
+def test_pagerank_mass_is_plausible(ray_session):
+    """Sanity bound: every rank ≥ BASE, and total mass stays within
+    [nodes*BASE, nodes*SCALE] (damping contracts toward SCALE)."""
+    from kgforge.ops.graph import BASE, SCALE, entity_pagerank
+
+    rows = entity_pagerank(SF).take_all()
+    assert all(r["pr"] >= BASE for r in rows)
+    total = sum(r["pr"] for r in rows)
+    assert len(rows) * BASE <= total <= len(rows) * SCALE * 2
+
+
+def test_grouped_quantiles_percentile_disc_boundaries(ray_session):
+    """Pin the CUME_DIST definition on the classic boundary case:
+    [1,2,3,4] -> p25=1, p50=2, p75=3, p99=4 (an off-by-one or a
+    floor((n-1)q) implementation returns 3 for p99)."""
+    import ray
+    from kgforge.ops.quantile import grouped_quantiles
+
+    t = pa.table({"g": ["a"] * 4 + ["b"],
+                  "v": pa.array([1, 2, 3, 4, 7], pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = {r["g"]: r for r in grouped_quantiles(
+        ds, "g", "v", pcts=(25, 50, 75, 99)).take_all()}
+    a = out["a"]
+    assert (a["p25"], a["p50"], a["p75"], a["p99"]) == (1, 2, 3, 4)
+    b = out["b"]
+    assert (b["n"], b["p25"], b["p99"]) == (1, 7, 7)
+
+
+def test_grouped_quantiles_ties_and_split_blocks(ray_session):
+    """Heavy ties split across blocks must aggregate exactly."""
+    import ray
+    from kgforge.ops.quantile import grouped_quantiles
+
+    vals = [5] * 90 + [6] * 9 + [100]
+    t = pa.table({"g": ["k"] * 100, "v": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(7)
+    r = grouped_quantiles(ds, "g", "v", pcts=(50, 90, 99)).take_all()[0]
+    assert (r["n"], r["p50"], r["p90"], r["p99"]) == (100, 5, 5, 6)
+
+
+def test_lang_length_quantiles_matches_sql(ray_session):
+    from kgforge.ops.quantile import (lang_length_quantiles,
+                                      lang_length_quantiles_sql)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = sorted(map(tuple, con.execute(
+        lang_length_quantiles_sql()).fetchall()))
+    got = sorted((r["lang"], r["n"], r["p25"], r["p50"], r["p90"],
+                  r["p99"])
+                 for r in lang_length_quantiles(SF).take_all())
+    assert got == want
