@@ -153,6 +153,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgforge.ops import graph, quantile
     q["entity_pagerank"] = graph.entity_pagerank
     q["lang_length_quantiles"] = quantile.lang_length_quantiles
+    # non-equi join family Ray Data lacks: broadcast+searchsorted range
+    # join and a bucket-hash NOT EXISTS anti-join (tagged union, probe
+    # side reduced to distinct keys per block)
+    q["order_price_tiers"] = relational.order_price_tiers
+    q["customers_without_big_orders"] = relational.customers_without_big_orders
 
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
@@ -214,6 +219,9 @@ def oracle_sql() -> dict[str, str]:
     # iterations as chained CTEs in the same int64 arithmetic
     o["entity_pagerank"] = graph.entity_pagerank_sql()
     o["lang_length_quantiles"] = quantile.lang_length_quantiles_sql()
+    o["order_price_tiers"] = relational.order_price_tiers_sql()
+    o["customers_without_big_orders"] = (
+        relational.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL)
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
                                         MEDIA_AUDIO_STATS_SQL,

@@ -491,3 +491,189 @@ SELECT e.event_id,
 FROM events e ASOF LEFT JOIN p
   ON e.user_id = p.user_id AND e.ts > p.ts
 """
+
+
+# ------------------------------------------------------ range/interval join
+# A RANGE JOIN (attach the interval [lo, hi) containing a value) is a
+# non-equi join Ray Data has no operator for. Two regimes:
+#   * interval table small (tier tables, SLA bands, histogram edges —
+#     the overwhelmingly common case): broadcast the SORTED bounds once
+#     and resolve per batch with one vectorized searchsorted. No
+#     shuffle at all; the corpus streams.
+#   * interval table large: range-partition BOTH sides by the interval
+#     boundaries (the same sample-boundary machinery as
+#     stages/rangesort) so each partition joins locally — not needed by
+#     any current gate, documented for the 100 TB path.
+PRICE_TIERS: tuple[tuple[float, str], ...] = (
+    (0.0, "low"), (100000.0, "mid"), (250000.0, "high"), (400000.0, "lux"))
+
+
+def range_lookup(ds: "ray.data.Dataset", col: str,
+                 bounds_labels: tuple[tuple[float, str], ...],
+                 out_col: str = "tier") -> "ray.data.Dataset":
+    """Attach the label of the half-open interval [bound_i, bound_i+1)
+    containing ``col`` (last interval unbounded above; rows below the
+    first bound get a null label). Broadcast + searchsorted path."""
+    lo = np.array([b for b, _ in bounds_labels], dtype=np.float64)
+    labels = pa.array([l for _, l in bounds_labels], pa.string())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = batch[col].combine_chunks().cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        idx = np.searchsorted(lo, x, side="right") - 1
+        tier = pc.take(labels,
+                       pa.array(np.where(idx >= 0, idx, None)))
+        return batch.append_column(out_col, tier)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def order_price_tiers(sf_dir: str) -> "ray.data.Dataset":
+    """Gate: range-join orders onto price-tier intervals, then per-tier
+    order count + total value in integer cents (sum in double, round
+    once — see module docstring). Output (tier, n_orders, total_cents)."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+    tiered = range_lookup(ds, "o_totalprice", PRICE_TIERS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("tier").aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")])
+        return pa.table({"tier": g["tier"],
+                         "s": g["o_totalprice_sum"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tier": batch["tier"],
+            "n_orders": batch["n"].combine_chunks().cast(pa.int64()),
+            "total_cents": pc.round(pc.multiply(
+                batch["s"].combine_chunks(),
+                pa.scalar(100.0))).cast(pa.int64()),
+        })
+
+    return (tiered.map_batches(partial, batch_format="pyarrow")
+            .groupby("tier").aggregate(Sum("s", alias_name="s"),
+                                       Sum("n", alias_name="n"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def order_price_tiers_sql(
+        tiers: tuple[tuple[float, str], ...] = PRICE_TIERS) -> str:
+    rows = []
+    for i, (lo, label) in enumerate(tiers):
+        hi = tiers[i + 1][0] if i + 1 < len(tiers) else None
+        hi_sql = "" if hi is None else f" AND o_totalprice < {hi!r}"
+        rows.append(f"SELECT '{label}' AS tier, o_totalprice FROM orders"
+                    f" WHERE o_totalprice >= {lo!r}{hi_sql}")
+    union = "\n  UNION ALL\n  ".join(rows)
+    return f"""
+WITH tiered AS (
+  {union}
+)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(round(SUM(o_totalprice) * 100) AS BIGINT) AS total_cents
+FROM tiered
+GROUP BY tier
+"""
+
+
+# --------------------------------------------------------- anti join
+def hash_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                   left_key: str, right_key: str,
+                   num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Left rows whose key has NO match in right (NOT EXISTS) — a join
+    type Ray Data lacks. ONE bucket-hash shuffle of the tagged union:
+    the right side is reduced to per-batch DISTINCT keys first (a
+    combiner — at most one row per key per block crosses the wire), the
+    left streams with payload; each bucket filters its left slice
+    against its right key slice with a vectorized ``is_in``. A hot
+    probe key is harmless: left rows spread over blocks, and the right
+    side is distinct per key."""
+    from ..stages.dedup import default_num_buckets
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    lschema = left.schema()
+    cols = lschema.names
+    union_schema = pa.schema(
+        [(f"_l_{c}", lschema.base_schema.field(c).type) for c in cols] +
+        [("_k", pa.string()), ("_side", pa.int8()),
+         ("_bucket", pa.int32())])
+
+    def _bucket_of(keys: pa.Array) -> pa.Array:
+        import polars as pl
+        b = (pl.from_arrow(pa.table({"k": keys})).hash_rows(seed=0)
+             % num_buckets)
+        return pa.array(b.cast(pl.Int32).to_numpy(), pa.int32())
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = batch[left_key].combine_chunks().cast(pa.string())
+        arrays = [batch[c].combine_chunks() for c in cols]
+        arrays += [k, pa.array([0] * batch.num_rows, pa.int8()),
+                   _bucket_of(k)]
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = pc.unique(batch[right_key].combine_chunks().cast(pa.string()))
+        arrays = [pa.nulls(len(k), lschema.base_schema.field(c).type)
+                  for c in cols]
+        arrays += [k, pa.array([1] * len(k), pa.int8()), _bucket_of(k)]
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    out_schema = pa.schema([(c, lschema.base_schema.field(c).type)
+                            for c in cols])
+
+    def bucket_anti(group: pa.Table) -> pa.Table:
+        side = group["_side"].combine_chunks()
+        rkeys = pc.unique(group.filter(pc.equal(side, 1))["_k"]
+                          .combine_chunks())
+        lrows = group.filter(pc.equal(side, 0))
+        if len(rkeys) == 0:
+            keep = lrows
+        else:
+            keep = lrows.filter(pc.invert(pc.is_in(
+                lrows["_k"].combine_chunks(), value_set=rkeys)))
+        return pa.table(
+            {c: keep[f"_l_{c}"] for c in cols}).cast(out_schema)
+
+    from ..stages.canonicalize import SANITIZE_BATCH
+    # batch_size coalesces empty blocks (e.g. from a filtered probe
+    # side) that would otherwise skip the tag fn and reach the union
+    # with their upstream schema
+    tagged = (left.map_batches(tag_left, batch_format="pyarrow",
+                               batch_size=SANITIZE_BATCH)
+              .union(right.map_batches(tag_right, batch_format="pyarrow",
+                                       batch_size=SANITIZE_BATCH)))
+    return (tagged.groupby("_bucket")
+            .map_groups(bucket_anti, batch_format="pyarrow"))
+
+
+BIG_ORDER_THRESHOLD = 300000.0
+
+
+def customers_without_big_orders(
+        sf_dir: str,
+        threshold: float = BIG_ORDER_THRESHOLD) -> "ray.data.Dataset":
+    """Gate: anti-join customers against their high-value orders
+    (TPC-H Q22 shape). The probe side is filtered AT THE READ (predicate
+    before the key combiner) so only qualifying keys cross the wire.
+    Output (c_custkey, c_mktsegment)."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+
+    def big_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["o_totalprice"],
+                                   threshold)).select(["o_custkey"])
+
+    big = orders.map_batches(big_only, batch_format="pyarrow")
+    return hash_anti_join(cust, big, "c_custkey", "o_custkey")
+
+
+CUSTOMERS_WITHOUT_BIG_ORDERS_SQL = f"""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+ANTI JOIN (SELECT o_custkey FROM orders
+           WHERE o_totalprice > {BIG_ORDER_THRESHOLD!r}) o
+  ON o.o_custkey = c.c_custkey
+"""
