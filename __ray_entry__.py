@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # side reduced to distinct keys per block)
     q["order_price_tiers"] = relational.order_price_tiers
     q["customers_without_big_orders"] = relational.customers_without_big_orders
+    # per-row LAG window (time since previous event per user) and
+    # per-key top-k frequent values (histogram-sized shuffle)
+    q["event_time_deltas"] = relational.event_time_deltas
+    q["top_tokens_per_lang"] = relational.top_tokens_per_lang
 
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
@@ -222,6 +226,8 @@ def oracle_sql() -> dict[str, str]:
     o["order_price_tiers"] = relational.order_price_tiers_sql()
     o["customers_without_big_orders"] = (
         relational.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL)
+    o["event_time_deltas"] = relational.EVENT_TIME_DELTAS_SQL
+    o["top_tokens_per_lang"] = relational.top_tokens_per_lang_sql()
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
                                         MEDIA_AUDIO_STATS_SQL,

@@ -677,3 +677,146 @@ ANTI JOIN (SELECT o_custkey FROM orders
            WHERE o_totalprice > {BIG_ORDER_THRESHOLD!r}) o
   ON o.o_custkey = c.c_custkey
 """
+
+
+# ------------------------------------------------ LAG window (per-key)
+def event_time_deltas(sf_dir: str,
+                      num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Per-event time since the user's PREVIOUS event (the LAG window
+    function — per-row output, unlike the sessionize rollup). Users
+    shuffle by ``user_id % B``; each bucket sorts its slice once and
+    computes every user's deltas with one numpy diff (the user-boundary
+    mask voids the first row per user). Output
+    (event_id, delta_us:int64|null). Same ordering contract as
+    sessionize: order is established inside the bucket, input block
+    order is irrelevant; ts ties break by event_id."""
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = (batch["user_id"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "_bucket", pa.array((uid % num_buckets).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype=np.int64),
+                "delta_us": pd.Series(dtype=np.float64)})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = g["user_id"].to_numpy(dtype=np.int64)
+        tsv = (g["ts"].to_numpy(dtype="datetime64[us]")
+               .astype(np.int64))
+        # float64 with NaN-for-first, the same nullable-number
+        # convention as asof_last_purchase: deltas are << 2**53 us so
+        # the doubles are exact, and both engine and DuckDB render
+        # identically for the value-hash gate
+        delta = np.empty(len(g), dtype=np.float64)
+        delta[0] = np.nan
+        delta[1:] = (tsv[1:] - tsv[:-1]).astype(np.float64)
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = user[1:] != user[:-1]
+        delta[first] = np.nan
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(dtype=np.int64),
+            "delta_us": delta})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pandas"))
+
+
+EVENT_TIME_DELTAS_SQL = """
+SELECT event_id,
+       CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+           AS delta_us
+FROM events
+"""
+
+
+# -------------------------------------------------- grouped top-k counts
+def grouped_topk_counts(ds: "ray.data.Dataset", key: str, value: str,
+                        k: int, num_buckets: int | None = None
+                        ) -> "ray.data.Dataset":
+    """Per-key top-k most frequent values with deterministic tie order
+    (count desc, value asc). Per-batch ``(key, value)`` count combiner
+    → one hash(key) bucket shuffle of histogram-sized partials →
+    per-bucket vectorized rank. Output (key, value, cnt, rank). A
+    hot KEY is safe (its partials are one row per value per block);
+    a web-scale VALUE DOMAIN per key is where you switch to the
+    two-pass bounded-memory path (ops/sketch.heavy_hitters) per key."""
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        g = (batch.select([key, value])
+             .group_by([key, value]).aggregate([([], "count_all")]))
+        t = pa.table({key: g[key].cast(pa.string()),
+                      "v": g[value].cast(pa.string()),
+                      "cnt": g["count_all"].cast(pa.int64())})
+        df = pl.from_arrow(t)
+        bucket = ((df.select(key).hash_rows(seed=0) % num_buckets)
+                  .cast(pl.Int32).rename("_bucket"))
+        return df.with_columns(bucket).to_arrow().cast(
+            pa.schema([(key, pa.string()), ("v", pa.string()),
+                       ("cnt", pa.int64()), ("_bucket", pa.int32())]))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        import polars as pl
+        top = (pl.from_arrow(group.select([key, "v", "cnt"]))
+               .group_by([key, "v"]).agg(pl.col("cnt").sum())
+               .sort([key, "cnt", "v"], descending=[False, True, False])
+               .with_columns(rank=pl.int_range(1, pl.len() + 1).over(key))
+               .filter(pl.col("rank") <= k))
+        return top.rename({"v": value}).to_arrow().cast(
+            pa.schema([(key, pa.string()), (value, pa.string()),
+                       ("cnt", pa.int64()), ("rank", pa.int64())]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pyarrow"))
+
+
+def top_tokens_per_lang(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+    """Gate: per-language top-k tokens over the documents corpus.
+    Output (lang, token, cnt, rank)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks().cast(pa.string())
+        lang = batch["lang"].combine_chunks().cast(pa.string())
+        split = pc.split_pattern(text, pattern=" ")
+        flat = split.flatten()
+        parents = pc.list_parent_indices(split)
+        mask = pc.greater(pc.utf8_length(flat), 0)
+        return pa.table({"lang": lang.take(parents.filter(mask)),
+                         "token": flat.filter(mask)})
+
+    tok = ds.map_batches(tokens, batch_format="pyarrow")
+    return grouped_topk_counts(tok, "lang", "token", k)
+
+
+def top_tokens_per_lang_sql(k: int = 5) -> str:
+    return f"""
+WITH tok AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok WHERE len(token) > 0 GROUP BY lang, token
+)
+SELECT lang, token, cnt,
+       CAST(rk AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER
+        (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rk
+      FROM cnt)
+WHERE rk <= {k}
+"""

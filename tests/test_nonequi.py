@@ -83,3 +83,34 @@ def test_customers_without_big_orders_matches_sql(ray_session):
     got = sorted((r["c_custkey"], r["c_mktsegment"]) for r in
                  customers_without_big_orders(SF).take_all())
     assert got == want and 0 < len(got)
+
+
+def test_event_time_deltas_matches_sql(ray_session):
+    from kgforge.ops.relational import (EVENT_TIME_DELTAS_SQL,
+                                        event_time_deltas)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    def norm(v):
+        return -1.0 if v is None or v != v else float(v)
+
+    want = sorted((e, norm(d)) for e, d in
+                  con.execute(EVENT_TIME_DELTAS_SQL).fetchall())
+    got = sorted((r["event_id"], norm(r["delta_us"]))
+                 for r in event_time_deltas(SF).take_all())
+    assert got == want and len(got) == 1000
+    assert sum(1 for _, d in got if d < 0) > 0   # first-event NaNs exist
+
+
+def test_grouped_topk_tie_order(ray_session):
+    """Ties rank deterministically: count desc, then value asc."""
+    import ray
+    from kgforge.ops.relational import grouped_topk_counts
+
+    t = pa.table({"g": ["x"] * 7,
+                  "v": ["b", "a", "b", "a", "c", "c", "c"]})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = sorted((r["rank"], r["v"], r["cnt"]) for r in
+                 grouped_topk_counts(ds, "g", "v", k=2).take_all())
+    assert out == [(1, "c", 3), (2, "a", 2)]
