@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # counting pre-agg (holistic aggregate without the hot-key trap)
     from kgforge.ops import graph, quantile
     q["entity_pagerank"] = graph.entity_pagerank
+    q["entity_cooccurrence"] = graph.entity_cooccurrence
     q["lang_length_quantiles"] = quantile.lang_length_quantiles
     # non-equi join family Ray Data lacks: broadcast+searchsorted range
     # join and a bucket-hash NOT EXISTS anti-join (tagged union, probe
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
     # PageRank is iterative but K is fixed — the mirror unrolls the
     # iterations as chained CTEs in the same int64 arithmetic
     o["entity_pagerank"] = graph.entity_pagerank_sql()
+    o["entity_cooccurrence"] = graph.entity_cooccurrence_sql()
     o["lang_length_quantiles"] = quantile.lang_length_quantiles_sql()
     o["order_price_tiers"] = relational.order_price_tiers_sql()
     o["customers_without_big_orders"] = (

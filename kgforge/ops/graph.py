@@ -349,3 +349,65 @@ r0 AS (SELECT n, CAST({SCALE} AS BIGINT) AS r FROM deg)"""]
   GROUP BY e.dst)""")
     return ("WITH " + ",\n".join(ctes) +
             f"\nSELECT n AS node, CAST(r AS BIGINT) AS pr FROM r{iterations}")
+
+
+# ----------------------------------------- entity co-occurrence counts
+def cooccurrence_counts(pairs: "ray.data.Dataset", doc_col: str,
+                        ent_col: str) -> "ray.data.Dataset":
+    """Per entity-pair document co-occurrence counts — the integer
+    core of PMI/association mining over the KG. Input: one row per
+    (doc, entity) fact, each doc's facts wholly inside one batch (true
+    for per-row extraction: a doc is one corpus row). Per batch, the
+    pair expansion is a C-level polars self-join on the doc key
+    (filtered to a < b so each unordered pair appears once) followed by
+    a count pre-agg; the final groupby sums partials over a pair-space
+    bounded by lexicon², not the corpus. Output (a, b, n_docs)."""
+    from ray.data.aggregate import Sum
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(pa.table({
+            "d": batch[doc_col].combine_chunks(),
+            "m": batch[ent_col].combine_chunks().cast(pa.string())}))
+        j = (df.join(df, on="d", suffix="_r")
+             .filter(pl.col("m") < pl.col("m_r"))
+             .group_by(["m", "m_r"]).len(name="n")
+             .rename({"m": "a", "m_r": "b"}))
+        return j.to_arrow().cast(pa.schema([
+            ("a", pa.string()), ("b", pa.string()), ("n", pa.int64())]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch["a"], "b": batch["b"],
+                         "n_docs": batch["n"].combine_chunks()
+                         .cast(pa.int64())})
+
+    return (pairs.map_batches(expand, batch_format="pyarrow")
+            .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def entity_cooccurrence(sf_dir: str) -> "ray.data.Dataset":
+    """Gate: document co-occurrence counts for every gazetteer entity
+    pair. Output (a, b, n_docs), a < b."""
+    return cooccurrence_counts(mention_pairs_ds(sf_dir), "doc_id",
+                               "mention")
+
+
+def entity_cooccurrence_sql() -> str:
+    from ..pipelines.webkg import LEXICON
+    from ..sqlgen import sql_quote
+
+    in_list = ", ".join(sql_quote(t) for t in sorted(LEXICON))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+    FROM documents)
+  WHERE token IN ({in_list})
+)
+SELECT p1.token AS a, p2.token AS b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pairs p1
+JOIN pairs p2 ON p1.doc_id = p2.doc_id AND p1.token < p2.token
+GROUP BY 1, 2
+"""

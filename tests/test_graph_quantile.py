@@ -122,3 +122,34 @@ def test_lang_length_quantiles_matches_sql(ray_session):
                   r["p99"])
                  for r in lang_length_quantiles(SF).take_all())
     assert got == want
+
+
+def test_entity_cooccurrence_matches_sql(ray_session):
+    from kgforge.ops.graph import (entity_cooccurrence,
+                                   entity_cooccurrence_sql)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = sorted(map(tuple, con.execute(
+        entity_cooccurrence_sql()).fetchall()))
+    got = sorted((r["a"], r["b"], r["n_docs"])
+                 for r in entity_cooccurrence(SF).take_all())
+    assert got == want and len(got) > 10
+    assert all(a < b for a, b, _ in got)
+
+
+def test_cooccurrence_planted(ray_session):
+    """Planted: doc facts split across blocks by DOC (never within a
+    doc); cross-doc pair counts aggregate exactly."""
+    import ray
+    from kgforge.ops.graph import cooccurrence_counts
+
+    t = pa.table({
+        "d": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+        "m": ["x", "y", "z", "x", "y", "y", "z"]})
+    out = sorted((r["a"], r["b"], r["n_docs"]) for r in
+                 cooccurrence_counts(
+                     ray.data.from_arrow(t).repartition(1), "d", "m")
+                 .take_all())
+    assert out == [("x", "y", 2), ("x", "z", 1), ("y", "z", 2)]
