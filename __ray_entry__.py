@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["entity_pagerank"] = graph.entity_pagerank
     q["entity_cooccurrence"] = graph.entity_cooccurrence
     q["lang_length_quantiles"] = quantile.lang_length_quantiles
+    q["lang_length_quantiles_hdr"] = quantile.lang_length_quantiles_hdr
     # non-equi join family Ray Data lacks: broadcast+searchsorted range
     # join and a bucket-hash NOT EXISTS anti-join (tagged union, probe
     # side reduced to distinct keys per block)
@@ -255,4 +256,6 @@ def oracle_sql() -> dict[str, str]:
     # full per-position stream: VALUES oracle from the scalar reference
     o["doc_fingerprints_full"] = SR.fingerprint_full_oracle_sql()
     o["entity_doc_frequency_kmv"] = SR.kmv_doc_frequency_oracle_sql()
+    # frexp bucket mapping is not SQL-expressible — scalar-ref mirror
+    o["lang_length_quantiles_hdr"] = SR.hdr_quantiles_oracle_sql()
     return o

@@ -566,3 +566,65 @@ def kmv_doc_frequency_oracle_sql(k: int = 64) -> str:
             for d in _sf_dirs()}
     return values_oracle_sql(rows, ["mention", "doc_freq_est"],
                              ["VARCHAR", "BIGINT"])
+
+
+# ------------------------------------------- HDR quantile sketch mirror
+def hdr_quantiles_ref(pairs: list[tuple[str, int]],
+                      pcts: tuple[int, ...] = (25, 50, 90, 99),
+                      bits: int = 7) -> list[tuple]:
+    """Scalar mirror of ops.quantile.hdr_quantiles: per key, the
+    log-bucketed approximate percentiles — plain dict/loop code, same
+    frexp bucket spec and the integer percentile rule."""
+    import math
+
+    def bucket_id(v: int) -> int:
+        if v == 0:
+            return 0
+        m, e = math.frexp(float(v))
+        prefix = int((m - 0.5) * (1 << (bits + 1)))
+        return ((e + 1200) << bits) | prefix
+
+    def bucket_lo(b: int) -> float:
+        if b == 0:
+            return 0.0
+        e = (b >> bits) - 1200
+        prefix = b & ((1 << bits) - 1)
+        return (0.5 + prefix / (1 << (bits + 1))) * 2.0 ** e
+
+    hists: dict[str, dict[int, int]] = {}
+    for k, v in pairs:
+        hists.setdefault(k, {})[bucket_id(v)] = \
+            hists.setdefault(k, {}).get(bucket_id(v), 0) + 1
+    out = []
+    for k in sorted(hists):
+        h = hists[k]
+        n = sum(h.values())
+        row: list = [k, n]
+        for p in pcts:
+            cum = 0
+            for b in sorted(h):
+                cum += h[b]
+                if 100 * cum >= p * n:
+                    row.append(bucket_lo(b))
+                    break
+        out.append(tuple(row))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _doc_lang_lengths(sf_dir: str) -> tuple[tuple[str, int], ...]:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["lang", "n_chars"])
+    return tuple(zip(t["lang"].to_pylist(), t["n_chars"].to_pylist()))
+
+
+@functools.lru_cache(maxsize=None)
+def hdr_quantiles_oracle_sql(pcts: tuple[int, ...] = (25, 50, 90, 99),
+                             bits: int = 7) -> str:
+    rows = {_doc_key(d): hdr_quantiles_ref(list(_doc_lang_lengths(d)),
+                                           pcts, bits)
+            for d in _sf_dirs()}
+    cols = ["lang", "n"] + [f"q{p}" for p in pcts]
+    types = ["VARCHAR", "BIGINT"] + ["DOUBLE"] * len(pcts)
+    return values_oracle_sql(rows, cols, types)

@@ -153,3 +153,46 @@ def test_cooccurrence_planted(ray_session):
                      ray.data.from_arrow(t).repartition(1), "d", "m")
                  .take_all())
     assert out == [("x", "y", 2), ("x", "z", 1), ("y", "z", 2)]
+
+
+def test_hdr_bucket_scalar_matches_vector():
+    import numpy as np
+    from kgforge.ops.quantile import hdr_bucket_ids, hdr_bucket_lo
+
+    import math
+
+    def scalar_bucket(v, bits=7):
+        if v == 0:
+            return 0
+        m, e = math.frexp(float(v))
+        return ((e + 1200) << bits) | int((m - 0.5) * (1 << (bits + 1)))
+
+    vals = np.array([0, 1, 2, 3, 127, 128, 129, 10**6, 2**52 + 1,
+                     2**62], dtype=np.int64)
+    got = hdr_bucket_ids(vals).tolist()
+    assert got == [scalar_bucket(int(v)) for v in vals]
+    # lower bound never exceeds the value; relative width < 2^-6
+    for v, b in zip(vals.tolist(), got):
+        lo = hdr_bucket_lo(b)
+        assert lo <= v
+        if v > 0:
+            assert (v - lo) / v <= 2 ** -6
+
+
+def test_hdr_quantiles_accuracy_vs_exact(ray_session):
+    """Sketch percentiles within 2^-7 relative error of the exact op
+    on the same corpus."""
+    from kgforge.ops.quantile import (lang_length_quantiles,
+                                      lang_length_quantiles_hdr)
+
+    exact = {r["lang"]: r for r in lang_length_quantiles(SF).take_all()}
+    approx = {r["lang"]: r
+              for r in lang_length_quantiles_hdr(SF).take_all()}
+    assert exact.keys() == approx.keys()
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a["n"] == e["n"]
+        for p in (25, 50, 90, 99):
+            true, est = e[f"p{p}"], a[f"q{p}"]
+            assert est <= true
+            assert (true - est) / true <= 2 ** -7 + 1e-12, (lang, p)
