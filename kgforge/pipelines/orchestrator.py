@@ -69,14 +69,20 @@ def source_triples(source: SourceConfig,
 
 def run_sources(options_path: str, out_dir: str,
                 union_stores: bool = False,
-                turtle: bool = False) -> list[str]:
+                turtle: bool = False,
+                formats: tuple[str, ...] | None = None) -> list[str]:
     """Run every active source of an options file.
 
     union_stores=False → one graph dir per source (v5 semantics);
     union_stores=True  → single unioned graph (v1 orchestrator, A4);
     turtle=True        → additionally emit prefixed Turtle shards
                          (graph.ttl/) — the reference's user-visible
-                         artifact format (csv2rdf-v5.py:158-163).
+                         artifact format (csv2rdf-v5.py:158-163);
+    formats=(...)      → instead of the nt/ttl flags, write every named
+                         format from the sink registry
+                         (kgforge.sinks.register_sink_format — the
+                         reference's "add more output formats" TODO,
+                         csv2rdf-v5.py:148).
     Returns the list of written graph dirs."""
     base_dir = os.path.dirname(os.path.abspath(options_path))
     sources = read_options(options_path)
@@ -87,6 +93,14 @@ def run_sources(options_path: str, out_dir: str,
 
     def _write(triples: "ray.data.Dataset", dest: str, domain: str) -> None:
         deduped = dedup_triples(triples)
+        if formats is not None:
+            from ..sinks import sink_format
+            writers = [sink_format(f) for f in formats]
+            if len(writers) > 1:
+                deduped = deduped.materialize()  # feeds every sink
+            for w in writers:
+                w(deduped, dest, domain)
+            return
         if turtle:
             deduped = deduped.materialize()  # feeds both sinks
             from ..sinks.turtle_sink import write_graph_turtle

@@ -99,6 +99,28 @@ ALTER_MAP_ALL = 1
 ALTER_MAP_PART = 2
 ALTER_EXTRACT = 3
 ALTER_PREFIX = 4
+ALTER_CUSTOM = 5
+
+# --- user-extension surface (SURVEY §2.8) --------------------------------
+# The reference's author left "more alteration commands" as an explicit
+# TODO (csv2rdf-v4/README.md:174-176); this registry makes the grammar
+# `.ini` command vocabulary extensible without touching engine code. A
+# factory receives the raw argument string inside the parens plus the
+# grammar's *list* tables and returns an Alteration — usually
+# mode=ALTER_CUSTOM carrying a scalar fn (reference/oracle path) and an
+# optional vectorized Arrow fn (engine hot path; per-unique dictionary
+# fallback when absent, so a scalar-only command is still not per-row).
+ALTERATION_COMMANDS: dict = {}
+
+
+def register_alteration(name: str):
+    """Decorator: ``@register_alteration("rot13")`` registers
+    ``factory(argstr, lists) -> Alteration`` for the grammar command
+    ``role,rot13(...)``."""
+    def deco(factory):
+        ALTERATION_COMMANDS[name] = factory
+        return factory
+    return deco
 
 
 @dataclass(frozen=True)
@@ -108,6 +130,10 @@ class Alteration:
     lo: int = 0
     hi: int = 0
     prefix: str = ""
+    # ALTER_CUSTOM (registered commands): scalar fn is normative,
+    # vector fn an optional Arrow-native fast path
+    scalar_fn: object = None
+    vector_fn: object = None
 
     def apply(self, cell: str) -> str:
         """Exact transcription of alter_cell_value (csv2rdf-v5.py:258-282)."""
@@ -123,6 +149,8 @@ class Alteration:
             return cell[self.lo : self.hi]
         if self.mode == ALTER_PREFIX:
             return cell + self.prefix  # v5 APPENDS (csv2rdf-v5.py:282)
+        if self.mode == ALTER_CUSTOM:
+            return self.scalar_fn(cell)
         raise AssertionError("unreachable")
 
 
@@ -150,6 +178,9 @@ def parse_alteration(cellrole: str, lists: dict[str, dict[str, str]]) -> Alterat
         return Alteration(mode=ALTER_EXTRACT, lo=lo, hi=hi)
     if cmd.startswith("prefix("):
         return Alteration(mode=ALTER_PREFIX, prefix=cmd[7:-1])
+    for name, factory in ALTERATION_COMMANDS.items():
+        if cmd.startswith(name + "(") and cmd.endswith(")"):
+            return factory(cmd[len(name) + 1:-1], lists)
     raise GrammarError(f"Unknown command: '{cmd}' in grammar file")
 
 
@@ -338,13 +369,20 @@ class MultiValueRule(Rule):
 
     separator: str = " "
     lexicon: frozenset[str] | None = None
+    # the author's "should be parameterizable" splitter TODO
+    # (csv2rdf/csv2rdf.py:254): an arbitrary str -> list[str] callable;
+    # the engine applies it per UNIQUE cell (dictionary-encoded), the
+    # separator fast path stays fully vectorized when it is None
+    splitter_fn: object = None
 
     @property
     def effective_role(self) -> str:
         return OBJECT
 
     def tokens(self, cell: str) -> list[str]:
-        toks = [t for t in cell.split(self.separator) if t != ""]
+        raw = (self.splitter_fn(cell) if self.splitter_fn is not None
+               else cell.split(self.separator))
+        toks = [t for t in raw if t != ""]
         if self.lexicon is not None:
             toks = [t for t in toks if t in self.lexicon]
         return toks

@@ -34,6 +34,7 @@ import pyarrow.compute as pc
 
 from ..ntriples import KIND_LIT, KIND_URI
 from ..rules import (
+    ALTER_CUSTOM,
     ALTER_EXTRACT,
     ALTER_MAP_ALL,
     ALTER_MAP_PART,
@@ -113,6 +114,16 @@ def apply_alteration(alt: Alteration, arr: pa.Array) -> pa.Array:
         return pc.utf8_slice_codeunits(arr, start=alt.lo, stop=alt.hi)
     if alt.mode == ALTER_PREFIX:
         return pc.binary_join_element_wise(arr, pa.scalar(alt.prefix), "")
+    if alt.mode == ALTER_CUSTOM:
+        if alt.vector_fn is not None:
+            return alt.vector_fn(arr)
+        # per-UNIQUE scalar application — a registered command without a
+        # vectorized fn still never loops over the row axis
+        enc = pc.dictionary_encode(arr)
+        out = pa.array(
+            [alt.scalar_fn(u) if u is not None else None
+             for u in enc.dictionary.to_pylist()], type=pa.string())
+        return out.take(enc.indices)
     raise AssertionError("unreachable")
 
 
@@ -231,7 +242,17 @@ class TripleGenerator:
             elif isinstance(rule, MultiValueRule):
                 # vectorized token explosion: split → flatten with parent
                 # indices → lexicon membership filter
-                split = pc.split_pattern(cell, pattern=rule.separator)
+                if rule.splitter_fn is not None:
+                    # custom splitter: evaluate per unique cell, then
+                    # broadcast the list array back over the rows
+                    enc = pc.dictionary_encode(cell)
+                    per_uniq = pa.array(
+                        [rule.splitter_fn(u) if u is not None else []
+                         for u in enc.dictionary.to_pylist()],
+                        type=pa.list_(pa.string()))
+                    split = per_uniq.take(enc.indices)
+                else:
+                    split = pc.split_pattern(cell, pattern=rule.separator)
                 flat = split.flatten()
                 parents = pc.list_parent_indices(split)
                 tok_mask = pc.not_equal(flat, "")
