@@ -165,6 +165,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["event_time_deltas"] = relational.event_time_deltas
     q["top_tokens_per_lang"] = relational.top_tokens_per_lang
 
+    # --- substring-level cross-doc duplication (Lee et al. 2022-style
+    # duplicated n-gram coverage: ONE gram-keyed bucket shuffle of
+    # per-(doc,gram) combiner partials; kgforge/ops/substring.py)
+    from kgforge.ops import substring
+    q["dup_gram_coverage"] = substring.dup_gram_coverage
+    # Gopher-style repetition quality signals (top word / 2-gram mass)
+    q["repetition_stats"] = text.repetition_stats
+    # vectorized RE2 identifier/PII redaction with redaction counts
+    q["pii_scrub"] = text.pii_scrub
+    # deterministic training-order assignment: distributed row_number
+    # (equal-width hash range partition + count-pass prefix offsets)
+    from kgforge.ops import rank
+    q["corpus_shuffle"] = rank.corpus_shuffle
+
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
     q["media_feature_stats"] = multimodal.media_feature_stats
@@ -231,6 +245,11 @@ def oracle_sql() -> dict[str, str]:
         relational.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL)
     o["event_time_deltas"] = relational.EVENT_TIME_DELTAS_SQL
     o["top_tokens_per_lang"] = relational.top_tokens_per_lang_sql()
+    from kgforge.ops import rank, substring
+    o["dup_gram_coverage"] = substring.dup_gram_coverage_sql()
+    o["repetition_stats"] = text.REPETITION_STATS_SQL
+    o["pii_scrub"] = text.pii_scrub_sql()
+    o["corpus_shuffle"] = rank.corpus_shuffle_sql()
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
                                         MEDIA_AUDIO_STATS_SQL,

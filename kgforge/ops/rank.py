@@ -1,0 +1,125 @@
+"""Distributed global row numbering and deterministic corpus shuffle.
+
+Training pipelines need a *global training order*: every document gets a
+dense 0-based position in a pseudo-random but fully deterministic
+permutation (content-keyed — identical at any parallelism, resumable),
+plus a shard assignment for the writer. Ray Data has no row_number()
+primitive; this composes one from the repo's standard pieces:
+
+1. Sort key = Knuth multiplicative hash of doc_id (uint64 wrap, mod
+   2^32 — the exact arithmetic dataset_split/ops/text.py:233 already
+   mirrors in HUGEINT SQL), tie-broken by doc_id.
+2. Range-partition by EQUAL-WIDTH hash buckets (bucket = kh * B >> 32).
+   The hash is uniform, so buckets are balanced without a sampling pass,
+   and bucket order == key order by construction — no boundary sketch
+   needed (contrast stages/rangesort.py, which must sample because raw
+   triple keys are arbitrary strings).
+3. COUNT PASS: per-batch bincount combiner over the bucket ids → B
+   integers on the driver → prefix sums = each bucket's global offset.
+   This is the classic distributed row-number prefix pass; the exchange
+   is B ints per block, corpus-size-independent.
+4. RANK PASS: one bucket shuffle; each bucket sorts locally (C-level
+   polars) and adds its offset. No global sort, no driver materialize.
+
+The count pass re-reads only the key column (column-pruned read + a
+32-bit hash per row) rather than materializing the hashed corpus — at
+100 TB recomputing a multiply is cheaper than pinning the dataset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..sources.readers import read_table
+
+KNUTH_MULT = 2654435761  # same constant as ops/text.SPLIT_MULT
+_MOD = np.uint64(1 << 32)
+
+
+def _khash(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash, uint64-wrap mod 2^32 (exact HUGEINT
+    mirror in SQL for any doc_id >= 0 — see ops/text.dataset_split)."""
+    return (ids.astype(np.uint64) * np.uint64(KNUTH_MULT)) % _MOD
+
+
+def global_row_number(ds: "ray.data.Dataset", key: str,
+                      num_buckets: int | None = None
+                      ) -> "ray.data.Dataset":
+    """Assign (key, pos): dense 0-based global row numbers ordered by
+    (knuth_hash(key), key). `key` must be a non-negative integer column
+    with distinct values (it is the tie-breaker)."""
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+    nb = np.uint64(num_buckets)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = (batch[key].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        kh = _khash(ids)
+        bucket = ((kh * nb) >> np.uint64(32)).astype(np.int32)
+        return pa.table({key: pa.array(ids, type=pa.int64()),
+                         "_kh": pa.array(kh.astype(np.int64),
+                                         type=pa.int64()),
+                         "_bucket": pa.array(bucket, type=pa.int32())})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    # ---- count pass: B-int combiner per block, tiny driver reduce
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        b = batch["_bucket"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        c = np.bincount(b, minlength=num_buckets)
+        return pa.table({"_bucket": pa.array(
+            np.arange(num_buckets, dtype=np.int32), type=pa.int32()),
+            "n": pa.array(c.astype(np.int64), type=pa.int64())})
+
+    parts = (keyed_ds.map_batches(bucket_counts, batch_format="pyarrow")
+             .groupby("_bucket").sum("n").to_pandas())  # B rows
+    counts = np.zeros(num_buckets, dtype=np.int64)
+    counts[parts["_bucket"].to_numpy()] = parts["sum(n)"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    # ---- rank pass: one bucket shuffle, local sort + offset
+    def per_bucket(group: pa.Table) -> pa.Table:
+        import polars as pl
+        df = (pl.from_arrow(group.select([key, "_kh", "_bucket"]))
+              .sort(["_kh", key]))
+        b = int(df["_bucket"][0])
+        pos = np.arange(len(df), dtype=np.int64) + offsets[b]
+        return pa.table({key: df[key].to_arrow().cast(pa.int64()),
+                         "pos": pa.array(pos, type=pa.int64())})
+
+    return (keyed_ds.groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def corpus_shuffle(sf_dir: str, n_shards: int = 8) -> "ray.data.Dataset":
+    """Gate: deterministic training-order assignment for the documents
+    corpus. Output (doc_id, pos, shard) — pos is the dense position in
+    the content-keyed permutation, shard a round-robin writer bucket."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    ranked = global_row_number(ds, key="doc_id")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pos = (batch["pos"].combine_chunks()
+               .to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": batch["doc_id"], "pos": batch["pos"],
+                         "shard": pa.array(pos % n_shards,
+                                           type=pa.int64())})
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def corpus_shuffle_sql(n_shards: int = 8) -> str:
+    kh = f"((CAST(doc_id AS HUGEINT) * {KNUTH_MULT}) % 4294967296)"
+    return f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY {kh}, doc_id) - 1 AS BIGINT) AS pos,
+       CAST((row_number() OVER (ORDER BY {kh}, doc_id) - 1) % {n_shards}
+            AS BIGINT) AS shard
+FROM documents
+"""

@@ -598,3 +598,136 @@ def contamination_check(sf_dir: str, k: int = 8, bench_mod: int = BENCH_MOD
         })
 
     return ds.map_batches(screen, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals (Gopher-style, Rae et al. 2021 §A1.1 — public)
+# ---------------------------------------------------------------------------
+
+class RepetitionStats:
+    """Per-doc repetition signals a training-data quality gate thresholds
+    on: total/unique word counts and the mass of the most frequent word
+    and word 2-gram. All integers (fractions are downstream division);
+    one vectorized polars pass per batch — explode + window shift, no
+    Python loop over rows or tokens."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        words = (df.with_columns(pl.col("text").str.split(" ").alias("w"))
+                 .drop("text").explode("w"))
+        wc = words.group_by(["doc_id", "w"]).len()
+        w_agg = wc.group_by("doc_id").agg(
+            pl.col("len").sum().alias("n_words"),
+            pl.len().alias("n_unique_words"),
+            pl.col("len").max().alias("top_word_count"))
+        g2 = (words.with_columns(
+                  pl.col("w").shift(-1).over("doc_id").alias("w1"))
+              .drop_nulls()
+              .select(pl.col("doc_id"),
+                      pl.concat_str([pl.col("w"), pl.col("w1")],
+                                    separator=" ").alias("g")))
+        g_agg = (g2.group_by(["doc_id", "g"]).len()
+                 .group_by("doc_id")
+                 .agg(pl.col("len").max().alias("top_gram2_count")))
+        out = (w_agg.join(g_agg, on="doc_id", how="left")
+               .with_columns(pl.col("top_gram2_count").fill_null(0)))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_words", pa.int64()),
+            ("n_unique_words", pa.int64()), ("top_word_count", pa.int64()),
+            ("top_gram2_count", pa.int64())]))
+
+
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(RepetitionStats(), batch_format="pyarrow")
+
+
+REPETITION_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+), w_agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_unique_words,
+         CAST(max(c) AS BIGINT) AS top_word_count
+  FROM wc GROUP BY doc_id
+), g2 AS (
+  SELECT doc_id,
+         array_to_string(t[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+), g_agg AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_gram2_count
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT w_agg.doc_id, n_words, n_unique_words, top_word_count,
+       CAST(coalesce(top_gram2_count, 0) AS BIGINT) AS top_gram2_count
+FROM w_agg LEFT JOIN g_agg USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII / identifier redaction (vectorized RE2 scrub)
+# ---------------------------------------------------------------------------
+
+# RE2-safe, shared verbatim with the DuckDB oracle. Long digit runs are
+# account/ID-shaped; the email pattern is the standard conservative form.
+PII_PATTERNS = (
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("[0-9]{6,}", "[ID]"),
+)
+
+
+def pii_scrub(sf_dir: str, table: str = "customer",
+              key: str = "c_custkey", column: str = "c_name"
+              ) -> "ray.data.Dataset":
+    """Redact identifier-shaped substrings from a string column.
+    Emits (key, scrubbed value, n_redactions). Pure streaming
+    map_batches over RE2 kernels — patterns are module constants, no
+    per-batch compile; the same patterns (in the same order — scrubs
+    compose) back the SQL mirror, so outputs match byte-for-byte."""
+    ds = read_table(sf_dir, table, columns=[key, column])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        val = batch[column].combine_chunks().cast(pa.string())
+        total = np.zeros(len(val), dtype=np.int64)
+        out = val
+        for pat, repl in PII_PATTERNS:
+            total += pc.count_substring_regex(out, pattern=pat) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            out = pc.replace_substring_regex(out, pattern=pat,
+                                             replacement=repl)
+        return pa.table({
+            key: batch[key],
+            f"{column}_scrubbed": out,
+            "n_redactions": pa.array(total, type=pa.int64()),
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def pii_scrub_sql(table: str = "customer", key: str = "c_custkey",
+                  column: str = "c_name") -> str:
+    # The engine scrubs sequentially, so pattern i counts matches in the
+    # text AFTER patterns < i were replaced — the nested exprs mirror that.
+    exprs = [column]
+    for pat, repl in PII_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        exprs.append(
+            f"regexp_replace({exprs[-1]}, '{pat_sql}', '{repl}', 'g')")
+    expr = exprs[-1]
+    count_terms = []
+    for (pat, _), src in zip(PII_PATTERNS, exprs):
+        pat_sql = pat.replace("'", "''")
+        count_terms.append(f"length(regexp_extract_all({src}, '{pat_sql}'))")
+    n_red = " + ".join(count_terms)
+    return f"""
+SELECT {key}, {expr} AS {column}_scrubbed,
+       CAST({n_red} AS BIGINT) AS n_redactions
+FROM {table}
+"""
