@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (equal-width hash range partition + count-pass prefix offsets)
     from kgforge.ops import rank
     q["corpus_shuffle"] = rank.corpus_shuffle
+    # fixed-token-budget shard packing in permutation order (distributed
+    # exclusive prefix sum — two-pass, B-int exchange per block)
+    q["token_budget_shards"] = rank.token_budget_shards
 
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
@@ -250,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
     o["repetition_stats"] = text.REPETITION_STATS_SQL
     o["pii_scrub"] = text.pii_scrub_sql()
     o["corpus_shuffle"] = rank.corpus_shuffle_sql()
+    o["token_budget_shards"] = rank.token_budget_shards_sql()
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
                                         MEDIA_AUDIO_STATS_SQL,

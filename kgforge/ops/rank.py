@@ -123,3 +123,132 @@ SELECT doc_id,
             AS BIGINT) AS shard
 FROM documents
 """
+
+
+def global_prefix_sum(ds: "ray.data.Dataset", key: str, value: str,
+                      num_buckets: int | None = None
+                      ) -> "ray.data.Dataset":
+    """Exclusive running total of `value` in (knuth_hash(key), key)
+    order: emits (key, pos, offset) where offset = sum of `value` over
+    all rows strictly before this one in the global permutation.
+
+    Same two-pass shape as global_row_number — the count pass just
+    sums values per bucket instead of counting rows (the exchange is
+    still B ints per block) — because a distributed prefix sum IS a
+    prefix count with weights."""
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+    nb = np.uint64(num_buckets)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = (batch[key].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        vals = (batch[value].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        kh = _khash(ids)
+        bucket = ((kh * nb) >> np.uint64(32)).astype(np.int32)
+        return pa.table({key: pa.array(ids, type=pa.int64()),
+                         "_v": pa.array(vals, type=pa.int64()),
+                         "_kh": pa.array(kh.astype(np.int64),
+                                         type=pa.int64()),
+                         "_bucket": pa.array(bucket, type=pa.int32())})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def bucket_sums(batch: pa.Table) -> pa.Table:
+        b = batch["_bucket"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch["_v"].combine_chunks().to_numpy(zero_copy_only=False)
+        # int64 scatter-add, not bincount(weights=float64): block sums
+        # stay integer-exact at any magnitude
+        s = np.zeros(num_buckets, dtype=np.int64)
+        np.add.at(s, b, v)
+        c = np.bincount(b, minlength=num_buckets).astype(np.int64)
+        return pa.table({"_bucket": pa.array(
+            np.arange(num_buckets, dtype=np.int32), type=pa.int32()),
+            "s": pa.array(s, type=pa.int64()),
+            "n": pa.array(c, type=pa.int64())})
+
+    parts = (keyed_ds.map_batches(bucket_sums, batch_format="pyarrow")
+             .groupby("_bucket").sum(["s", "n"]).to_pandas())
+    sums = np.zeros(num_buckets, dtype=np.int64)
+    cnts = np.zeros(num_buckets, dtype=np.int64)
+    sums[parts["_bucket"].to_numpy()] = parts["sum(s)"].to_numpy()
+    cnts[parts["_bucket"].to_numpy()] = parts["sum(n)"].to_numpy()
+    val_offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    pos_offsets = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        import polars as pl
+        df = (pl.from_arrow(group.select([key, "_v", "_kh", "_bucket"]))
+              .sort(["_kh", key]))
+        b = int(df["_bucket"][0])
+        v = df["_v"].to_numpy()
+        excl = np.concatenate(([0], np.cumsum(v)[:-1])) + val_offsets[b]
+        pos = np.arange(len(df), dtype=np.int64) + pos_offsets[b]
+        return pa.table({key: df[key].to_arrow().cast(pa.int64()),
+                         "pos": pa.array(pos, type=pa.int64()),
+                         "offset": pa.array(excl.astype(np.int64),
+                                            type=pa.int64())})
+
+    return (keyed_ds.groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def token_budget_shards(sf_dir: str, budget: int = 4096
+                        ) -> "ray.data.Dataset":
+    """Gate: pack the shuffled corpus into fixed-token-budget training
+    shards. Docs are taken in the deterministic permutation order
+    (corpus_shuffle); a doc's shard is the budget window its starting
+    token offset falls in (a straddling doc belongs to the shard it
+    starts in — the greedy packing every sequential writer uses).
+    Output (doc_id, pos, tok_offset, shard); token count = whitespace
+    tokens (ops/text.TOKEN_RE semantics via split-on-space length)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_tokens(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        out = df.select(
+            pl.col("doc_id"),
+            pl.col("text").str.split(" ").list.len()
+            .cast(pl.Int64).alias("n_tok"))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_tok", pa.int64())]))
+
+    counted = ds.map_batches(with_tokens, batch_format="pyarrow")
+    pref = global_prefix_sum(counted, key="doc_id", value="n_tok")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        off = (batch["offset"].combine_chunks()
+               .to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": batch["doc_id"], "pos": batch["pos"],
+                         "tok_offset": batch["offset"],
+                         "shard": pa.array(off // budget,
+                                           type=pa.int64())})
+
+    return pref.map_batches(finish, batch_format="pyarrow")
+
+
+def token_budget_shards_sql(budget: int = 4096) -> str:
+    kh = f"((CAST(doc_id AS HUGEINT) * {KNUTH_MULT}) % 4294967296)"
+    return f"""
+WITH counted AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), pref AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY {kh}, doc_id) - 1 AS BIGINT)
+             AS pos,
+         CAST(coalesce(sum(n_tok) OVER (
+             ORDER BY {kh}, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS tok_offset
+  FROM counted
+)
+SELECT doc_id, pos, tok_offset,
+       CAST(tok_offset // {budget} AS BIGINT) AS shard
+FROM pref
+"""

@@ -113,3 +113,35 @@ def test_corpus_shuffle_matches_sql_rank(ray_session, tmp_path):
     want = (con.sql(corpus_shuffle_sql(n_shards=4)).df()
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_global_prefix_sum_matches_sorted_cumsum(ray_session):
+    import numpy as np
+    import ray
+    from kgforge.ops.rank import _khash, global_prefix_sum
+    ids = np.arange(0, 300, 2)
+    vals = (ids * 7 + 3) % 41
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "v": pa.array(vals, pa.int64())})).repartition(5)
+    out = (global_prefix_sum(ds, "doc_id", "v").to_pandas()
+           .sort_values("pos").reset_index(drop=True))
+    order = np.lexsort((ids, _khash(ids)))
+    expect = np.concatenate(([0], np.cumsum(vals[order])[:-1]))
+    assert out["doc_id"].tolist() == ids[order].tolist()
+    assert out["offset"].tolist() == expect.tolist()
+    assert out["pos"].tolist() == list(range(len(ids)))
+
+
+def test_token_budget_shards_pack_greedily(ray_session, tmp_path):
+    from kgforge.ops.rank import token_budget_shards
+    docs = pd.DataFrame({"doc_id": range(40),
+                         "text": ["tok " * 9 + "tok"] * 40})  # 10 tokens
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = (token_budget_shards(str(tmp_path), budget=25).to_pandas()
+           .sort_values("pos").reset_index(drop=True))
+    # 10-token docs, budget 25: offsets 0,10,20 -> shard 0; 30,40 -> 1 ...
+    assert out["tok_offset"].tolist() == [i * 10 for i in range(40)]
+    assert (out["shard"] == out["tok_offset"] // 25).all()
+    # shard ids are non-decreasing along the permutation
+    assert (out["shard"].diff().fillna(0) >= 0).all()
