@@ -182,6 +182,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # exclusive prefix sum — two-pass, B-int exchange per block)
     q["token_budget_shards"] = rank.token_budget_shards
 
+    # --- crawl-snapshot family (multi-snapshot view of the pages table:
+    # arg-max-by-ts per url, per-source churn, per-host rollups —
+    # per-batch combiners + ONE hash(url|host) bucket shuffle each)
+    from kgforge.ops import crawl
+    q["latest_snapshot_per_url"] = crawl.latest_snapshot_per_url
+    q["crawl_change_summary"] = crawl.crawl_change_summary
+    q["url_host_stats"] = crawl.url_host_stats
+    # rolling time-window count per user (SQL RANGE window; ONE user
+    # bucket shuffle + composite-key searchsorted, no per-user loop)
+    q["rolling_user_counts"] = relational.rolling_user_counts
+    # incremental ingest vs prior corpus: EXACT new-doc set via bloom
+    # prefilter (distributed OR-fold build, ray.put broadcast) +
+    # anti-join confirm of only the bloom-positive residue
+    from kgforge.ops import bloom
+    q["incremental_new_docs"] = bloom.incremental_new_docs
+
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
     q["media_feature_stats"] = multimodal.media_feature_stats
@@ -254,6 +270,13 @@ def oracle_sql() -> dict[str, str]:
     o["pii_scrub"] = text.pii_scrub_sql()
     o["corpus_shuffle"] = rank.corpus_shuffle_sql()
     o["token_budget_shards"] = rank.token_budget_shards_sql()
+    from kgforge.ops import crawl
+    o["latest_snapshot_per_url"] = crawl.latest_snapshot_per_url_sql()
+    o["crawl_change_summary"] = crawl.crawl_change_summary_sql()
+    o["url_host_stats"] = crawl.URL_HOST_STATS_SQL
+    o["rolling_user_counts"] = relational.rolling_user_counts_sql()
+    from kgforge.ops import bloom
+    o["incremental_new_docs"] = bloom.incremental_new_docs_sql()
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
                                         MEDIA_AUDIO_STATS_SQL,

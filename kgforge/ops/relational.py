@@ -820,3 +820,82 @@ FROM (SELECT *, row_number() OVER
       FROM cnt)
 WHERE rk <= {k}
 """
+
+
+# ------------------------------------------------------- rolling window
+ROLLING_WINDOW_S = 3600
+
+
+def rolling_user_counts(sf_dir: str, window_s: int = ROLLING_WINDOW_S,
+                        num_buckets: int | None = None
+                        ) -> "ray.data.Dataset":
+    """Per-event rolling count: how many events the same user emitted in
+    the inclusive window ``[ts - window_s, ts]`` (SQL ``RANGE BETWEEN
+    INTERVAL w SECONDS PRECEDING AND CURRENT ROW`` — peers at equal ts
+    count for every peer row).
+
+    Shape: users shuffle once by ``user_id % num_buckets`` (the
+    sessionize partitioning — same key, reusable co-location) and each
+    bucket runs ONE fully-vectorized callback: sort by (user, ts), map
+    rows onto a composite monotone key ``seg_id * span + rel_ts`` so a
+    single pair of ``np.searchsorted`` calls answers every row's window
+    query at C speed — no per-user Python loop, no pandas
+    ``.rolling`` (whose ``closed=`` semantics disagree with SQL RANGE
+    on ties). The ``lo`` bound is clamped to the user's segment start,
+    which is the only place the composite key could leak into the
+    previous user's range."""
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    w_us = int(window_s) * 1_000_000
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = (batch["user_id"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "_bucket", pa.array((uid % num_buckets).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype=np.int64),
+                "n_in_window": pd.Series(dtype=np.int64)})
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        user = g["user_id"].to_numpy(dtype=np.int64)
+        tsu = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        n = len(g)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = user[1:] != user[:-1]
+        seg_id = np.cumsum(new_user) - 1
+        rel = tsu - tsu.min()
+        span = np.int64(rel.max()) + w_us + 1
+        # composite key bound: segments-per-bucket x time-span must fit
+        # int64. At 100 TB this is the bucket-count knob, not a limit.
+        assert int(seg_id[-1] + 1) * int(span) < (1 << 62), (
+            "rolling_user_counts: raise num_buckets (composite key "
+            "would overflow)")
+        synth = seg_id * span + rel
+        seg_start = np.maximum.accumulate(
+            np.where(new_user, np.arange(n), 0))
+        hi = np.searchsorted(synth, synth, side="right")
+        lo = np.searchsorted(synth, synth - w_us, side="left")
+        lo = np.maximum(lo, seg_start)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(dtype=np.int64),
+            "n_in_window": (hi - lo).astype(np.int64)})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pandas"))
+
+
+def rolling_user_counts_sql(window_s: int = ROLLING_WINDOW_S) -> str:
+    return f"""
+SELECT event_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL {window_s} SECONDS PRECEDING
+         AND CURRENT ROW) AS BIGINT) AS n_in_window
+FROM events
+"""
