@@ -197,6 +197,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # anti-join confirm of only the bloom-positive residue
     from kgforge.ops import bloom
     q["incremental_new_docs"] = bloom.incremental_new_docs
+    # on-disk inverted text index partitioned by md5(token) bucket;
+    # conjunctive search reads ONLY the terms' partitions (text twin of
+    # the IVF index). GROUPING SETS rollup derives the coarse levels
+    # from lexicon²-sized cells — corpus scanned once.
+    from kgforge.ops import textindex
+    q["text_search"] = textindex.text_search
+    q["corpus_rollup"] = relational.corpus_rollup
 
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
@@ -275,8 +282,10 @@ def oracle_sql() -> dict[str, str]:
     o["crawl_change_summary"] = crawl.crawl_change_summary_sql()
     o["url_host_stats"] = crawl.URL_HOST_STATS_SQL
     o["rolling_user_counts"] = relational.rolling_user_counts_sql()
-    from kgforge.ops import bloom
+    from kgforge.ops import bloom, textindex
     o["incremental_new_docs"] = bloom.incremental_new_docs_sql()
+    o["text_search"] = textindex.text_search_sql()
+    o["corpus_rollup"] = relational.CORPUS_ROLLUP_SQL
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
                                         MEDIA_AUDIO_STATS_SQL,

@@ -899,3 +899,71 @@ SELECT event_id,
          AND CURRENT ROW) AS BIGINT) AS n_in_window
 FROM events
 """
+
+
+# ------------------------------------------------------- grouping sets
+def corpus_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """GROUPING SETS ((lang,source),(lang),(source),()) over documents:
+    doc count + char volume at every aggregation level, the standard
+    corpus-composition report. Scale shape: the fine (lang,source)
+    cells are combiner-aggregated first (per-batch polars partials →
+    one tiny groupby — the cell space is lexicon², corpus-independent);
+    the three coarser levels are then derived FROM the cells on a
+    single block, so the corpus is scanned exactly once and the
+    rollup costs nothing extra. NULL group keys are rendered as 'ALL'
+    on both sides (no engine-vs-SQL null-format risk)."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(batch)
+        out = df.group_by(["lang", "source"]).agg(
+            pl.len().cast(pl.Int64).alias("n"),
+            pl.col("n_chars").sum().alias("chars"))
+        return out.to_arrow()
+
+    from ray.data.aggregate import Sum
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["lang", "source"])
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("chars", alias_name="chars")))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(batch)
+        lvls = [
+            df.select(pl.col("lang"), pl.col("source"),
+                      pl.col("n"), pl.col("chars")),
+            df.group_by("lang").agg(pl.col("n").sum(),
+                                    pl.col("chars").sum())
+              .with_columns(pl.lit("ALL").alias("source")),
+            df.group_by("source").agg(pl.col("n").sum(),
+                                      pl.col("chars").sum())
+              .with_columns(pl.lit("ALL").alias("lang")),
+            df.select(pl.col("n").sum(), pl.col("chars").sum())
+              .with_columns(pl.lit("ALL").alias("lang"),
+                            pl.lit("ALL").alias("source")),
+        ]
+        out = pl.concat([x.select(["lang", "source", "n", "chars"])
+                         for x in lvls])
+        return out.rename({"n": "n_docs", "chars": "total_chars"}) \
+            .to_arrow().cast(pa.schema([
+                ("lang", pa.string()), ("source", pa.string()),
+                ("n_docs", pa.int64()), ("total_chars", pa.int64())]))
+
+    return cells.repartition(1).map_batches(expand, batch_size=None,
+                                            batch_format="pyarrow")
+
+
+CORPUS_ROLLUP_SQL = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS total_chars
+FROM cells
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+"""

@@ -1,0 +1,160 @@
+"""On-disk inverted text index, partitioned by token hash — the text
+twin of the IVF vector index (ops/ann.py build_ivf_index).
+
+BUILD writes the tokenized corpus as Parquet PARTITIONED BY
+``tok_bucket = md5(token) % n_buckets`` (md5 so bucket placement is
+stable across library versions — the index outlives the process that
+built it). Per-batch distinct (token, doc_id) pairs are the combiner;
+global duplicates across blocks are tolerated in the layout and
+collapsed by the query's count-distinct, so the build needs NO global
+shuffle at all — it is a single streaming pass over the corpus.
+
+SEARCH (conjunctive / AND-of-terms) reads ONLY the partition
+directories the query terms hash into — at 100 TB the scan is
+``len(terms)/n_buckets`` of the index, not the corpus — filters to the
+exact terms, and keeps doc_ids whose distinct matched-term count
+equals the term count. The count-distinct is a per-batch (doc, token)
+combiner followed by one hash(doc_id) groupby of pair partials.
+
+Index freshness follows the IVF discipline exactly: a content
+fingerprint (per-file size+mtime) is stored in the _SUCCESS marker; a
+stale marker or a marker-less (crashed-build) directory is removed
+before rebuilding so re-runs never append duplicate files.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..sources.readers import read_table
+
+N_TOKEN_BUCKETS = 16
+DEFAULT_TERMS = ("spark", "vector", "dup")
+
+
+def _token_bucket(tokens: list[str], n_buckets: int) -> np.ndarray:
+    return np.array(
+        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+         % n_buckets for t in tokens], dtype=np.int32)
+
+
+class _Tokenize:
+    """(doc_id, text) -> distinct (token, doc_id, tok_bucket) pairs.
+    Arrow split kernel + list_parent_indices; per-batch distinct via
+    polars; md5 bucket computed per UNIQUE token (tiny lexicons hash
+    once, not once per posting)."""
+
+    def __init__(self, n_buckets: int):
+        self.n_buckets = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        text = batch["text"].combine_chunks().cast(pa.string())
+        ids = batch["doc_id"].combine_chunks()
+        split = pc.split_pattern(text, pattern=" ")
+        flat = split.flatten()
+        parents = pc.list_parent_indices(split)
+        mask = pc.greater(pc.utf8_length(flat), 0)
+        pairs = pl.from_arrow(pa.table({
+            "token": flat.filter(mask),
+            "doc_id": ids.take(parents.filter(mask)),
+        })).unique()
+        enc = pc.dictionary_encode(pairs["token"].to_arrow())
+        tb = pa.array(_token_bucket(enc.dictionary.to_pylist(),
+                                    self.n_buckets)).take(enc.indices)
+        return pa.table({
+            "token": pairs["token"].to_arrow(),
+            "doc_id": pairs["doc_id"].to_arrow().cast(pa.int64()),
+            "tok_bucket": tb.cast(pa.int32()),
+        })
+
+
+def build_text_index(sf_dir: str, index_dir: str | None = None,
+                     n_buckets: int = N_TOKEN_BUCKETS) -> str:
+    src = sorted(glob.glob(os.path.join(sf_dir, "documents*.parquet")) +
+                 glob.glob(os.path.join(sf_dir, "documents", "*.parquet")))
+    stamp = ";".join(f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p):.6f}"
+                     for p in src)
+    content_key = hashlib.md5(stamp.encode()).hexdigest()[:12]
+    if index_dir is None:
+        key = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}:{n_buckets}:{content_key}".encode())
+        index_dir = f"/tmp/kgforge_txtidx_{key.hexdigest()[:12]}"
+    marker = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == content_key:
+                return index_dir
+        shutil.rmtree(index_dir)       # stale: source changed
+    elif os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)       # crashed build: never append
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    postings = ds.map_batches(_Tokenize(n_buckets), batch_format="pyarrow")
+    postings.write_parquet(os.path.join(index_dir, "postings"),
+                           partition_cols=["tok_bucket"])
+    with open(marker, "w") as f:
+        f.write(content_key)
+    return index_dir
+
+
+def search_all_terms(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
+                     n_buckets: int = N_TOKEN_BUCKETS,
+                     index_dir: str | None = None) -> "ray.data.Dataset":
+    """doc_ids containing ALL query terms (whitespace tokens), answered
+    from the partition-pruned inverted index."""
+    terms = tuple(dict.fromkeys(terms))   # dedupe, keep order
+    index_dir = build_text_index(sf_dir, index_dir, n_buckets)
+    buckets = sorted(set(_token_bucket(list(terms), n_buckets).tolist()))
+    paths = [f for b in buckets for f in sorted(glob.glob(os.path.join(
+        index_dir, "postings", f"tok_bucket={b}", "*.parquet")))]
+    postings = ray.data.read_parquet(paths, columns=["token", "doc_id"])
+    term_set = pa.array(list(terms), type=pa.string())
+    n_terms = len(terms)
+
+    from ..stages.dedup import default_num_buckets
+    num_buckets = default_num_buckets()
+
+    def match_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        hit = batch.filter(pc.is_in(batch["token"].combine_chunks(),
+                                    value_set=term_set))
+        pairs = pl.from_arrow(hit).unique()
+        ids = pairs["doc_id"].cast(pl.Int64)
+        return pairs.with_columns(
+            (ids % num_buckets).cast(pl.Int32).alias("_bucket")) \
+            .to_arrow().cast(pa.schema([
+                ("token", pa.string()), ("doc_id", pa.int64()),
+                ("_bucket", pa.int32())]))
+
+    def finish(group: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(group.drop_columns(["_bucket"]))
+        agg = df.unique().group_by("doc_id").len()
+        out = agg.filter(pl.col("len") == n_terms).select("doc_id")
+        return out.to_arrow().cast(pa.schema([("doc_id", pa.int64())]))
+
+    # one doc-bucket shuffle of term-filtered pairs (≤ n_terms rows per
+    # matching doc cross the wire), then a C-level per-bucket rollup
+    return (postings.map_batches(match_partial, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(finish, batch_format="pyarrow"))
+
+
+def text_search(sf_dir: str) -> "ray.data.Dataset":
+    return search_all_terms(sf_dir)
+
+
+def text_search_sql(terms: tuple[str, ...] = DEFAULT_TERMS) -> str:
+    lst = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+SELECT doc_id FROM documents
+WHERE list_has_all(string_split(text, ' '), [{lst}])
+"""
