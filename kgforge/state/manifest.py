@@ -12,8 +12,13 @@ per-partition lineage + metrics". Layout:
 A partition is the unit of resume: deterministic slice of the input
 (hash-bucket of the pkey — NEVER ordinal row position, which would
 change with parallelism). Rerunning skips partitions already in the
-manifest; a crash mid-partition leaves only a ``.tmp`` dir that the
-rerun overwrites. Counters (rows_in, triples_out, wall_s) double as the
+manifest WHOSE INPUT IS UNCHANGED — each record carries an
+``input_stamp`` (size+mtime fingerprint of the partition's input
+shards), so a re-crawl that rewrites one shard re-extracts exactly
+that partition and the incremental merge (stages/mergestore.py) then
+rebuilds exactly that run: the whole refresh is O(delta) end-to-end.
+A crash mid-partition leaves only a ``.tmp`` dir that the rerun
+overwrites. Counters (rows_in, triples_out, wall_s) double as the
 lineage/metrics stream (reference analogue: run.log, S8
 csv2rdf-v5/tools.py:7-19).
 """
@@ -70,10 +75,13 @@ def partitioned_kg_run(sf_dir: str, out_dir: str, num_partitions: int = 4,
     pruning, so a P-partition run reads the corpus once total, not P
     times. For a single-file input, falls back to a ``doc_id %
     num_partitions`` content filter (deterministic, never row position
-    — but a full scan per partition, fine only at test scale). Both
-    layouts are stable across reruns as long as the input is immutable,
-    which resume requires anyway (manifest records sf_dir +
-    num_partitions and refuses mismatches).
+    — but a full scan per partition, fine only at test scale). Re-runs
+    skip a completed partition only while its input shards are
+    byte-stable (``input_stamp``); a re-crawl that rewrites shard i
+    re-extracts exactly partition i, and paired with the incremental
+    merge that makes a corpus refresh O(delta) end to end. The
+    manifest records sf_dir + num_partitions and refuses layout
+    mismatches.
 
     ``fail_after`` (tests only): raise after N partitions to simulate a
     crash; a subsequent call with the same args resumes exactly.
@@ -104,13 +112,25 @@ def partitioned_kg_run(sf_dir: str, out_dir: str, num_partitions: int = 4,
                 f"asks for sf_dir={sf_dir!r}, num_partitions="
                 f"{num_partitions}. Use a fresh out_dir (or matching "
                 "arguments) — mixing layouts corrupts the output.")
-    done = manifest.completed()
     doc_path = os.path.join(sf_dir, "documents.parquet")
     shards = (sorted(glob.glob(os.path.join(doc_path, "*.parquet")))
               if os.path.isdir(doc_path) else None)
+
+    def input_stamp(p: int) -> str:
+        import hashlib
+        files = shards[p::num_partitions] if shards else [doc_path]
+        return hashlib.md5(";".join(
+            f"{os.path.basename(f)}:{os.path.getsize(f)}"
+            f":{os.path.getmtime(f):.6f}" for f in files).encode()
+        ).hexdigest()
+
     ran = 0
     for p in range(num_partitions):
-        if p in done:
+        stamp = input_stamp(p)
+        rec = manifest.records.get(p)
+        # skip only if done AND the input is byte-stable; a record
+        # without a stamp (older manifest) keeps legacy skip semantics
+        if rec is not None and rec.get("input_stamp", stamp) == stamp:
             continue
         if fail_after is not None and ran >= fail_after:
             raise RuntimeError(f"simulated crash before partition {p}")
@@ -149,6 +169,7 @@ def partitioned_kg_run(sf_dir: str, out_dir: str, num_partitions: int = 4,
             "wall_s": round(time.time() - t0, 3),
             "sf_dir": sf_dir,
             "num_partitions": num_partitions,
+            "input_stamp": stamp,
         })
         ran += 1
     return manifest
