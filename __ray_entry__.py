@@ -204,6 +204,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgforge.ops import textindex
     q["text_search"] = textindex.text_search
     q["corpus_rollup"] = relational.corpus_rollup
+    # web link graph: tagged-union degree combiner; reciprocal edges
+    # via ONE unordered-pair bucket shuffle (no self-join)
+    from kgforge.ops import linkgraph
+    q["link_degree_stats"] = linkgraph.link_degree_stats
+    q["reciprocal_links"] = linkgraph.reciprocal_links
 
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
@@ -286,6 +291,9 @@ def oracle_sql() -> dict[str, str]:
     o["incremental_new_docs"] = bloom.incremental_new_docs_sql()
     o["text_search"] = textindex.text_search_sql()
     o["corpus_rollup"] = relational.CORPUS_ROLLUP_SQL
+    from kgforge.ops import linkgraph
+    o["link_degree_stats"] = linkgraph.link_degree_stats_sql()
+    o["reciprocal_links"] = linkgraph.reciprocal_links_sql()
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
                                         MEDIA_AUDIO_STATS_SQL,
