@@ -209,6 +209,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgforge.ops import linkgraph
     q["link_degree_stats"] = linkgraph.link_degree_stats
     q["reciprocal_links"] = linkgraph.reciprocal_links
+    # EXACT Jaccard set-similarity self-join (AllPairs/PPJoin prefix
+    # filter; rational threshold, integer verify) and the per-stratum
+    # percentile quality gate (lexicon-sized threshold broadcast)
+    from kgforge.ops import setjoin
+    q["jaccard_pairs"] = setjoin.jaccard_pairs
+    q["docs_above_median"] = quantile.percentile_threshold_filter
 
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
@@ -294,6 +300,10 @@ def oracle_sql() -> dict[str, str]:
     from kgforge.ops import linkgraph
     o["link_degree_stats"] = linkgraph.link_degree_stats_sql()
     o["reciprocal_links"] = linkgraph.reciprocal_links_sql()
+    from kgforge.ops import quantile as _q
+    from kgforge.ops import setjoin
+    o["jaccard_pairs"] = setjoin.jaccard_pairs_sql()
+    o["docs_above_median"] = _q.percentile_threshold_filter_sql()
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
                                         MEDIA_AUDIO_STATS_SQL,

@@ -208,3 +208,54 @@ def lang_length_quantiles_hdr(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["lang", "n_chars"])
     return hdr_quantiles(ds, "lang", "n_chars")
+
+
+# ------------------------------------- percentile-threshold corpus filter
+def percentile_threshold_filter(sf_dir: str, pct: int = 50
+                                ) -> "ray.data.Dataset":
+    """Keep documents at or above their language's ``pct``-th length
+    percentile — the standard quality gate "drop the short tail,
+    per-stratum". Composition of existing scale pieces: the exact
+    grouped-quantile aggregate produces a LEXICON-sized threshold
+    table, which broadcasts into a streaming filter — the corpus is
+    scanned twice (once to build thresholds, once to filter) and never
+    shuffled. At 100 TB the threshold table is still a few hundred
+    rows; only the histogram partials move in pass 1."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    th_rows = grouped_quantiles(ds, "lang", "n_chars",
+                                pcts=(pct,)).take_all()
+    th = {r["lang"]: r[f"p{pct}"] for r in th_rows}
+    import ray as _ray
+    th_ref = _ray.put(th)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import ray as _ray_
+        t = (_ray_.get(th_ref) if not isinstance(th_ref, dict) else th_ref)
+        lang = batch["lang"].combine_chunks()
+        enc = lang.dictionary_encode()
+        lut = np.array([t.get(v, 0) for v in enc.dictionary.to_pylist()],
+                       dtype=np.int64)
+        thr = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        n = (batch["n_chars"].combine_chunks().cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(n >= thr))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def percentile_threshold_filter_sql(pct: int = 50) -> str:
+    return f"""
+WITH th AS (
+  SELECT lang, percentile_disc({pct / 100}) WITHIN GROUP
+         (ORDER BY n_chars) AS thr
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang, n_chars
+FROM documents d JOIN th ON d.lang = th.lang
+WHERE n_chars >= thr
+"""

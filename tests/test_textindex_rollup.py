@@ -71,3 +71,12 @@ def test_corpus_rollup_parity(ray_session):
     per_lang = df[(df.lang != "ALL") & (df.source == "ALL")]
     assert grand["n_docs"].iloc[0] == per_lang["n_docs"].sum()
     assert grand["total_chars"].iloc[0] == per_lang["total_chars"].sum()
+
+
+def test_percentile_threshold_filter_parity(ray_session):
+    from kgforge.ops import quantile
+    for pct in (50, 90):
+        df = quantile.percentile_threshold_filter(SF, pct).to_pandas()
+        odf = _oracle(quantile.percentile_threshold_filter_sql(pct))
+        assert len(df) == len(odf) > 0
+        assert _norm(df) == _norm(odf)
