@@ -215,6 +215,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgforge.ops import setjoin
     q["jaccard_pairs"] = setjoin.jaccard_pairs
     q["docs_above_median"] = quantile.percentile_threshold_filter
+    # incremental NEAR-dup screen (new batch × prior corpus, cross-side
+    # prefix-filter pairs only) and OR-search with match-count ranking
+    # (per-bucket top-k combiner + bounded reduce)
+    q["jaccard_new_vs_prior"] = setjoin.jaccard_new_vs_prior
+    q["text_search_ranked"] = textindex.text_search_ranked
 
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
@@ -304,6 +309,8 @@ def oracle_sql() -> dict[str, str]:
     from kgforge.ops import setjoin
     o["jaccard_pairs"] = setjoin.jaccard_pairs_sql()
     o["docs_above_median"] = _q.percentile_threshold_filter_sql()
+    o["jaccard_new_vs_prior"] = setjoin.jaccard_new_vs_prior_sql()
+    o["text_search_ranked"] = textindex.text_search_ranked_sql()
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
                                         MEDIA_AUDIO_STATS_SQL,

@@ -290,3 +290,139 @@ JOIN sizes sa ON sa.doc_id = a_id
 JOIN sizes sb ON sb.doc_id = b_id
 WHERE c * ({tau_den} + {tau_num}) >= {tau_num} * (sa.n + sb.n)
 """
+
+
+# --------------------------------------- incremental near-dup screening
+PRIOR_MOD = 4  # doc_id % 4 != 0 -> prior corpus (same split as ops/bloom)
+
+
+def jaccard_new_vs_prior(sf_dir: str, tau_num: int = TAU_NUM,
+                         tau_den: int = TAU_DEN,
+                         num_buckets: int | None = None
+                         ) -> "ray.data.Dataset":
+    """Incremental NEAR-dup screening: which incoming docs are >= τ
+    Jaccard-similar to some prior-corpus doc. Completes the incremental
+    ingest family (ops/bloom = exact dups, this = near dups), exactly
+    and with the same prefix-filter machinery as ``jaccard_pairs`` —
+    the only change is that candidate generation pairs ACROSS sides
+    only (new × prior inside each token group), so the quadratic term
+    is new-batch-sized × group-overlap, not corpus².
+    Output (new_id, prior_id, n_common, size_new, size_prior)."""
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+
+    ranks_ref = ray.put(_token_ranks(sf_dir))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docsets = docs.map_batches(_docsets_fn(ranks_ref),
+                               batch_format="pyarrow").materialize()
+
+    def postings(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(batch)
+        sizes = df["size"].to_numpy()
+        plen = _prefix_len(sizes.astype(np.int64), tau_num, tau_den)
+        out = (df.with_columns(pl.Series("p", plen))
+               .with_columns(pl.col("toks").list.head(pl.col("p"))
+                             .alias("pref"))
+               .select(["doc_id", "size", "pref"]).explode("pref")
+               .rename({"pref": "r"})
+               .with_columns((pl.col("doc_id") % PRIOR_MOD == 0)
+                             .alias("is_new")))
+        bucket = (out["r"].cast(pl.Int64) % num_buckets).cast(pl.Int32)
+        return out.with_columns(bucket.alias("_bucket")).to_arrow() \
+            .cast(pa.schema([("doc_id", pa.int64()), ("size", pa.int64()),
+                             ("r", pa.int32()), ("is_new", pa.bool_()),
+                             ("_bucket", pa.int32())]))
+
+    def group_pairs(group: pa.Table) -> pa.Table:
+        import polars as pl
+        df = (pl.from_arrow(group.drop_columns(["_bucket"]))
+              .unique().sort(["r", "doc_id"]))
+        outs = []
+        for _, g in df.group_by("r", maintain_order=True):
+            new = g.filter(pl.col("is_new"))
+            old = g.filter(~pl.col("is_new"))
+            if not len(new) or not len(old):
+                continue
+            n_ids = np.repeat(new["doc_id"].to_numpy(), len(old))
+            n_sz = np.repeat(new["size"].to_numpy(), len(old))
+            o_ids = np.tile(old["doc_id"].to_numpy(), len(new))
+            o_sz = np.tile(old["size"].to_numpy(), len(new))
+            keep = ((tau_num * np.maximum(n_sz, o_sz))
+                    <= (tau_den * np.minimum(n_sz, o_sz)))
+            if not keep.any():
+                continue
+            outs.append(pa.table({
+                "new_id": pa.array(n_ids[keep], pa.int64()),
+                "prior_id": pa.array(o_ids[keep], pa.int64())}))
+        if not outs:
+            return pa.table({"new_id": pa.array([], pa.int64()),
+                             "prior_id": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    cands = (docsets.map_batches(postings, batch_format="pyarrow")
+             .groupby("_bucket").map_groups(group_pairs,
+                                            batch_format="pyarrow"))
+
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(batch).unique()
+        b = (((df["new_id"] % (1 << 31)) * 31 + (df["prior_id"] % (1 << 31)))
+             % num_buckets).cast(pl.Int32)
+        return df.with_columns(b.alias("_bucket")).to_arrow()
+
+    def pair_distinct(group: pa.Table) -> pa.Table:
+        import polars as pl
+        return pl.from_arrow(group.drop_columns(["_bucket"])).unique() \
+            .to_arrow().cast(pa.schema([("new_id", pa.int64()),
+                                        ("prior_id", pa.int64())]))
+
+    pairs = (cands.map_batches(pair_bucket, batch_format="pyarrow")
+             .groupby("_bucket").map_groups(pair_distinct,
+                                            batch_format="pyarrow"))
+
+    s0 = pa.schema([("new_id", pa.int64()), ("prior_id", pa.int64())])
+    s1 = pa.schema([("new_id", pa.int64()), ("prior_id", pa.int64()),
+                    ("toks_a", pa.list_(pa.int32()))])
+    pairs = _attach(pairs, docsets, "new_id", "toks_a", num_buckets, s0)
+    pairs = _attach(pairs, docsets, "prior_id", "toks_b", num_buckets, s1)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(batch)
+        df = df.with_columns(
+            pl.col("toks_a").list.set_intersection(pl.col("toks_b"))
+            .list.len().cast(pl.Int64).alias("n_common"),
+            pl.col("toks_a").list.len().cast(pl.Int64).alias("size_new"),
+            pl.col("toks_b").list.len().cast(pl.Int64).alias("size_prior"))
+        df = df.filter(pl.col("n_common") * (tau_den + tau_num)
+                       >= tau_num * (pl.col("size_new")
+                                     + pl.col("size_prior")))
+        return df.select(["new_id", "prior_id", "n_common", "size_new",
+                          "size_prior"]).to_arrow()
+
+    return pairs.map_batches(exact, batch_format="pyarrow")
+
+
+def jaccard_new_vs_prior_sql(tau_num: int = TAU_NUM,
+                             tau_den: int = TAU_DEN) -> str:
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tok AS (SELECT DISTINCT doc_id, t FROM raw WHERE len(t) > 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS prior_id, count(*) AS c
+  FROM tok a JOIN tok b ON a.t = b.t
+  WHERE a.doc_id % {PRIOR_MOD} = 0 AND b.doc_id % {PRIOR_MOD} != 0
+  GROUP BY 1, 2
+)
+SELECT new_id, prior_id, CAST(c AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS size_new, CAST(sb.n AS BIGINT) AS size_prior
+FROM inter
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = prior_id
+WHERE c * ({tau_den} + {tau_num}) >= {tau_num} * (sa.n + sb.n)
+"""

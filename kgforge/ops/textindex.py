@@ -158,3 +158,78 @@ def text_search_sql(terms: tuple[str, ...] = DEFAULT_TERMS) -> str:
 SELECT doc_id FROM documents
 WHERE list_has_all(string_split(text, ' '), [{lst}])
 """
+
+
+def text_search_ranked(sf_dir: str,
+                       terms: tuple[str, ...] = DEFAULT_TERMS,
+                       k: int = 20, n_buckets: int = N_TOKEN_BUCKETS,
+                       index_dir: str | None = None) -> "ray.data.Dataset":
+    """Disjunctive (OR) search with match-count ranking: top-k docs by
+    number of DISTINCT query terms present (ties: doc_id asc). Same
+    partition-pruned read as the conjunctive path; ranking adds a
+    per-bucket top-k combiner + one bounded reduce — never a global
+    sort. All-integer scores, so the SQL mirror is exact."""
+    terms = tuple(dict.fromkeys(terms))
+    index_dir = build_text_index(sf_dir, index_dir, n_buckets)
+    buckets = sorted(set(_token_bucket(list(terms), n_buckets).tolist()))
+    paths = [f for b in buckets for f in sorted(glob.glob(os.path.join(
+        index_dir, "postings", f"tok_bucket={b}", "*.parquet")))]
+    postings = ray.data.read_parquet(paths, columns=["token", "doc_id"])
+    term_set = pa.array(list(terms), type=pa.string())
+
+    from ..stages.dedup import default_num_buckets
+    num_buckets = default_num_buckets()
+
+    def match_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        hit = batch.filter(pc.is_in(batch["token"].combine_chunks(),
+                                    value_set=term_set))
+        pairs = pl.from_arrow(hit).unique()
+        ids = pairs["doc_id"].cast(pl.Int64)
+        return pairs.with_columns(
+            (ids % num_buckets).cast(pl.Int32).alias("_bucket")) \
+            .to_arrow().cast(pa.schema([
+                ("token", pa.string()), ("doc_id", pa.int64()),
+                ("_bucket", pa.int32())]))
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(group.drop_columns(["_bucket"])).unique()
+        agg = (df.group_by("doc_id").len()
+               .rename({"len": "n_matched"})
+               .with_columns(pl.col("n_matched").cast(pl.Int64))
+               .sort(["n_matched", "doc_id"], descending=[True, False])
+               .head(k))
+        return agg.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_matched", pa.int64())]))
+
+    partials = (postings.map_batches(match_partial, batch_format="pyarrow")
+                .groupby("_bucket").map_groups(bucket_topk,
+                                               batch_format="pyarrow"))
+
+    def reduce_topk(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        return (pl.from_arrow(batch)
+                .sort(["n_matched", "doc_id"], descending=[True, False])
+                .head(k).to_arrow())
+
+    # bounded reduce: <= k rows per bucket reach the single final block
+    return partials.repartition(1).map_batches(reduce_topk,
+                                               batch_size=None,
+                                               batch_format="pyarrow")
+
+
+def text_search_ranked_sql(terms: tuple[str, ...] = DEFAULT_TERMS,
+                           k: int = 20) -> str:
+    terms = tuple(dict.fromkeys(terms))
+    lst = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                 [{lst}])) AS BIGINT) AS n_matched
+  FROM documents
+)
+SELECT doc_id, n_matched FROM scored WHERE n_matched > 0
+ORDER BY n_matched DESC, doc_id ASC LIMIT {k}
+"""

@@ -71,3 +71,30 @@ def test_jaccard_parity_corpus(ray_session):
     odf = _oracle(setjoin.jaccard_pairs_sql(), SF)
     assert len(df) == len(odf) > 0
     assert _norm(df) == _norm(odf)
+
+
+def test_jaccard_new_vs_prior_parity(ray_session):
+    df = setjoin.jaccard_new_vs_prior(SF).to_pandas()
+    odf = _oracle(setjoin.jaccard_new_vs_prior_sql(), SF)
+    assert len(df) == len(odf) > 0
+    assert _norm(df) == _norm(odf)
+    # cross-side only: new ids are doc_id%4==0, priors are not
+    assert (df["new_id"] % 4 == 0).all()
+    assert (df["prior_id"] % 4 != 0).all()
+
+
+def test_jaccard_new_vs_prior_planted(ray_session, tmp_path):
+    docs = [
+        (1, "a b c d e"),       # prior
+        (4, "a b c d x"),       # new, J=4/6 vs doc 1 -> kept
+        (8, "p q r s t"),       # new, no similar prior
+        (3, "p q r s t"),       # prior identical to 8 -> J=1 kept
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs]),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    df = setjoin.jaccard_new_vs_prior(str(tmp_path)).to_pandas()
+    got = {(r.new_id, r.prior_id) for r in df.itertuples()}
+    assert got == {(4, 1), (8, 3)}

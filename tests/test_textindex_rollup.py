@@ -80,3 +80,10 @@ def test_percentile_threshold_filter_parity(ray_session):
         odf = _oracle(quantile.percentile_threshold_filter_sql(pct))
         assert len(df) == len(odf) > 0
         assert _norm(df) == _norm(odf)
+
+
+def test_text_search_ranked_parity(ray_session):
+    df = textindex.text_search_ranked(SF).to_pandas()
+    odf = _oracle(textindex.text_search_ranked_sql())
+    assert len(df) == len(odf) == 20
+    assert _norm(df) == _norm(odf)
