@@ -220,6 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (per-bucket top-k combiner + bounded reduce)
     q["jaccard_new_vs_prior"] = setjoin.jaccard_new_vs_prior
     q["text_search_ranked"] = textindex.text_search_ranked
+    # strict sequential funnel (first-occurrence chaining per user) and
+    # the LEFT-JOIN aggregate with fill-zero (tagged-union bucket merge)
+    q["conversion_funnel"] = relational.conversion_funnel
+    q["customer_order_counts"] = relational.customer_order_counts
 
     # --- multimodal plumbing (actor-pool featurizer over binary column;
     # checked against a DuckDB sha256 mirror of the fake featurizer)
@@ -311,6 +315,8 @@ def oracle_sql() -> dict[str, str]:
     o["docs_above_median"] = _q.percentile_threshold_filter_sql()
     o["jaccard_new_vs_prior"] = setjoin.jaccard_new_vs_prior_sql()
     o["text_search_ranked"] = textindex.text_search_ranked_sql()
+    o["conversion_funnel"] = relational.conversion_funnel_sql()
+    o["customer_order_counts"] = relational.CUSTOMER_ORDER_COUNTS_SQL
     # sha256-based featurizer has an exact DuckDB mirror
     from kgforge.ops.multimodal import (FRAME_SAMPLE_STATS_SQL,
                                         MEDIA_AUDIO_STATS_SQL,

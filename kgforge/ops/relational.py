@@ -967,3 +967,147 @@ SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
 FROM cells
 GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
 """
+
+
+# ----------------------------------------------------- strict funnel
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def conversion_funnel(sf_dir: str,
+                      stages: tuple[str, ...] = FUNNEL_STAGES,
+                      num_buckets: int | None = None
+                      ) -> "ray.data.Dataset":
+    """Strictly-ordered funnel: stage k is reached when an event of
+    type ``stages[k]`` exists STRICTLY AFTER the timestamp that reached
+    stage k-1 (first-occurrence chaining — the textbook sequential
+    funnel, not mere set membership). Output (user_id, funnel_stage).
+
+    One user-bucket shuffle (the sessionize key — co-location reused);
+    inside each bucket the chain is k C-level pandas merge+groupby
+    passes over only that bucket's events. Nothing is per-user Python;
+    stage count is a constant, corpus-independent."""
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = (batch["user_id"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "_bucket", pa.array((uid % num_buckets).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame({"user_id": g["user_id"].unique()})
+        users["funnel_stage"] = np.int64(0)
+        reached = None  # (user_id, t_prev) of users at stage k-1
+        for k, ev in enumerate(stages, start=1):
+            sub = g[g["event_type"] == ev][["user_id", "ts"]]
+            if reached is not None:
+                sub = sub.merge(reached, on="user_id")
+                sub = sub[sub["ts"] > sub["t_prev"]]
+                sub = sub.drop(columns=["t_prev"])
+            if not len(sub):
+                break
+            reached = (sub.groupby("user_id", sort=False)["ts"].min()
+                       .rename("t_prev").reset_index())
+            users.loc[users["user_id"].isin(reached["user_id"]),
+                      "funnel_stage"] = np.int64(k)
+        users["user_id"] = users["user_id"].astype(np.int64)
+        return users
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pandas"))
+
+
+def conversion_funnel_sql(stages: tuple[str, ...] = FUNNEL_STAGES) -> str:
+    ctes = ["u AS (SELECT DISTINCT user_id FROM events)"]
+    prev = None
+    for k, ev in enumerate(stages, start=1):
+        ev_sql = ev.replace("'", "''")
+        if prev is None:
+            ctes.append(
+                f"s{k} AS (SELECT user_id, min(ts) AS t{k} FROM events "
+                f"WHERE event_type = '{ev_sql}' GROUP BY 1)")
+        else:
+            ctes.append(
+                f"s{k} AS (SELECT e.user_id, min(ts) AS t{k} FROM events e "
+                f"JOIN {prev} USING (user_id) "
+                f"WHERE event_type = '{ev_sql}' AND ts > {prev}.t{k-1} "
+                f"GROUP BY 1)")
+        prev = f"s{k}"
+    case = "CASE " + " ".join(
+        f"WHEN s{k}.user_id IS NOT NULL THEN {k}"
+        for k in range(len(stages), 0, -1)) + " ELSE 0 END"
+    joins = " ".join(f"LEFT JOIN s{k} USING (user_id)"
+                     for k in range(1, len(stages) + 1))
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT u.user_id, CAST({case} AS BIGINT) AS funnel_stage\n"
+            f"FROM u {joins}")
+
+
+# ------------------------------------------ left-outer aggregate join
+def customer_order_counts(sf_dir: str, num_buckets: int | None = None
+                          ) -> "ray.data.Dataset":
+    """(c_custkey, n_orders) INCLUDING zero-order customers — the
+    LEFT-JOIN-aggregate Ray Data lacks natively. Orders pre-aggregate
+    per batch (combiner), the customer side ships keys only; one
+    tagged-union bucket shuffle merges them with fill-zero."""
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    schema = pa.schema([("k", pa.int64()), ("n", pa.int64()),
+                        ("_side", pa.int8()), ("_bucket", pa.int32())])
+
+    def _b(k: np.ndarray) -> pa.Array:
+        return pa.array((k % num_buckets).astype(np.int32))
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        agg = (pl.from_arrow(batch).group_by("o_custkey").len()
+               .rename({"o_custkey": "k", "len": "n"})
+               .with_columns(pl.col("n").cast(pl.Int64),
+                             pl.col("k").cast(pl.Int64)))
+        k = agg["k"].to_numpy()
+        return pa.Table.from_arrays(
+            [pa.array(k, pa.int64()), agg["n"].to_arrow(),
+             pa.array([0] * len(k), pa.int8()), _b(k)], schema=schema)
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        k = (batch["c_custkey"].combine_chunks().cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [pa.array(k, pa.int64()),
+             pa.array(np.zeros(len(k), np.int64)),
+             pa.array([1] * len(k), pa.int8()), _b(k)], schema=schema)
+
+    def merge(group: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(group.drop_columns(["_bucket"]))
+        counts = (df.filter(pl.col("_side") == 0).group_by("k")
+                  .agg(pl.col("n").sum()))
+        cust_k = df.filter(pl.col("_side") == 1).select("k").unique()
+        out = (cust_k.join(counts, on="k", how="left")
+               .with_columns(pl.col("n").fill_null(0))
+               .rename({"k": "c_custkey", "n": "n_orders"}))
+        return out.to_arrow().cast(pa.schema([
+            ("c_custkey", pa.int64()), ("n_orders", pa.int64())]))
+
+    from ..stages.canonicalize import SANITIZE_BATCH
+    tagged = (orders.map_batches(tag_orders, batch_format="pyarrow",
+                                 batch_size=SANITIZE_BATCH)
+              .union(cust.map_batches(tag_cust, batch_format="pyarrow",
+                                      batch_size=SANITIZE_BATCH)))
+    return (tagged.groupby("_bucket")
+            .map_groups(merge, batch_format="pyarrow"))
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
