@@ -131,8 +131,11 @@ def reciprocal_links(sf_dir: str, num_buckets: int | None = None
         return out.to_arrow().cast(pa.schema([
             ("a", pa.int64()), ("b", pa.int64())]))
 
-    return (links.map_batches(partial, batch_format="pyarrow")
-            .groupby("_bucket").map_groups(finish, batch_format="pyarrow"))
+    from . import ensure_schema
+    return ensure_schema(
+        links.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(finish, batch_format="pyarrow"),
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]))
 
 
 def reciprocal_links_sql() -> str:

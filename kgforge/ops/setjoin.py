@@ -210,7 +210,12 @@ def jaccard_pairs(sf_dir: str, tau_num: int = TAU_NUM,
         return df.select(["a_id", "b_id", "n_common", "size_a",
                           "size_b"]).to_arrow()
 
-    return pairs.map_batches(exact, batch_format="pyarrow")
+    from . import ensure_schema
+    return ensure_schema(
+        pairs.map_batches(exact, batch_format="pyarrow"),
+        pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                   ("n_common", pa.int64()), ("size_a", pa.int64()),
+                   ("size_b", pa.int64())]))
 
 
 def _attach(pairs: "ray.data.Dataset", docsets: "ray.data.Dataset",
@@ -402,7 +407,12 @@ def jaccard_new_vs_prior(sf_dir: str, tau_num: int = TAU_NUM,
         return df.select(["new_id", "prior_id", "n_common", "size_new",
                           "size_prior"]).to_arrow()
 
-    return pairs.map_batches(exact, batch_format="pyarrow")
+    from . import ensure_schema
+    return ensure_schema(
+        pairs.map_batches(exact, batch_format="pyarrow"),
+        pa.schema([("new_id", pa.int64()), ("prior_id", pa.int64()),
+                   ("n_common", pa.int64()), ("size_new", pa.int64()),
+                   ("size_prior", pa.int64())]))
 
 
 def jaccard_new_vs_prior_sql(tau_num: int = TAU_NUM,

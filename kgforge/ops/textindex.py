@@ -116,6 +116,9 @@ def search_all_terms(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
     buckets = sorted(set(_token_bucket(list(terms), n_buckets).tolist()))
     paths = [f for b in buckets for f in sorted(glob.glob(os.path.join(
         index_dir, "postings", f"tok_bucket={b}", "*.parquet")))]
+    if not paths:   # no query term's bucket exists in the corpus
+        return ray.data.from_arrow(
+            pa.schema([("doc_id", pa.int64())]).empty_table())
     postings = ray.data.read_parquet(paths, columns=["token", "doc_id"])
     term_set = pa.array(list(terms), type=pa.string())
     n_terms = len(terms)
@@ -144,8 +147,11 @@ def search_all_terms(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
 
     # one doc-bucket shuffle of term-filtered pairs (≤ n_terms rows per
     # matching doc cross the wire), then a C-level per-bucket rollup
-    return (postings.map_batches(match_partial, batch_format="pyarrow")
-            .groupby("_bucket").map_groups(finish, batch_format="pyarrow"))
+    from . import ensure_schema
+    return ensure_schema(
+        postings.map_batches(match_partial, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(finish, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64())]))
 
 
 def text_search(sf_dir: str) -> "ray.data.Dataset":
@@ -174,6 +180,10 @@ def text_search_ranked(sf_dir: str,
     buckets = sorted(set(_token_bucket(list(terms), n_buckets).tolist()))
     paths = [f for b in buckets for f in sorted(glob.glob(os.path.join(
         index_dir, "postings", f"tok_bucket={b}", "*.parquet")))]
+    if not paths:
+        return ray.data.from_arrow(pa.schema([
+            ("doc_id", pa.int64()),
+            ("n_matched", pa.int64())]).empty_table())
     postings = ray.data.read_parquet(paths, columns=["token", "doc_id"])
     term_set = pa.array(list(terms), type=pa.string())
 
@@ -214,6 +224,9 @@ def text_search_ranked(sf_dir: str,
                 .head(k).to_arrow())
 
     # bounded reduce: <= k rows per bucket reach the single final block
+    from . import ensure_schema
+    partials = ensure_schema(partials, pa.schema([
+        ("doc_id", pa.int64()), ("n_matched", pa.int64())]))
     return partials.repartition(1).map_batches(reduce_topk,
                                                batch_size=None,
                                                batch_format="pyarrow")
