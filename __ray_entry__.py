@@ -209,6 +209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgforge.ops import linkgraph
     q["link_degree_stats"] = linkgraph.link_degree_stats
     q["reciprocal_links"] = linkgraph.reciprocal_links
+    # per-node triangle counts: degree-ordered orientation bounds wedge
+    # fan-out at sqrt(2m); 3 bucket shuffles, no corpus joins
+    q["triangle_counts"] = linkgraph.triangle_counts
     # EXACT Jaccard set-similarity self-join (AllPairs/PPJoin prefix
     # filter; rational threshold, integer verify) and the per-stratum
     # percentile quality gate (lexicon-sized threshold broadcast)
@@ -309,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
     from kgforge.ops import linkgraph
     o["link_degree_stats"] = linkgraph.link_degree_stats_sql()
     o["reciprocal_links"] = linkgraph.reciprocal_links_sql()
+    o["triangle_counts"] = linkgraph.triangle_counts_sql()
     from kgforge.ops import quantile as _q
     from kgforge.ops import setjoin
     o["jaccard_pairs"] = setjoin.jaccard_pairs_sql()

@@ -41,3 +41,36 @@ def test_reciprocal_parity(ray_session):
     got = {tuple(r) for r in df.values.tolist()}
     assert got == {(104, 229), (354, 479)}
     assert (df["a"] < df["b"]).all()
+
+
+def test_triangle_parity(ray_session):
+    df = linkgraph.triangle_counts(SF).to_pandas()
+    odf = _oracle(linkgraph.triangle_counts_sql())
+    assert _norm(df) == _norm(odf)
+    # ring chords i->i+1, i->i+2 plant triangle (i, i+1, i+2) at every
+    # node, so all 500 nodes participate and the total is divisible by 3
+    assert len(df) == 500
+    assert df["triangles"].sum() % 3 == 0
+
+
+def test_triangle_join_path_equals_broadcast(ray_session):
+    links = linkgraph.build_links(SF, linkgraph.TRI_MULTS)
+    bc = linkgraph.triangle_node_counts(links).to_pandas()
+    jn = linkgraph.triangle_node_counts(
+        linkgraph.build_links(SF, linkgraph.TRI_MULTS),
+        force_join=True).to_pandas()
+    assert _norm(bc) == _norm(jn)
+
+
+def test_triangle_planted_graph(ray_session):
+    """K4 on {0,1,2,3} plus a pendant edge: each K4 vertex sits on
+    C(3,2)=3 triangles, the pendant vertices on none."""
+    import ray.data
+    src = [0, 0, 0, 1, 1, 2, 3, 2, 0]  # K4 edges (some reversed/dup) + 3-9, 0-2 dup
+    dst = [1, 2, 3, 2, 3, 3, 9, 0, 2]
+    links = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in zip(src, dst)])
+    df = (linkgraph.triangle_node_counts(links, num_buckets=8)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert df["doc_id"].tolist() == [0, 1, 2, 3]
+    assert df["triangles"].tolist() == [3, 3, 3, 3]
