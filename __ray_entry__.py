@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (per-bucket top-k combiner + bounded reduce)
     q["jaccard_new_vs_prior"] = setjoin.jaccard_new_vs_prior
     q["text_search_ranked"] = textindex.text_search_ranked
+    # BM25 over the tf index: exact integer rational scoring (log-free
+    # idf', HUGEINT-mirrored oracle), one doc-bucket shuffle
+    q["bm25_search"] = textindex.bm25_search
     # strict sequential funnel (first-occurrence chaining per user) and
     # the LEFT-JOIN aggregate with fill-zero (tagged-union bucket merge)
     q["conversion_funnel"] = relational.conversion_funnel
@@ -319,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
     o["docs_above_median"] = _q.percentile_threshold_filter_sql()
     o["jaccard_new_vs_prior"] = setjoin.jaccard_new_vs_prior_sql()
     o["text_search_ranked"] = textindex.text_search_ranked_sql()
+    o["bm25_search"] = textindex.bm25_search_sql()
     o["conversion_funnel"] = relational.conversion_funnel_sql()
     o["customer_order_counts"] = relational.CUSTOMER_ORDER_COUNTS_SQL
     # sha256-based featurizer has an exact DuckDB mirror

@@ -232,6 +232,255 @@ def text_search_ranked(sf_dir: str,
                                                batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# BM25-style ranked retrieval (exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+BM25_SCALE = 1000  # fixed-point scale for integer scores
+
+
+class _TokenizeTf:
+    """(doc_id, text) -> (token, doc_id, tf, tok_bucket). Exact per-doc
+    term frequencies in ONE streaming pass: a document's text lives in a
+    single row, so a per-batch (token, doc) count is already the global
+    tf — the tf index build, like the boolean one, needs no shuffle."""
+
+    def __init__(self, n_buckets: int):
+        self.n_buckets = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        text = batch["text"].combine_chunks().cast(pa.string())
+        ids = batch["doc_id"].combine_chunks()
+        split = pc.split_pattern(text, pattern=" ")
+        flat = split.flatten()
+        parents = pc.list_parent_indices(split)
+        mask = pc.greater(pc.utf8_length(flat), 0)
+        pairs = pl.from_arrow(pa.table({
+            "token": flat.filter(mask),
+            "doc_id": ids.take(parents.filter(mask)),
+        })).group_by(["token", "doc_id"]).len().rename({"len": "tf"})
+        enc = pc.dictionary_encode(pairs["token"].to_arrow())
+        tb = pa.array(_token_bucket(enc.dictionary.to_pylist(),
+                                    self.n_buckets)).take(enc.indices)
+        return pa.table({
+            "token": pairs["token"].to_arrow(),
+            "doc_id": pairs["doc_id"].to_arrow().cast(pa.int64()),
+            "tf": pairs["tf"].to_arrow().cast(pa.int64()),
+            "tok_bucket": tb.cast(pa.int32()),
+        })
+
+
+def _doclen(batch: pa.Table) -> pa.Table:
+    split = pc.split_pattern(
+        batch["text"].combine_chunks().cast(pa.string()), pattern=" ")
+    flat = split.flatten()
+    parents = pc.list_parent_indices(split)
+    keep = parents.filter(pc.greater(pc.utf8_length(flat), 0))
+    counts = pc.value_counts(keep)
+    dl = np.zeros(batch.num_rows, dtype=np.int64)
+    dl[counts.field("values").to_numpy(zero_copy_only=False)] = \
+        counts.field("counts").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+        "dl": pa.array(dl, pa.int64())})
+
+
+def build_text_index_tf(sf_dir: str, index_dir: str | None = None,
+                        n_buckets: int = N_TOKEN_BUCKETS) -> str:
+    """Like build_text_index, plus per-posting term frequency and a
+    side `doclen/` table (doc_id, dl) — everything BM25 needs. Same
+    content-fingerprint freshness discipline."""
+    src = sorted(glob.glob(os.path.join(sf_dir, "documents*.parquet")) +
+                 glob.glob(os.path.join(sf_dir, "documents", "*.parquet")))
+    stamp = ";".join(f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p):.6f}"
+                     for p in src)
+    content_key = "tf1:" + hashlib.md5(stamp.encode()).hexdigest()[:12]
+    if index_dir is None:
+        key = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}:tf:{n_buckets}:{content_key}"
+            .encode())
+        index_dir = f"/tmp/kgforge_txtidx_{key.hexdigest()[:12]}"
+    marker = os.path.join(index_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == content_key:
+                return index_dir
+        shutil.rmtree(index_dir)
+    elif os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds.map_batches(_TokenizeTf(n_buckets), batch_format="pyarrow") \
+        .write_parquet(os.path.join(index_dir, "postings"),
+                       partition_cols=["tok_bucket"])
+    read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_doclen, batch_format="pyarrow") \
+        .write_parquet(os.path.join(index_dir, "doclen"))
+    with open(marker, "w") as f:
+        f.write(content_key)
+    return index_dir
+
+
+def bm25_score_expr(tf, dl, df, n_docs: int, total_len: int):
+    """Integer BM25 contribution of one (term, doc) posting. k1=1.2,
+    b=0.75 folded into one rational expression (see bm25_search); all
+    numpy int64 (object ints in the oracle). Floor division LAST so the
+    engine and the SQL mirror round identically."""
+    num = BM25_SCALE * 44 * total_len * tf * (2 * n_docs - 2 * df + 1)
+    den = (20 * total_len * tf + 6 * total_len + 18 * dl * n_docs) \
+        * (2 * df + 1)
+    return num // den
+
+
+def bm25_search(sf_dir: str, terms: tuple[str, ...] = DEFAULT_TERMS,
+                k: int = 20, n_buckets: int = N_TOKEN_BUCKETS,
+                index_dir: str | None = None) -> "ray.data.Dataset":
+    """Top-k OR-of-terms retrieval ranked by an exact-integer BM25.
+
+    The classic BM25 (k1=1.2, b=0.75) has two float hazards — ln() in
+    the idf and the avgdl division — that make cross-engine hash
+    equality impossible. Both are replaced by exact rationals with the
+    SAME monotone shape: idf' = (N - df + 1/2)/(df + 1/2) (the argument
+    of BM25+'s log — order-preserving in df), and dl/avgdl = dl·N/L with
+    L = Σdl kept as an integer pair. With k1 = 6/5, b = 3/4:
+
+        tf_part = 44·L·tf / (20·L·tf + 6·L + 18·dl·N)
+        score  += SCALE · tf_part · (2N - 2df + 1) / (2df + 1)
+
+    evaluated in one integer floor division, summed over matched terms.
+    int64 bound: SCALE·44·L·tf·(2N+1) must stay < 2^63 — fine to ~10^5
+    docs at SCALE=1000; the oracle mirrors with HUGEINT so an overflow
+    would show as a gate mismatch, not silent corruption.
+
+    Plan: partition-pruned postings read (only the terms' tok_bucket=
+    dirs); df per term via a tiny driver collect (≤ n_terms rows);
+    ONE hash(doc_id) bucket shuffle of the tagged union of term hits and
+    doc lengths; per bucket: C-level join + vectorized scoring + top-k
+    combiner; bounded final reduce. N and L are streaming aggregates
+    over the doclen table."""
+    import polars as pl
+    terms = tuple(dict.fromkeys(terms))
+    index_dir = build_text_index_tf(sf_dir, index_dir, n_buckets)
+    out_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.int64())])
+    buckets = sorted(set(_token_bucket(list(terms), n_buckets).tolist()))
+    paths = [f for b in buckets for f in sorted(glob.glob(os.path.join(
+        index_dir, "postings", f"tok_bucket={b}", "*.parquet")))]
+    doclen = ray.data.read_parquet(os.path.join(index_dir, "doclen"))
+    if not paths:
+        return ray.data.from_arrow(out_schema.empty_table())
+    term_set = pa.array(list(terms), type=pa.string())
+
+    def hits_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["token"].combine_chunks(),
+                                     value_set=term_set))
+
+    hits = ray.data.read_parquet(paths, columns=["token", "doc_id", "tf"]) \
+        .map_batches(hits_only, batch_format="pyarrow")
+
+    # corpus stats: two streaming scalar aggregates + a tiny df table
+    from ray.data.aggregate import Count, Sum
+    stats = doclen.aggregate(Count(), Sum("dl", alias_name="L"))
+    n_docs, total_len = int(stats["count()"]), int(stats["L"])
+    df_rows = (hits.groupby("token").count().take_all())
+    df_map = {r["token"]: int(r["count()"]) for r in df_rows}
+    if not df_map:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    from ..stages.dedup import default_num_buckets
+    num_buckets = default_num_buckets()
+
+    def tag_hit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.select(["doc_id", "token", "tf"])
+        t = t.append_column("dl", pa.nulls(batch.num_rows, pa.int64()))
+        return t.append_column("_bucket", pa.array(
+            (ids % num_buckets).astype(np.int32)))
+
+    def tag_dl(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.select(["doc_id"])
+        t = t.append_column("token", pa.nulls(batch.num_rows, pa.string()))
+        t = t.append_column("tf", pa.nulls(batch.num_rows, pa.int64()))
+        t = t.append_column("dl", batch["dl"].combine_chunks())
+        return t.append_column("_bucket", pa.array(
+            (ids % num_buckets).astype(np.int32)))
+
+    def bucket_score(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.drop_columns(["_bucket"]))
+        h = df.filter(pl.col("dl").is_null()).select(
+            ["doc_id", "token", "tf"])
+        if h.height == 0:
+            return out_schema.empty_table()
+        d = df.filter(pl.col("dl").is_not_null()).select(["doc_id", "dl"])
+        j = h.join(d, on="doc_id", how="inner")
+        dfv = (j.select(pl.col("token").replace_strict(
+                   df_map, return_dtype=pl.Int64))
+               ["token"].to_numpy())
+        score = bm25_score_expr(
+            j["tf"].to_numpy(), j["dl"].to_numpy(), dfv,
+            n_docs, total_len)
+        scored = (j.select("doc_id")
+                  .with_columns(pl.Series("score", score,
+                                          dtype=pl.Int64))
+                  .group_by("doc_id").agg(pl.col("score").sum())
+                  .sort(["score", "doc_id"], descending=[True, False])
+                  .head(k))
+        return scored.to_arrow().cast(out_schema)
+
+    partials = (hits.map_batches(tag_hit, batch_format="pyarrow")
+                .union(doclen.map_batches(tag_dl, batch_format="pyarrow"))
+                .groupby("_bucket").map_groups(bucket_score,
+                                               batch_format="pyarrow"))
+
+    def reduce_topk(batch: pa.Table) -> pa.Table:
+        return (pl.from_arrow(batch)
+                .sort(["score", "doc_id"], descending=[True, False])
+                .head(k).to_arrow().cast(out_schema))
+
+    from . import ensure_schema
+    partials = ensure_schema(partials, out_schema)
+    return partials.repartition(1).map_batches(
+        reduce_topk, batch_size=None, batch_format="pyarrow")
+
+
+def bm25_search_sql(terms: tuple[str, ...] = DEFAULT_TERMS,
+                    k: int = 20) -> str:
+    """DuckDB mirror: same integer formula over HUGEINT (so the int64
+    bound documented on bm25_search is oracle-checked, not assumed)."""
+    terms = tuple(dict.fromkeys(terms))
+    lst = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS token
+  FROM documents,
+       unnest(string_split(text, ' ')) AS t(tok)
+  WHERE len(t.tok) > 0
+),
+dl AS (SELECT doc_id, CAST(count(*) AS HUGEINT) AS dl
+       FROM toks GROUP BY doc_id),
+corp AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(dl) AS HUGEINT) AS l FROM dl),
+tf AS (SELECT doc_id, token, CAST(count(*) AS HUGEINT) AS tf
+       FROM toks WHERE token IN ({lst}) GROUP BY doc_id, token),
+dfreq AS (SELECT token, CAST(count(*) AS HUGEINT) AS df
+          FROM tf GROUP BY token),
+contrib AS (
+  SELECT tf.doc_id,
+         ({BM25_SCALE} * 44 * corp.l * tf.tf
+            * (2*corp.n - 2*dfreq.df + 1))
+         // ((20*corp.l*tf.tf + 6*corp.l + 18*dl.dl*corp.n)
+             * (2*dfreq.df + 1)) AS s
+  FROM tf
+  JOIN dfreq USING (token)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corp
+)
+SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def text_search_ranked_sql(terms: tuple[str, ...] = DEFAULT_TERMS,
                            k: int = 20) -> str:
     terms = tuple(dict.fromkeys(terms))

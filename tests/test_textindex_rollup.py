@@ -87,3 +87,44 @@ def test_text_search_ranked_parity(ray_session):
     odf = _oracle(textindex.text_search_ranked_sql())
     assert len(df) == len(odf) == 20
     assert _norm(df) == _norm(odf)
+
+
+def test_bm25_parity_default_and_alt_terms(ray_session):
+    for terms in (textindex.DEFAULT_TERMS, ("the", "vector")):
+        df = textindex.bm25_search(SF, terms=terms).to_pandas()
+        odf = _oracle(textindex.bm25_search_sql(terms=terms))
+        assert len(df) == len(odf) > 0
+        assert _norm(df) == _norm(odf)
+
+
+def test_bm25_rare_term_outranks_common(ray_session):
+    """idf' shape check on a planted corpus: with equal tf and equal dl,
+    a doc matching only the RARE term must outrank a doc matching only
+    the COMMON term."""
+    import ray.data
+    import pathlib
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import tempfile
+    docs = [{"doc_id": 0, "text": "rare pad pad pad"},
+            {"doc_id": 1, "text": "common pad pad pad"}]
+    # 'common' appears in many other docs, 'rare' nowhere else
+    docs += [{"doc_id": 2 + i, "text": "common filler word here"}
+             for i in range(8)]
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.Table.from_pylist(docs),
+                   str(pathlib.Path(d) / "documents.parquet"))
+    out = textindex.bm25_search(d, terms=("rare", "common"),
+                                k=10).to_pandas()
+    s = dict(zip(out.doc_id, out.score))
+    assert s[0] > s[1]
+
+
+def test_bm25_tf_index_freshness(ray_session, tmp_path):
+    """Marker-less tf-index dir is rebuilt, not appended to."""
+    import os
+    idx = str(tmp_path / "tfidx")
+    df1 = textindex.bm25_search(SF, index_dir=idx).to_pandas()
+    os.remove(os.path.join(idx, "_SUCCESS"))
+    df2 = textindex.bm25_search(SF, index_dir=idx).to_pandas()
+    assert _norm(df1) == _norm(df2)
