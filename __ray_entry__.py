@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_exact"] = dedup.exact_dedup
     q["neardup_labels"] = (
         lambda sf: dedup.neardup_labels(sf, threshold=0.7))
+    # whole-corpus keep/drop decision: one survivor per near-dup
+    # cluster by deterministic fetch priority; corpus ships ids only
+    q["neardup_survivors"] = (
+        lambda sf: dedup.neardup_survivors(sf, threshold=0.7))
     q["dedup_minhash"] = dedup.minhash_dedup
     q["dedup_simhash"] = dedup.simhash_dedup
     # transitive closure over the verified near-dup graph (distributed
@@ -340,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
     o["contamination_check"] = SR.contamination_oracle_sql()
     o["doc_fingerprints"] = SR.fingerprint_oracle_sql()
     o["neardup_labels"] = SR.neardup_labels_oracle_sql()
+    o["neardup_survivors"] = SR.neardup_survivors_oracle_sql()
     o["dedup_minhash"] = SR.minhash_oracle_sql()
     o["dedup_simhash"] = SR.simhash_oracle_sql()
     o["neardup_clusters"] = SR.neardup_clusters_oracle_sql()

@@ -866,3 +866,122 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
 
     return j2.map_batches(verify, batch_format="pyarrow",
                           batch_size=SANITIZE_BATCH)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup survivor selection (which copy to KEEP)
+# ---------------------------------------------------------------------------
+
+KNUTH_32 = 2654435761  # Knuth multiplicative hash, shared with the oracle
+
+
+def neardup_survivors(sf_dir: str, threshold: float = 0.7,
+                      n_perm: int = 64, bands: int = 16, k: int = 3,
+                      num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Per-document keep/drop decision after near-dup clustering: every
+    unclustered doc survives; within each cluster exactly ONE member
+    survives — the one with the smallest deterministic fetch priority
+    ``p = (doc_id * KNUTH_32) % 2^32`` (a stand-in for crawl fetch
+    order; non-monotone in doc_id so the choice isn't vacuously
+    "min id"), ties broken by doc_id. Output (doc_id, canon_id, keep)
+    for the WHOLE corpus, canon_id = doc_id for unclustered docs.
+
+    Scale shape: the corpus crosses the wire as ids only
+    (columns=["doc_id"]); cluster labels and per-cluster winners are
+    dup-mass- and cluster-count-sized. Three bucket exchanges total:
+    winner argmin (groupby canon), winner->member attach (hash canon),
+    corpus fill (hash doc_id). int64 bound: doc_id < 2^62/KNUTH_32
+    ≈ 1.7e9 keeps p exact in BIGINT — same domain as the DuckDB mirror.
+    """
+    import polars as pl
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("canon_id", pa.int64()),
+                            ("keep", pa.int64())])
+    labels = neardup_labels(sf_dir, threshold, n_perm, bands, k)
+
+    def with_key(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        p = (ids * KNUTH_32) % (1 << 32)
+        return pa.table({
+            "canon_id": b["canon_id"].combine_chunks(),
+            "k": pa.array(p * (1 << 31) + ids, pa.int64())})
+
+    winners = (labels.map_batches(with_key, batch_format="pyarrow")
+               .groupby("canon_id").aggregate(Min("k", alias_name="mk")))
+
+    def tag_label(b: pa.Table) -> pa.Table:
+        key = b["canon_id"].to_numpy(zero_copy_only=False)
+        t = b.select(["doc_id", "canon_id"])
+        t = t.append_column("keep_doc", pa.nulls(b.num_rows, pa.int64()))
+        return t.append_column("_cb", pa.array(
+            (key % num_buckets).astype(np.int32)))
+
+    def tag_winner(b: pa.Table) -> pa.Table:
+        key = b["canon_id"].to_numpy(zero_copy_only=False)
+        mk = b["mk"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": pa.nulls(b.num_rows, pa.int64()),
+            "canon_id": b["canon_id"].combine_chunks().cast(pa.int64()),
+            "keep_doc": pa.array(mk % (1 << 31), pa.int64())})
+        return t.append_column("_cb", pa.array(
+            (key % num_buckets).astype(np.int32)))
+
+    def attach_winner(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.drop_columns(["_cb"]))
+        mem = df.filter(pl.col("keep_doc").is_null()).select(
+            ["doc_id", "canon_id"])
+        win = df.filter(pl.col("keep_doc").is_not_null()).select(
+            ["canon_id", "keep_doc"])
+        j = mem.join(win, on="canon_id", how="inner")
+        return (j.with_columns(
+                    (pl.col("doc_id") == pl.col("keep_doc"))
+                    .cast(pl.Int64).alias("keep"))
+                .select(["doc_id", "canon_id", "keep"])
+                .to_arrow().cast(out_schema))
+
+    clustered = (labels.map_batches(tag_label, batch_format="pyarrow")
+                 .union(winners.map_batches(tag_winner,
+                                            batch_format="pyarrow"))
+                 .groupby("_cb").map_groups(attach_winner,
+                                            batch_format="pyarrow"))
+
+    def tag_corpus(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+            "canon_id": pa.nulls(b.num_rows, pa.int64()),
+            "keep": pa.nulls(b.num_rows, pa.int64()),
+            "_is_doc": pa.array(np.ones(b.num_rows, dtype=bool))})
+        return t.append_column("_db", pa.array(
+            (ids % num_buckets).astype(np.int32)))
+
+    def tag_clustered(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.select(["doc_id", "canon_id", "keep"])
+        t = t.append_column(
+            "_is_doc", pa.array(np.zeros(b.num_rows, dtype=bool)))
+        return t.append_column("_db", pa.array(
+            (ids % num_buckets).astype(np.int32)))
+
+    def fill(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.drop_columns(["_db"]))
+        docs = df.filter(pl.col("_is_doc")).select("doc_id")
+        lab = df.filter(~pl.col("_is_doc")).select(
+            ["doc_id", "canon_id", "keep"])
+        j = docs.join(lab, on="doc_id", how="left")
+        return (j.with_columns(
+                    pl.coalesce("canon_id", "doc_id").alias("canon_id"),
+                    pl.col("keep").fill_null(1))
+                .to_arrow().cast(out_schema))
+
+    corpus = read_table(sf_dir, "documents", columns=["doc_id"])
+    from . import ensure_schema
+    return ensure_schema(
+        corpus.map_batches(tag_corpus, batch_format="pyarrow")
+        .union(clustered.map_batches(tag_clustered,
+                                     batch_format="pyarrow"))
+        .groupby("_db").map_groups(fill, batch_format="pyarrow"),
+        out_schema)

@@ -628,3 +628,27 @@ def hdr_quantiles_oracle_sql(pcts: tuple[int, ...] = (25, 50, 90, 99),
     cols = ["lang", "n"] + [f"q{p}" for p in pcts]
     types = ["VARCHAR", "BIGINT"] + ["DOUBLE"] * len(pcts)
     return values_oracle_sql(rows, cols, types)
+
+
+@functools.lru_cache(maxsize=None)
+def neardup_survivors_oracle_sql(threshold: float = 0.7) -> str:
+    """Survivor selection mirror: the labels reference (union-find) as a
+    VALUES CTE, then the SAME Knuth fetch-priority argmin in live SQL —
+    min over the packed key p*2^31 + doc_id, winner = key % 2^31."""
+    labels = neardup_labels_oracle_sql(threshold)
+    return f"""
+WITH labels AS ({labels}),
+pri AS (SELECT doc_id, canon_id,
+               (doc_id * 2654435761) % 4294967296 AS p FROM labels),
+win AS (SELECT canon_id,
+               CAST(min(p * 2147483648 + doc_id) % 2147483648 AS BIGINT)
+               AS keep_doc
+        FROM pri GROUP BY canon_id)
+SELECT d.doc_id,
+       CAST(COALESCE(l.canon_id, d.doc_id) AS BIGINT) AS canon_id,
+       CAST(CASE WHEN l.doc_id IS NULL OR d.doc_id = w.keep_doc
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d
+LEFT JOIN labels l ON l.doc_id = d.doc_id
+LEFT JOIN win w ON w.canon_id = l.canon_id
+"""

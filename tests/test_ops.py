@@ -447,3 +447,34 @@ def test_resize_stub_dims_and_determinism(ray_session):
         M.ResizeStub(8, 4, fake=False)
     with _pt.raises(NotImplementedError):
         M.FrameSample(fake=False)
+
+
+def test_neardup_survivors_invariants(ray_session):
+    """Whole-corpus survivor table: exactly one keeper per cluster,
+    every unclustered doc kept, corpus fully covered."""
+    from kgforge.ops import dedup as D
+    import duckdb as dk
+    from kgforge import scalar_ref as SR
+    df = D.neardup_survivors(SF, threshold=0.7).to_pandas()
+    con = dk.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    odf = con.sql(SR.neardup_survivors_oracle_sql()).df()
+    a = df.sort_values("doc_id").reset_index(drop=True).astype("int64")
+    b = odf.sort_values("doc_id").reset_index(drop=True).astype("int64")
+    assert a.equals(b)
+    # invariants
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(df) == n_docs
+    per_cluster = df.groupby("canon_id")["keep"].sum()
+    assert (per_cluster == 1).all()          # exactly one survivor each
+    sizes = df.groupby("canon_id")["doc_id"].transform("size")
+    assert len(df[sizes > 1]) > 0            # corpus plants near-dups
+    # every singleton (truly unclustered) doc survives
+    assert df.loc[sizes == 1, "keep"].eq(1).all()
+    # in at least one real cluster the keeper is NOT the min doc_id —
+    # the Knuth priority is doing the choosing, not the id order
+    real = df[sizes > 1]
+    kept = real[real.keep == 1].set_index("canon_id")["doc_id"]
+    mins = real.groupby("canon_id")["doc_id"].min()
+    assert (kept != mins.loc[kept.index]).any()
