@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["repetition_stats"] = text.repetition_stats
     # vectorized RE2 identifier/PII redaction with redaction counts
     q["pii_scrub"] = text.pii_scrub
+    # corpus-trained integer bigram LM score (log-free perplexity
+    # stand-in); broadcast fast path + one-key w1 join scale path
+    q["bigram_lm_scores"] = text.bigram_lm_scores
     # deterministic training-order assignment: distributed row_number
     # (equal-width hash range partition + count-pass prefix offsets)
     from kgforge.ops import rank
@@ -305,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
     o["dup_gram_coverage"] = substring.dup_gram_coverage_sql()
     o["repetition_stats"] = text.REPETITION_STATS_SQL
     o["pii_scrub"] = text.pii_scrub_sql()
+    o["bigram_lm_scores"] = text.bigram_lm_scores_sql()
     o["corpus_shuffle"] = rank.corpus_shuffle_sql()
     o["token_budget_shards"] = rank.token_budget_shards_sql()
     from kgforge.ops import crawl

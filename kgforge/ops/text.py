@@ -731,3 +731,251 @@ SELECT {key}, {expr} AS {column}_scrubbed,
        CAST({n_red} AS BIGINT) AS n_redactions
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality score (exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+LM_SCALE = 1_000_000
+
+
+def _w1_bucket(col: "pa.ChunkedArray | pa.Array", num_buckets: int
+               ) -> pa.Array:
+    """md5-per-UNIQUE-token bucket (version- and process-stable — same
+    discipline as the inverted index's tok_bucket), broadcast back over
+    the column via dictionary indices."""
+    import hashlib as _h
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = pc.dictionary_encode(arr)
+    uniq = [int.from_bytes(_h.md5(t.encode()).digest()[:8], "little")
+            % num_buckets for t in enc.dictionary.to_pylist()]
+    return pa.array(uniq, pa.int32()).take(enc.indices)
+
+
+def _doc_bigrams(batch: pa.Table) -> pa.Table:
+    """(doc_id, w1, w2) one row per bigram OCCURRENCE — raw whitespace
+    split (same token rule as the dup-gram mirror: no empty filtering),
+    fully vectorized via adjacent flat tokens with equal parents."""
+    text = batch["text"].combine_chunks().cast(pa.string())
+    ids = batch["doc_id"].combine_chunks().cast(pa.int64())
+    split = pc.split_pattern(text, pattern=" ")
+    flat = split.flatten()
+    parents = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+    if len(parents) < 2:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string())})
+    adj = parents[:-1] == parents[1:]
+    idx = np.flatnonzero(adj)
+    return pa.table({
+        "doc_id": ids.take(pa.array(parents[idx])),
+        "w1": flat.take(pa.array(idx)),
+        "w2": flat.take(pa.array(idx + 1))})
+
+
+def _lm_model(sf_dir: str) -> "ray.data.Dataset":
+    """(w1, w2, t) with t = LM_SCALE * c(w1,w2) // c(w1), where c(w1) is
+    w1's count as LEFT context (= sum of its bigram counts — derived
+    from the bigram table itself, no second corpus pass). Per-batch
+    count combiners before both groupbys."""
+    import polars as pl
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (pl.from_arrow(_doc_bigrams(batch))
+                .group_by(["w1", "w2"])
+                .agg(pl.len().cast(pl.Int64).alias("m")).to_arrow())
+
+    from ray.data.aggregate import Sum
+    c12 = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby(["w1", "w2"]).aggregate(Sum("m", alias_name="c12")))
+
+    # attach c1: ONE hash(w1) bucket pass — c1 is the in-bucket sum, so
+    # no separate table or join is needed at all
+    from ..stages.dedup import default_num_buckets
+    num_buckets = default_num_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_wb", _w1_bucket(batch["w1"], num_buckets))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.drop_columns(["_wb"]))
+        c1 = df.group_by("w1").agg(pl.col("c12").sum().alias("c1"))
+        j = df.join(c1, on="w1", how="inner")
+        return (j.with_columns(
+                    ((LM_SCALE * pl.col("c12")) // pl.col("c1"))
+                    .alias("t"))
+                .select(["w1", "w2", "t"]).to_arrow()
+                .cast(pa.schema([("w1", pa.string()),
+                                 ("w2", pa.string()),
+                                 ("t", pa.int64())])))
+
+    from . import ensure_schema
+    return ensure_schema(
+        c12.map_batches(tag, batch_format="pyarrow")
+        .groupby("_wb").map_groups(per_bucket, batch_format="pyarrow"),
+        pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                   ("t", pa.int64())]))
+
+
+def bigram_lm_scores(sf_dir: str, force_join: bool = False
+                     ) -> "ray.data.Dataset":
+    """Per-document LM quality score: the mean scaled conditional bigram
+    probability, all in exact integers —
+
+        lm_score(d) = ( Σ_occurrences LM_SCALE·c(w1,w2)//c(w1) ) // n_bigrams
+
+    (a log-free perplexity stand-in: high = predictable/boilerplate,
+    low = high-surprise text; -1 for docs with < 2 tokens). The model is
+    trained on the corpus itself in one pass.
+
+    Fast path (model ≤ KGFORGE_TEXT_BROADCAST_LIMIT rows): the model
+    ships once via ray.put and scoring is a SINGLE zero-shuffle pass —
+    a doc's text lives in one row, so its per-doc aggregate is exact
+    within the batch (C-level polars join per batch).
+    Scale path (force_join or big model): doc-bigram occurrences join
+    the model on ONE hash(w1) bucket exchange (c1 and c12 are both
+    w1-local, so one key co-locates everything), per-doc partials
+    return on a hash(doc_id) groupby, and an ids-only corpus pass
+    fills the -1 docs."""
+    import polars as pl
+    from .dedup import payload_broadcast_limit as _text_broadcast_limit
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("lm_score", pa.int64())])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    model = _lm_model(sf_dir)
+
+    model_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                              ("t", pa.int64())])
+    if not force_join and model.count() <= _text_broadcast_limit():
+        import ray as _ray
+        parts = [t.cast(model_schema) for t in
+                 model.iter_batches(batch_format="pyarrow") if t.num_rows]
+        mt = (pa.concat_tables(parts) if parts
+              else model_schema.empty_table())
+        ref = _ray.put(mt)
+
+        def score(batch: pa.Table, ref=ref) -> pa.Table:
+            import ray as _ray
+            m = pl.from_arrow(_ray.get(ref))
+            big = pl.from_arrow(_doc_bigrams(batch))
+            ids = batch["doc_id"].combine_chunks().cast(pa.int64())
+            if big.height == 0:
+                return pa.table({
+                    "doc_id": ids,
+                    "lm_score": pa.array([-1] * batch.num_rows,
+                                         pa.int64())})
+            j = big.join(m, on=["w1", "w2"], how="inner")
+            agg = (j.group_by("doc_id")
+                   .agg((pl.col("t").sum() // pl.len()).alias("lm_score")))
+            full = (pl.DataFrame({"doc_id": ids.to_numpy(
+                        zero_copy_only=False)})
+                    .join(agg, on="doc_id", how="left")
+                    .with_columns(pl.col("lm_score").fill_null(-1)))
+            return full.to_arrow().cast(out_schema)
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # ---- scale path ----
+    from ..stages.dedup import default_num_buckets
+    num_buckets = default_num_buckets()
+
+    def tag_big(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(_doc_bigrams(batch))
+        # per-(doc,bigram) multiplicity combiner before the wire
+        t = (df.group_by(["doc_id", "w1", "w2"])
+             .agg(pl.len().cast(pl.Int64).alias("m"))
+             .with_columns(pl.lit(None, pl.Int64).alias("t"))
+             .select(["doc_id", "w1", "w2", "m", "t"]).to_arrow())
+        return t.append_column("_wb", _w1_bucket(t["w1"], num_buckets))
+
+    def tag_model(batch: pa.Table) -> pa.Table:
+        t = (pl.from_arrow(batch)
+             .with_columns(pl.lit(None, pl.Int64).alias("doc_id"),
+                           pl.lit(None, pl.Int64).alias("m"))
+             .select(["doc_id", "w1", "w2", "m", "t"]).to_arrow())
+        return t.append_column("_wb", _w1_bucket(t["w1"], num_buckets))
+
+    def join_terms(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.drop_columns(["_wb"]))
+        big = df.filter(pl.col("t").is_null()).select(
+            ["doc_id", "w1", "w2", "m"])
+        m = df.filter(pl.col("t").is_not_null()).select(["w1", "w2", "t"])
+        j = big.join(m, on=["w1", "w2"], how="inner")
+        # per-doc partials within the bucket
+        return (j.group_by("doc_id")
+                .agg((pl.col("t") * pl.col("m")).sum().alias("s"),
+                     pl.col("m").sum().alias("nb"))
+                .to_arrow().cast(pa.schema([
+                    ("doc_id", pa.int64()), ("s", pa.int64()),
+                    ("nb", pa.int64())])))
+
+    from ray.data.aggregate import Sum
+    partials = (docs.map_batches(tag_big, batch_format="pyarrow")
+                .union(model.map_batches(tag_model,
+                                         batch_format="pyarrow"))
+                .groupby("_wb").map_groups(join_terms,
+                                           batch_format="pyarrow")
+                .groupby("doc_id")
+                .aggregate(Sum("s", alias_name="s"),
+                           Sum("nb", alias_name="nb")))
+
+    def tag_scored(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        nb = batch["nb"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "lm_score": pa.array(s // nb, pa.int64()),
+            "_db": pa.array((ids % num_buckets).astype(np.int32))})
+
+    def tag_ids(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().cast(pa.int64())
+        npids = ids.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": ids,
+            "lm_score": pa.nulls(batch.num_rows, pa.int64()),
+            "_db": pa.array((npids % num_buckets).astype(np.int32))})
+
+    def fill(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.drop_columns(["_db"]))
+        base = df.filter(pl.col("lm_score").is_null()).select("doc_id")
+        got = df.filter(pl.col("lm_score").is_not_null())
+        return (base.join(got, on="doc_id", how="left")
+                .with_columns(pl.col("lm_score").fill_null(-1))
+                .to_arrow().cast(out_schema))
+
+    ids_only = read_table(sf_dir, "documents", columns=["doc_id"])
+    from ..ops import ensure_schema
+    return ensure_schema(
+        partials.map_batches(tag_scored, batch_format="pyarrow")
+        .union(ids_only.map_batches(tag_ids, batch_format="pyarrow"))
+        .groupby("_db").map_groups(fill, batch_format="pyarrow"),
+        out_schema)
+
+
+def bigram_lm_scores_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), big AS (
+  SELECT doc_id, t[CAST(i AS BIGINT)] AS w1,
+         t[CAST(i + 1 AS BIGINT)] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1
+), terms AS (
+  SELECT w1, w2, ({LM_SCALE} * c12) // c1 AS t
+  FROM c12 JOIN c1 USING (w1)
+), contrib AS (
+  SELECT doc_id, sum(t) AS s, count(*) AS nb
+  FROM big JOIN terms USING (w1, w2) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(s // nb, -1) AS BIGINT) AS lm_score
+FROM documents d LEFT JOIN contrib USING (doc_id)
+"""

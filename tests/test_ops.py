@@ -478,3 +478,43 @@ def test_neardup_survivors_invariants(ray_session):
     kept = real[real.keep == 1].set_index("canon_id")["doc_id"]
     mins = real.groupby("canon_id")["doc_id"].min()
     assert (kept != mins.loc[kept.index]).any()
+
+
+def test_bigram_lm_scores_paths_and_shape(ray_session, tmp_path):
+    """Broadcast and join paths agree with the SQL mirror on a planted
+    corpus; repeated boilerplate scores HIGHER (more predictable) than
+    unique text; <2-token docs get -1."""
+    import pathlib
+    import pyarrow.parquet as pq
+    from kgforge.ops import text as T
+    docs = [
+        {"doc_id": 0, "text": "the cat sat on the mat " * 5},
+        {"doc_id": 1, "text": "the cat sat on the mat " * 5},
+        # same lexicon as the boilerplate docs but in an order the
+        # corpus almost never sees: frequent left contexts ('the')
+        # with rare successors -> low conditional probability
+        {"doc_id": 2, "text": "mat the on cat sat the mat on cat the"},
+        {"doc_id": 3, "text": "single"},
+        {"doc_id": 4, "text": ""},
+    ]
+    for d in docs:
+        d["lang"] = "en"; d["source"] = "t"; d["n_chars"] = len(d["text"])
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(docs),
+                   str(pathlib.Path(sf) / "documents.parquet"))
+    bc = (T.bigram_lm_scores(sf).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    jn = (T.bigram_lm_scores(sf, force_join=True).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    ora = (con.sql(T.bigram_lm_scores_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert bc.astype("int64").equals(ora.astype("int64"))
+    assert jn.astype("int64").equals(ora.astype("int64"))
+    s = dict(zip(bc.doc_id, bc.lm_score))
+    assert s[0] == s[1] > s[2] >= 0
+    assert s[3] == -1
+    # "" splits to one empty token -> no bigram -> -1
+    assert s[4] == -1
