@@ -219,6 +219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # per-node triangle counts: degree-ordered orientation bounds wedge
     # fan-out at sqrt(2m); 3 bucket shuffles, no corpus joins
     q["triangle_counts"] = linkgraph.triangle_counts
+    q["clustering_coefficient"] = linkgraph.clustering_coefficient
+    # iterative distributed k-core peeling (adaptive drop-set filter)
+    q["kcore_nodes"] = lambda sf: linkgraph.kcore_nodes(sf, k=3)
     # EXACT Jaccard set-similarity self-join (AllPairs/PPJoin prefix
     # filter; rational threshold, integer verify) and the per-stratum
     # percentile quality gate (lexicon-sized threshold broadcast)
@@ -324,6 +327,9 @@ def oracle_sql() -> dict[str, str]:
     o["link_degree_stats"] = linkgraph.link_degree_stats_sql()
     o["reciprocal_links"] = linkgraph.reciprocal_links_sql()
     o["triangle_counts"] = linkgraph.triangle_counts_sql()
+    o["clustering_coefficient"] = linkgraph.clustering_coefficient_sql()
+    from kgforge import scalar_ref as _SRK
+    o["kcore_nodes"] = _SRK.kcore_oracle_sql(3)
     from kgforge.ops import quantile as _q
     from kgforge.ops import setjoin
     o["jaccard_pairs"] = setjoin.jaccard_pairs_sql()

@@ -427,3 +427,234 @@ nodes AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS triangles
 FROM nodes GROUP BY doc_id
 """
+
+
+def clustering_coefficient(sf_dir: str, num_buckets: int | None = None
+                           ) -> "ray.data.Dataset":
+    """Per-node local clustering coefficient over the 4-arm graph, in
+    exact integer permille: coeff = 2000·triangles // (deg·(deg-1)) for
+    deg ≥ 2, else 0. Reuses the triangle plan; degrees and triangle
+    counts meet on ONE hash(node) tagged-union bucket merge (triangle
+    side is sparse — nodes without triangles fill 0)."""
+    import polars as pl
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+    links = build_links(sf_dir, TRI_MULTS)
+    edges = distinct_edges(links, num_buckets)
+    deg = _edge_degrees(edges)
+    tri = triangle_node_counts(build_links(sf_dir, TRI_MULTS),
+                               num_buckets=num_buckets)
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("deg", pa.int64()),
+        ("triangles", pa.int64()), ("coeff_permille", pa.int64())])
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        ids = batch["node"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": batch["node"].combine_chunks().cast(pa.int64()),
+            "deg": batch["deg"].combine_chunks().cast(pa.int64()),
+            "tri": pa.nulls(batch.num_rows, pa.int64())})
+        return t.append_column("_nb", pa.array(
+            (ids % num_buckets).astype(np.int32)))
+
+    def tag_tri(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+            "deg": pa.nulls(batch.num_rows, pa.int64()),
+            "tri": batch["triangles"].combine_chunks().cast(pa.int64())})
+        return t.append_column("_nb", pa.array(
+            (ids % num_buckets).astype(np.int32)))
+
+    def finish(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.drop_columns(["_nb"]))
+        d = df.filter(pl.col("deg").is_not_null()).select(
+            ["doc_id", "deg"])
+        t = df.filter(pl.col("tri").is_not_null()).select(
+            ["doc_id", "tri"])
+        j = (d.join(t, on="doc_id", how="left")
+             .with_columns(pl.col("tri").fill_null(0).alias("triangles")))
+        j = j.with_columns(
+            pl.when(pl.col("deg") >= 2)
+            .then((2000 * pl.col("triangles"))
+                  // (pl.col("deg") * (pl.col("deg") - 1)))
+            .otherwise(0).alias("coeff_permille"))
+        return (j.select(["doc_id", "deg", "triangles", "coeff_permille"])
+                .to_arrow().cast(out_schema))
+
+    from . import ensure_schema
+    return ensure_schema(
+        deg.map_batches(tag_deg, batch_format="pyarrow")
+        .union(tri.map_batches(tag_tri, batch_format="pyarrow"))
+        .groupby("_nb").map_groups(finish, batch_format="pyarrow"),
+        out_schema)
+
+
+def clustering_coefficient_sql() -> str:
+    return f"""
+WITH {_links_sql(TRI_MULTS)},
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM links WHERE src != dst),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT x AS doc_id FROM t
+    UNION ALL SELECT y FROM t
+    UNION ALL SELECT z FROM t
+  ) GROUP BY doc_id
+),
+deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, d.deg,
+       CAST(COALESCE(tri.triangles, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN d.deg >= 2
+            THEN (2000 * COALESCE(tri.triangles, 0))
+                 // (d.deg * (d.deg - 1))
+            ELSE 0 END AS BIGINT) AS coeff_permille
+FROM deg d LEFT JOIN tri USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative distributed peeling)
+# ---------------------------------------------------------------------------
+
+# variable-arity arms: arm j fires only when i % mod == 0, giving the
+# degree variance a k-core needs (the 4-arm graph is near-regular)
+KCORE_ARMS = (((7, 1), 1), ((13, 5), 2), ((3, 11), 4),
+              ((11, 17), 8), ((19, 23), 16))
+
+
+def build_links_variable(sf_dir: str) -> "ray.data.Dataset":
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    n = ds.count()
+
+    def links(batch: pa.Table) -> pa.Table:
+        ids = (batch["doc_id"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        srcs, dsts = [], []
+        for (m, c), mod in KCORE_ARMS:
+            sel = ids[ids % mod == 0]
+            srcs.append(sel)
+            dsts.append((sel * m + c) % n)
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return ds.map_batches(links, batch_format="pyarrow")
+
+
+def kcore_nodes(sf_dir: str, k: int = 3, num_buckets: int | None = None,
+                force_join: bool = False, max_rounds: int = 64
+                ) -> "ray.data.Dataset":
+    """Nodes of the k-core of the variable-arity link graph, with their
+    final in-core degree: iterative distributed peeling — each round
+    recomputes degrees (node groupby of per-batch combiners) and drops
+    nodes with deg < k until a fixpoint.
+
+    The per-round edge filter is size-adaptive on the DROP set (the
+    small side by construction after round 1): ≤ broadcast limit →
+    ray.put'd sorted id array + vectorized per-batch isin; above it (or
+    force_join) → two tagged-union bucket anti-merges. Edges are
+    re-materialized each round so the lineage stays O(1), and the loop
+    is bounded by max_rounds (peeling converges in ≤ |V| rounds; 64 is
+    far past any real corpus's core number)."""
+    import polars as pl
+    from .graph import _broadcast_limit
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+    edges = distinct_edges(build_links_variable(sf_dir), num_buckets) \
+        .select_columns(["a", "b"]).materialize()
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("core_deg", pa.int64())])
+
+    import pyarrow.compute as pc
+
+    for _ in range(max_rounds):
+        deg = _edge_degrees(edges)
+        drop = deg.map_batches(
+            lambda b: b.filter(pc.less(b["deg"], k)),
+            batch_format="pyarrow")
+        n_drop = drop.count()
+        if n_drop == 0:
+            final = deg.map_batches(
+                lambda b: pa.table({
+                    "doc_id": b["node"].combine_chunks().cast(pa.int64()),
+                    "core_deg": b["deg"].combine_chunks().cast(pa.int64()),
+                }), batch_format="pyarrow")
+            from . import ensure_schema
+            return ensure_schema(final, out_schema)
+        if not force_join and n_drop <= _broadcast_limit():
+            import ray as _ray
+            ids = np.sort(np.concatenate(
+                [t["node"].to_numpy(zero_copy_only=False)
+                 for t in drop.iter_batches(batch_format="pyarrow")
+                 if t.num_rows] or [np.array([], dtype=np.int64)]))
+            ref = _ray.put(ids)
+
+            def keep(batch: pa.Table, ref=ref) -> pa.Table:
+                import ray as _ray
+                dropped = _ray.get(ref)
+                a = batch["a"].to_numpy(zero_copy_only=False)
+                b = batch["b"].to_numpy(zero_copy_only=False)
+                ok = (~np.isin(a, dropped)) & (~np.isin(b, dropped))
+                return batch.filter(pa.array(ok))
+
+            edges = edges.map_batches(
+                keep, batch_format="pyarrow").materialize()
+        else:
+            # scalable path: anti-merge on each endpoint in turn
+            cur = edges
+            for col in ("a", "b"):
+                def tag_edge(batch: pa.Table, col=col) -> pa.Table:
+                    key = batch[col].to_numpy(zero_copy_only=False)
+                    t = batch.select(["a", "b"])
+                    t = t.append_column(
+                        "_drop", pa.nulls(batch.num_rows, pa.int64()))
+                    return t.append_column("_ab", pa.array(
+                        (key % num_buckets).astype(np.int32)))
+
+                def tag_drop(batch: pa.Table) -> pa.Table:
+                    key = batch["node"].to_numpy(zero_copy_only=False)
+                    t = pa.table({
+                        "a": pa.nulls(batch.num_rows, pa.int64()),
+                        "b": pa.nulls(batch.num_rows, pa.int64()),
+                        "_drop": batch["node"].combine_chunks()
+                        .cast(pa.int64())})
+                    return t.append_column("_ab", pa.array(
+                        (key % num_buckets).astype(np.int32)))
+
+                def anti(group: pa.Table, col=col) -> pa.Table:
+                    df = pl.from_arrow(group.drop_columns(["_ab"]))
+                    e = df.filter(pl.col("_drop").is_null()).select(
+                        ["a", "b"])
+                    d = df.filter(pl.col("_drop").is_not_null()).select(
+                        pl.col("_drop").alias(col)).unique()
+                    return (e.join(d, on=col, how="anti").to_arrow()
+                            .cast(pa.schema([("a", pa.int64()),
+                                             ("b", pa.int64())])))
+
+                from . import ensure_schema
+                cur = ensure_schema(
+                    cur.map_batches(tag_edge, batch_format="pyarrow")
+                    .union(drop.map_batches(tag_drop,
+                                            batch_format="pyarrow"))
+                    .groupby("_ab").map_groups(anti,
+                                               batch_format="pyarrow"),
+                    pa.schema([("a", pa.int64()), ("b", pa.int64())]))
+            edges = cur.materialize()
+        if edges.count() == 0:
+            return ray.data.from_arrow(out_schema.empty_table())
+    raise RuntimeError(f"k-core peeling did not converge in "
+                       f"{max_rounds} rounds")

@@ -652,3 +652,39 @@ FROM documents d
 LEFT JOIN labels l ON l.doc_id = d.doc_id
 LEFT JOIN win w ON w.canon_id = l.canon_id
 """
+
+
+def kcore_ref(ids: list[int], k: int = 3) -> list[tuple[int, int]]:
+    """Independent k-core peeling (plain sets/dicts) over the
+    variable-arity link formula — arm (m,c) applies to i iff
+    i % mod == 0; undirected simple graph, self-loops dropped."""
+    arms = (((7, 1), 1), ((13, 5), 2), ((3, 11), 4),
+            ((11, 17), 8), ((19, 23), 16))
+    n = len(ids)
+    edges = set()
+    for i in ids:
+        for (m, c), mod in arms:
+            if i % mod == 0:
+                d = (i * m + c) % n
+                if d != i:
+                    edges.add((min(i, d), max(i, d)))
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {v for v, d in deg.items() if d < k}
+        if not drop:
+            return sorted(deg.items())
+        edges = {(a, b) for a, b in edges
+                 if a not in drop and b not in drop}
+        if not edges:
+            return []
+
+
+@functools.lru_cache(maxsize=None)
+def kcore_oracle_sql(k: int = 3) -> str:
+    rows = {_doc_key(d): kcore_ref([i for i, _ in _docs(d)], k)
+            for d in _sf_dirs()}
+    return values_oracle_sql(rows, ["doc_id", "core_deg"],
+                             ["BIGINT", "BIGINT"])

@@ -74,3 +74,32 @@ def test_triangle_planted_graph(ray_session):
           .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert df["doc_id"].tolist() == [0, 1, 2, 3]
     assert df["triangles"].tolist() == [3, 3, 3, 3]
+
+
+def test_clustering_coefficient_parity(ray_session):
+    df = linkgraph.clustering_coefficient(SF).to_pandas()
+    odf = _oracle(linkgraph.clustering_coefficient_sql())
+    assert _norm(df) == _norm(odf)
+    # every node has coeff in [0, 1000] and deg >= 1 in this graph
+    assert df["coeff_permille"].between(0, 1000).all()
+    assert (df["deg"] >= 1).all()
+
+
+def test_kcore_parity_and_paths(ray_session):
+    from kgforge import scalar_ref as SR
+    df = linkgraph.kcore_nodes(SF, k=3).to_pandas()
+    odf = _oracle(SR.kcore_oracle_sql(3))
+    assert _norm(df) == _norm(odf)
+    assert len(df) == 492          # 3 peel rounds drop 8 nodes
+    assert (df["core_deg"] >= 3).all()
+    jn = linkgraph.kcore_nodes(SF, k=3, force_join=True).to_pandas()
+    assert _norm(jn) == _norm(df)
+
+
+def test_kcore_empty_core(ray_session):
+    """k above the max core number peels everything away; the result is
+    an empty dataset with the declared schema."""
+    df = linkgraph.kcore_nodes(SF, k=4).to_pandas()
+    assert len(df) == 0
+    # Ray's to_pandas drops columns on 0-row results (repo convention:
+    # both-empty IS equality), so only the row count is asserted
