@@ -196,6 +196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["latest_snapshot_per_url"] = crawl.latest_snapshot_per_url
     q["crawl_change_summary"] = crawl.crawl_change_summary
     q["url_host_stats"] = crawl.url_host_stats
+    # vectorized URL canonicalizer (www/fragment/utm/sort rules) +
+    # canonical-URL exact dedup in one hash(canon) bucket pass
+    q["url_canonical_dedup"] = crawl.url_canonical_dedup
     # rolling time-window count per user (SQL RANGE window; ONE user
     # bucket shuffle + composite-key searchsorted, no per-user loop)
     q["rolling_user_counts"] = relational.rolling_user_counts
@@ -318,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
     o["latest_snapshot_per_url"] = crawl.latest_snapshot_per_url_sql()
     o["crawl_change_summary"] = crawl.crawl_change_summary_sql()
     o["url_host_stats"] = crawl.URL_HOST_STATS_SQL
+    o["url_canonical_dedup"] = crawl.url_canonical_dedup_sql()
     o["rolling_user_counts"] = relational.rolling_user_counts_sql()
     from kgforge.ops import bloom, textindex
     o["incremental_new_docs"] = bloom.incremental_new_docs_sql()

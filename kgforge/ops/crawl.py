@@ -323,3 +323,200 @@ SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
 FROM urls GROUP BY host
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + canonical-URL dedup
+# ---------------------------------------------------------------------------
+
+# deterministic messy-URL synthesis: two docs share a base path
+# (doc_id // 2) and each gets one of four mess variants, so canonical
+# collisions are planted by construction
+_MESSY_VARIANTS = 4
+
+
+def build_messy_urls(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, url) with deterministic crawl mess: uppercase hosts,
+    www. prefixes, trailing slashes, unsorted + tracking query params,
+    fragments. Base path is doc_id // 2, so consecutive id pairs
+    canonicalize to the SAME url."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(batch)
+        # host AND path derive from doc_id // 2, so the id pair
+        # (2k, 2k+1) collides after canonicalization
+        base = (pl.col("doc_id") // 2).cast(pl.Utf8)
+        site = ((pl.col("doc_id") // 2) % 7).cast(pl.Utf8)
+        v = pl.col("doc_id") % _MESSY_VARIANTS
+        url = (
+            pl.when(v == 0)
+            .then("https://WWW.site" + site
+                  + ".example.org/doc/" + base + "/")
+            .when(v == 1)
+            .then("https://site" + site
+                  + ".example.org/doc/" + base
+                  + "?utm_source=feed")
+            .when(v == 2)
+            .then("https://site" + site
+                  + ".example.org/doc/" + base + "#section-2")
+            .otherwise("https://site" + site
+                       + ".example.org/doc/" + base
+                       + "?b=2&a=1&utm_x=1")
+        )
+        return (df.select("doc_id", url.alias("url")).to_arrow()
+                .cast(pa.schema([("doc_id", pa.int64()),
+                                 ("url", pa.string())])))
+
+    return docs.map_batches(mk, batch_format="pyarrow")
+
+
+MESSY_URLS_SQL = """
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN 'https://WWW.site' || CAST((doc_id // 2) % 7 AS VARCHAR)
+                || '.example.org/doc/'
+                || CAST(doc_id // 2 AS VARCHAR) || '/'
+    WHEN 1 THEN 'https://site' || CAST((doc_id // 2) % 7 AS VARCHAR)
+                || '.example.org/doc/'
+                || CAST(doc_id // 2 AS VARCHAR)
+                || '?utm_source=feed'
+    WHEN 2 THEN 'https://site' || CAST((doc_id // 2) % 7 AS VARCHAR)
+                || '.example.org/doc/'
+                || CAST(doc_id // 2 AS VARCHAR) || '#section-2'
+    ELSE 'https://site' || CAST((doc_id // 2) % 7 AS VARCHAR)
+         || '.example.org/doc/'
+         || CAST(doc_id // 2 AS VARCHAR) || '?b=2&a=1&utm_x=1'
+  END AS url
+FROM documents
+"""
+
+
+def canonicalize_url_column(batch: pa.Table, col: str = "url"
+                            ) -> pa.Array:
+    """Vectorized URL canonicalizer (the reusable operator): lowercase
+    scheme+host, strip one leading 'www.', drop the fragment, strip a
+    trailing path slash (keeping a bare '/'), drop utm_* tracking
+    params, sort the remaining query params. Polars list kernels do the
+    per-row param work — no Python loop over rows."""
+    import polars as pl
+    urls = batch[col].combine_chunks().cast(pa.string())
+    parts = pc.extract_regex(
+        urls, r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+              r"(?P<host>[^/?#]*)(?P<path>[^?#]*)"
+              r"(?P<q>\?[^#]*)?(?P<frag>#.*)?$")
+    df = pl.from_arrow(pa.table({
+        "scheme": pc.struct_field(parts, "scheme"),
+        "host": pc.struct_field(parts, "host"),
+        "path": pc.struct_field(parts, "path"),
+        "q": pc.struct_field(parts, "q"),
+    }))
+    host = (pl.col("host").str.to_lowercase()
+            .str.replace(r"^www\.", ""))
+    path = (pl.col("path")
+            .str.replace(r"/$", "")
+            .replace("", "/"))
+    # '?a=1&b=2' -> ['a=1','b=2'] minus utm_*, sorted, rejoined
+    params = (pl.col("q").str.strip_prefix("?")
+              .str.split("&")
+              .list.eval(pl.element()
+                         .filter(~pl.element().str.starts_with("utm_")
+                                 & (pl.element() != "")))
+              .list.sort())
+    query = (pl.when(params.list.len() > 0)
+             .then("?" + params.list.join("&"))
+             .otherwise(pl.lit("")))
+    out = df.select(
+        (pl.col("scheme").str.to_lowercase() + "://" + host + path
+         + query.fill_null("")).alias("canon"))
+    arr = out["canon"].to_arrow()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.cast(pa.string())
+
+
+def url_canonical_dedup(sf_dir: str, num_buckets: int | None = None
+                        ) -> "ray.data.Dataset":
+    """(doc_id, canon_url, keep): canonicalize every messy URL, then
+    exact-dedup by canonical form keeping the smallest doc_id. Per-batch
+    (canon, min_id) combiner -> ONE hash(canon)-bucket min -> broadcast-
+    free fill: the winner table returns on the SAME bucket key, so
+    membership is decided in-bucket."""
+    import polars as pl
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+    urls = build_messy_urls(sf_dir)
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("canon_url", pa.string()),
+                            ("keep", pa.int64())])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        c = canonicalize_url_column(batch)
+        t = pa.table({
+            "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+            "canon_url": c})
+        return t.append_column("_cb", _md5_arr_mod(c, num_buckets))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.drop_columns(["_cb"]))
+        win = df.group_by("canon_url").agg(
+            pl.col("doc_id").min().alias("keep_doc"))
+        j = df.join(win, on="canon_url", how="inner")
+        return (j.with_columns(
+                    (pl.col("doc_id") == pl.col("keep_doc"))
+                    .cast(pl.Int64).alias("keep"))
+                .select(["doc_id", "canon_url", "keep"])
+                .to_arrow().cast(out_schema))
+
+    from . import ensure_schema
+    return ensure_schema(
+        urls.map_batches(canon, batch_format="pyarrow")
+        .groupby("_cb").map_groups(per_bucket, batch_format="pyarrow"),
+        out_schema)
+
+
+def _md5_arr_mod(arr: pa.Array, num_buckets: int) -> pa.Array:
+    enc = pc.dictionary_encode(arr)
+    uniq = [int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "little")
+            % num_buckets
+            for u in enc.dictionary.to_pylist()]
+    return pa.array(uniq, pa.int32()).take(enc.indices)
+
+
+def url_canonical_dedup_sql() -> str:
+    """DuckDB mirror of the canonicalizer: same regex split, same
+    lowercase / www / fragment / trailing-slash / utm / sort rules via
+    list kernels, then min-doc_id per canonical."""
+    return f"""
+WITH messy AS ({MESSY_URLS_SQL}),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+             AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+             AS rawhost,
+         regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+         regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+  FROM messy
+),
+canon AS (
+  SELECT doc_id,
+     scheme || '://' || regexp_replace(rawhost, '^www\\.', '')
+     || (CASE WHEN regexp_replace(rawpath, '/$', '') = '' THEN '/'
+              ELSE regexp_replace(rawpath, '/$', '') END)
+     || (CASE WHEN len(list_sort(list_filter(string_split(rawq, '&'),
+                  x -> NOT starts_with(x, 'utm_') AND x != ''))) > 0
+          THEN '?' || array_to_string(list_sort(list_filter(
+                  string_split(rawq, '&'),
+                  x -> NOT starts_with(x, 'utm_') AND x != '')), '&')
+          ELSE '' END) AS canon_url
+  FROM parts
+)
+SELECT doc_id, canon_url,
+       CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_url)
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM canon
+"""

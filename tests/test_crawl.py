@@ -78,3 +78,34 @@ def test_latest_snapshot_bucket_independence(ray_session, buckets):
     a = crawl.latest_snapshot_per_url(SF, num_buckets=buckets).to_pandas()
     b = crawl.latest_snapshot_per_url(SF, num_buckets=64).to_pandas()
     assert _norm(a) == _norm(b)
+
+
+def test_url_canonicalizer_rules():
+    """Unit rules: case, www, fragment, trailing slash, utm filter,
+    param sort, bare-host path."""
+    import pyarrow as pa
+    from kgforge.ops.crawl import canonicalize_url_column
+    t = pa.table({"url": pa.array([
+        "HTTPS://WWW.Site.Org/A/",
+        "https://site.org/a#frag",
+        "https://site.org/a?utm_source=x&b=2&a=1",
+        "https://site.org",
+        "http://www.site.org/?utm_a=1",
+    ])})
+    assert canonicalize_url_column(t).to_pylist() == [
+        "https://site.org/A",          # case: host only, path preserved
+        "https://site.org/a",
+        "https://site.org/a?a=1&b=2",
+        "https://site.org/",
+        "http://site.org/",
+    ]
+
+
+def test_url_canonical_dedup_parity(ray_session):
+    df = crawl.url_canonical_dedup(SF).to_pandas()
+    odf = _oracle(crawl.url_canonical_dedup_sql())
+    assert _norm(df) == _norm(odf)
+    # planted collisions: (4j, 4j+1) pairs merge -> 125 of 500 dropped
+    assert len(df) == 500 and df["keep"].sum() == 375
+    g = df.groupby("canon_url")["keep"]
+    assert (g.sum() == 1).all()        # exactly one keeper per canon
