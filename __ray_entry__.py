@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_construct_facts"] = versioning.sparql_construct_facts
     q["sparql_insert_facts"] = versioning.sparql_insert_facts
     q["sparql_versioning_minus"] = versioning.sparql_versioning_minus
+    # SPARQL 1.1 aggregate extension: GROUP BY + COUNT + ORDER + LIMIT
+    q["sparql_groupby_count"] = versioning.sparql_groupby_count
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -280,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_construct_facts"] = versioning.sparql_facts_sql()
     o["sparql_insert_facts"] = versioning.sparql_facts_sql()
     o["sparql_versioning_minus"] = versioning.sparql_versioning_minus_sql()
+    o["sparql_groupby_count"] = versioning.sparql_groupby_count_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

@@ -197,3 +197,27 @@ SELECT DISTINCT x, z FROM v2
 EXCEPT
 SELECT x, z FROM v1
 """
+
+
+AGG_QUERY_TEXT = """
+SELECT ?y (COUNT(*) AS ?n) WHERE { ?x ?y ?z }
+GROUP BY ?y ORDER BY DESC(?n) ?y LIMIT 5
+"""
+
+
+def sparql_groupby_count(sf_dir: str) -> "ray.data.Dataset":
+    """SPARQL 1.1 aggregate extension gate: predicate histogram of the
+    v4 part store — GROUP BY + COUNT + ORDER BY DESC + LIMIT parsed
+    from query text and planned onto the partitioned store."""
+    from ..sparql import execute_sparql, parse_sparql
+    from .tabular import _v4_part_store
+    q = parse_sparql(AGG_QUERY_TEXT)[0]
+    assert q.aggs and q.group_by == ["y"] and q.limit == 5
+    return execute_sparql(_v4_part_store(sf_dir), q)
+
+
+def sparql_groupby_count_sql() -> str:
+    from .tabular import v4_kg_part_sql
+    return (f"SELECT p AS y, CAST(count(*) AS BIGINT) AS n "
+            f"FROM ({v4_kg_part_sql()}) "
+            f"GROUP BY p ORDER BY n DESC, y ASC LIMIT 5")

@@ -95,6 +95,13 @@ class Group:
     filters: list[Filter] = field(default_factory=list)
 
 
+@dataclass(frozen=True)
+class Agg:
+    func: str                # 'count' | 'min' | 'max'
+    var: str | None          # None == COUNT(*)
+    alias: str
+
+
 @dataclass
 class Query:
     form: str                # 'select' | 'construct' | 'insert'
@@ -103,6 +110,11 @@ class Query:
     template: list[Pattern]
     where: Group
     prefixes: dict[str, str]
+    # SPARQL 1.1 aggregate extension (beyond the reference's 1.0 file)
+    aggs: list[Agg] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
+    limit: int | None = None
 
 
 class SparqlError(ValueError):
@@ -118,7 +130,8 @@ _TOKEN_RE = re.compile(r"""
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|:[A-Za-z0-9_.\-]+)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct>!=|\{|\}|\(|\)|\.|;|,)
+  | (?P<num>[0-9]+)
+  | (?P<punct>!=|\{|\}|\(|\)|\.|;|,|\*)
   | (?P<ws>\s+)
 """, re.X)
 
@@ -280,11 +293,81 @@ def parse_sparql(text: str) -> list[Query]:
                 p.next()
                 distinct = True
             sel: list[str] = []
-            while p.peek() and p.peek().startswith("?"):
-                sel.append(p.next()[1:])
+            aggs: list[Agg] = []
+            while p.peek() and (p.peek().startswith("?")
+                                or p.peek() == "("):
+                if p.peek().startswith("?"):
+                    sel.append(p.next()[1:])
+                    continue
+                p.expect("(")
+                fn = p.next().lower()
+                if fn not in ("count", "min", "max"):
+                    raise SparqlError(f"unsupported aggregate {fn!r}")
+                p.expect("(")
+                tok = p.next()
+                if tok == "*":
+                    if fn != "count":
+                        raise SparqlError(f"{fn}(*) is not valid")
+                    var = None
+                else:
+                    if not tok.startswith("?"):
+                        raise SparqlError(
+                            f"aggregate arg must be ?var or *, got {tok!r}")
+                    var = tok[1:]
+                p.expect(")")
+                if not _is_kw(p.next(), "as"):
+                    raise SparqlError("aggregate needs AS ?alias")
+                alias = p.next()
+                if not alias.startswith("?"):
+                    raise SparqlError("aggregate alias must be a ?var")
+                aggs.append(Agg(fn, var, alias[1:]))
+                p.expect(")")
             p.expect("where")
-            queries.append(Query("select", distinct, sel, [], p.group(),
-                                 dict(prefixes)))
+            where = p.group()
+            group_by: list[str] = []
+            order_by: list[tuple[str, bool]] = []
+            limit: int | None = None
+            if p.peek() and _is_kw(p.peek(), "group"):
+                p.next()
+                if not _is_kw(p.next(), "by"):
+                    raise SparqlError("GROUP must be followed by BY")
+                while p.peek() and p.peek().startswith("?"):
+                    group_by.append(p.next()[1:])
+            if p.peek() and _is_kw(p.peek(), "order"):
+                p.next()
+                if not _is_kw(p.next(), "by"):
+                    raise SparqlError("ORDER must be followed by BY")
+                while p.peek() and (p.peek().startswith("?")
+                                    or _is_kw(p.peek(), "desc")
+                                    or _is_kw(p.peek(), "asc")):
+                    tok = p.next()
+                    if tok.startswith("?"):
+                        order_by.append((tok[1:], False))
+                    else:
+                        desc = tok.lower() == "desc"
+                        p.expect("(")
+                        v = p.next()
+                        if not v.startswith("?"):
+                            raise SparqlError("ORDER BY needs a ?var")
+                        p.expect(")")
+                        order_by.append((v[1:], desc))
+            if p.peek() and _is_kw(p.peek(), "limit"):
+                p.next()
+                n = p.next()
+                if not n.isdigit():
+                    raise SparqlError(f"LIMIT needs an integer, got {n!r}")
+                limit = int(n)
+            if aggs:
+                keys = group_by or sel
+                bad = [v for v in sel if v not in keys]
+                if bad:
+                    raise SparqlError(
+                        f"non-aggregated vars {bad} must appear in "
+                        f"GROUP BY")
+            queries.append(Query("select", distinct, sel, [], where,
+                                 dict(prefixes), aggs=aggs,
+                                 group_by=group_by, order_by=order_by,
+                                 limit=limit))
         else:
             tmpl = p.template()
             p.expect("where")
@@ -639,6 +722,8 @@ def execute_sparql(store_dir: str, q: Query) -> "ray.data.Dataset":
     bind = _eval_group(store_dir, q.where)
     if q.form in ("construct", "insert"):
         return _render_template(bind, q.template)
+    if q.aggs:
+        return _apply_aggregates(bind, q)
     sel = q.select_vars or sorted(bind.cols())
     missing = [v for v in sel if v not in bind.cols()]
     if missing:
@@ -654,7 +739,95 @@ def execute_sparql(store_dir: str, q: Query) -> "ray.data.Dataset":
     if q.distinct:
         from .stages.dedup import distinct
         ds = distinct(ds, sel)
+    return _order_limit(ds, q)
+
+
+def _order_limit(ds: "ray.data.Dataset", q: Query) -> "ray.data.Dataset":
+    if q.order_by:
+        ds = ds.sort([v for v, _ in q.order_by],
+                     descending=[d for _, d in q.order_by])
+    if q.limit is not None:
+        ds = ds.limit(q.limit)
     return ds
+
+
+def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
+    """GROUP BY + COUNT/MIN/MAX planning. Group keys are the GROUP BY
+    vars (or the plain projected vars when GROUP BY is implicit); the
+    output projects the SELECT list: plain vars first, then aggregate
+    aliases, counts as int64. COUNT(?v) == COUNT(*) here because the
+    planner only produces inner joins — no binding is ever null.
+
+    Driver-sized bindings aggregate in one polars pass; Dataset-sized
+    bindings use Ray's groupby aggregate (group-key-sized output), then
+    ORDER BY / LIMIT run on the (small) aggregated result."""
+    import polars as pl
+    keys = q.group_by or list(q.select_vars)
+    needed = sorted(set(keys) | {a.var for a in q.aggs if a.var})
+    avail = set(bind.cols())
+    missing = [v for v in needed if v not in avail]
+    if missing:
+        raise SparqlError(f"aggregate vars not bound: {missing}")
+    out_cols = list(q.select_vars) + [a.alias for a in q.aggs]
+
+    if bind.small:
+        df = pl.from_arrow(bind.data)
+        exprs = []
+        for a in q.aggs:
+            if a.func == "count":
+                e = (pl.len() if a.var is None
+                     else pl.col(a.var).count()).cast(pl.Int64)
+            elif a.func == "min":
+                e = pl.col(a.var).min()
+            else:
+                e = pl.col(a.var).max()
+            exprs.append(e.alias(a.alias))
+        agg = (df.group_by(keys).agg(exprs) if keys
+               else df.select(exprs))
+        agg = agg.select(out_cols)
+        if q.order_by:
+            agg = agg.sort([v for v, _ in q.order_by],
+                           descending=[d for _, d in q.order_by])
+        if q.limit is not None:
+            agg = agg.head(q.limit)
+        tbl = agg.to_arrow()
+        tbl = tbl.cast(pa.schema([
+            (c, pa.int64() if any(a.alias == c and a.func == "count"
+                                  for a in q.aggs) else pa.string())
+            for c in tbl.column_names]))
+        return ray.data.from_arrow(tbl)
+
+    from ray.data.aggregate import Count, Max, Min
+    # COUNT(*) probes an arbitrary bound column: bindings are never
+    # null (inner-join planner), and bare Count() miscounts on this Ray
+    # version when the dataset carries a schema-seed block
+    probe = keys[0] if keys else sorted(avail)[0]
+    specs = []
+    for a in q.aggs:
+        if a.func == "count":
+            specs.append(Count(a.var or probe, alias_name=a.alias))
+        elif a.func == "min":
+            specs.append(Min(a.var, alias_name=a.alias))
+        else:
+            specs.append(Max(a.var, alias_name=a.alias))
+    data = _batch_guard(bind.data)
+    if keys:
+        agg_ds = data.groupby(keys).aggregate(*specs)
+    else:
+        row = data.aggregate(*specs)
+        tbl = pa.table({a.alias: [row[a.alias]] for a in q.aggs})
+        agg_ds = ray.data.from_arrow(tbl)
+
+    def finish(b: pa.Table, _out=list(out_cols),
+               _counts=[a.alias for a in q.aggs if a.func == "count"]
+               ) -> pa.Table:
+        b = b.select(_out)
+        return b.cast(pa.schema([
+            (c, pa.int64() if c in _counts else pa.string())
+            for c in b.column_names]))
+
+    return _order_limit(
+        agg_ds.map_batches(finish, batch_format="pyarrow"), q)
 
 
 def sparql_insert(store_dir: str, q: Query) -> "ray.data.Dataset":

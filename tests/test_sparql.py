@@ -158,3 +158,60 @@ def test_run_sparql_file_runs_all_statements(ray_session, v4store):
     assert outs[1].schema().names == ["s", "p", "o"]
     # CONSTRUCT and read-only INSERT derive the same graph
     assert _rows(outs[1]) == _rows(outs[2])
+
+
+# ------------------------------------------------------------ aggregates
+
+def test_parse_aggregates():
+    from kgforge.sparql import parse_sparql
+    q = parse_sparql("""
+      SELECT ?y (COUNT(*) AS ?n) (MIN(?x) AS ?lo)
+      WHERE { ?x ?y ?z } GROUP BY ?y ORDER BY DESC(?n) ?y LIMIT 7
+    """)[0]
+    assert [a.func for a in q.aggs] == ["count", "min"]
+    assert q.aggs[0].var is None and q.aggs[1].var == "x"
+    assert q.group_by == ["y"]
+    assert q.order_by == [("n", True), ("y", False)]
+    assert q.limit == 7
+
+
+def test_parse_aggregate_errors():
+    import pytest as _pt
+    from kgforge.sparql import SparqlError, parse_sparql
+    with _pt.raises(SparqlError):
+        parse_sparql("SELECT (SUM(?x) AS ?s) WHERE { ?x ?y ?z }")
+    with _pt.raises(SparqlError):
+        parse_sparql("SELECT (MIN(*) AS ?m) WHERE { ?x ?y ?z }")
+    with _pt.raises(SparqlError):  # ?z not in GROUP BY
+        parse_sparql(
+            "SELECT ?z (COUNT(*) AS ?n) WHERE { ?x ?y ?z } GROUP BY ?y")
+
+
+def test_aggregate_gate_parity(ray_session):
+    import duckdb
+    from kgforge.pipelines import versioning as V
+    df = V.sparql_groupby_count(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("part",):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+    odf = con.sql(V.sparql_groupby_count_sql()).df()
+    assert len(df) == len(odf) == 5
+    a = df.sort_values(["n", "y"]).reset_index(drop=True)
+    b = odf.sort_values(["n", "y"]).reset_index(drop=True)
+    assert a["y"].tolist() == b["y"].tolist()
+    assert a["n"].astype("int64").tolist() == b["n"].astype("int64").tolist()
+
+
+def test_aggregate_global_count(ray_session):
+    from kgforge.pipelines.tabular import _v4_part_store
+    from kgforge.sparql import execute_sparql, parse_sparql
+    store = _v4_part_store(SF)
+    total = execute_sparql(
+        store,
+        parse_sparql("SELECT (COUNT(*) AS ?total) WHERE { ?x ?y ?z }")[0]
+    ).to_pandas()
+    full = execute_sparql(
+        store,
+        parse_sparql("SELECT ?x ?y ?z WHERE { ?x ?y ?z }")[0]).count()
+    assert int(total["total"].iloc[0]) == full > 0
