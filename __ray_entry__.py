@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_versioning_minus"] = versioning.sparql_versioning_minus
     # SPARQL 1.1 aggregate extension: GROUP BY + COUNT + ORDER + LIMIT
     q["sparql_groupby_count"] = versioning.sparql_groupby_count
+    # bidirectional graph snapshot diff (incremental KG maintenance)
+    q["kg_snapshot_delta"] = versioning.kg_snapshot_delta
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -283,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_insert_facts"] = versioning.sparql_facts_sql()
     o["sparql_versioning_minus"] = versioning.sparql_versioning_minus_sql()
     o["sparql_groupby_count"] = versioning.sparql_groupby_count_sql()
+    o["kg_snapshot_delta"] = versioning.kg_snapshot_delta_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

@@ -411,3 +411,56 @@ FROM pairs p1
 JOIN pairs p2 ON p1.doc_id = p2.doc_id AND p1.token < p2.token
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Graph snapshot delta (incremental KG maintenance)
+# ---------------------------------------------------------------------------
+
+def graph_delta(old: "ray.data.Dataset", new: "ray.data.Dataset",
+                cols: list[str], num_buckets: int | None = None
+                ) -> "ray.data.Dataset":
+    """Bidirectional set diff between two graph snapshots: rows of
+    `new` not in `old` come back with change='added', rows of `old` not
+    in `new` with change='removed' (both sides treated as SETS —
+    duplicates collapse). The primitive behind incremental KG
+    maintenance: publish only the delta, not the re-materialized graph.
+
+    Shape: per-batch distinct combiner on each side, ONE
+    hash_rows-bucket shuffle of the tagged union, per-bucket polars
+    anti-joins both ways. Wire mass = distinct rows of both snapshots;
+    nothing driver-side."""
+    import polars as pl
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+    out_schema = pa.schema([(c, pa.string()) for c in cols]
+                           + [("change", pa.string())])
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch.select(cols)).unique()
+            h = df.select(pl.col(c).cast(pl.Utf8) for c in cols) \
+                  .hash_rows(seed=0)
+            return (df.with_columns(
+                        pl.lit(side).alias("_side"),
+                        (h % num_buckets).cast(pl.Int32).alias("_gb"))
+                    .to_arrow())
+        return fn
+
+    def diff(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.drop_columns(["_gb"]))
+        o = df.filter(pl.col("_side") == "o").select(cols).unique()
+        n = df.filter(pl.col("_side") == "n").select(cols).unique()
+        added = n.join(o, on=cols, how="anti").with_columns(
+            pl.lit("added").alias("change"))
+        removed = o.join(n, on=cols, how="anti").with_columns(
+            pl.lit("removed").alias("change"))
+        return pl.concat([added, removed]).to_arrow().cast(out_schema)
+
+    from . import ensure_schema
+    return ensure_schema(
+        old.map_batches(tag("o"), batch_format="pyarrow")
+        .union(new.map_batches(tag("n"), batch_format="pyarrow"))
+        .groupby("_gb").map_groups(diff, batch_format="pyarrow"),
+        out_schema)

@@ -221,3 +221,56 @@ def sparql_groupby_count_sql() -> str:
     return (f"SELECT p AS y, CAST(count(*) AS BIGINT) AS n "
             f"FROM ({v4_kg_part_sql()}) "
             f"GROUP BY p ORDER BY n DESC, y ASC LIMIT 5")
+
+
+def _version_pairs(sf_dir: str, version: int) -> "ray.data.Dataset":
+    """(x, z) instance pairs of one version of the scaled fixture —
+    x raw IRI, z term form, same shapes as the MINUS gate."""
+    from ..sources.readers import read_table
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_size"])
+
+    def build(b: pa.Table, v=version) -> pa.Table:
+        k = b["p_partkey"].combine_chunks().cast(pa.string())
+        keys = (b["p_partkey"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        size = (b["p_size"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        x = pc.binary_join_element_wise(pa.scalar(NS1 + "part"), k, "")
+        z1 = pa.array([f"<{NS1}sz{s}>" for s in size], pa.string())
+        if v == 1:
+            return pa.table({"x": x, "z": z1})
+        z2 = pa.array([f"<{NS1}sz{(s * 7) % 50 + 1}>" for s in size],
+                      pa.string())
+        even = pa.array(keys % 2 == 0)
+        t1 = pa.table({"x": x, "z": z1}).filter(even)
+        return pa.concat_tables([t1, pa.table({"x": x, "z": z2})])
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def kg_snapshot_delta(sf_dir: str) -> "ray.data.Dataset":
+    """Gate: bidirectional graph diff v1 -> v2 of the versioned fixture
+    (generalizes the reference's one-directional versioning MINUS into
+    the incremental-maintenance primitive)."""
+    from ..ops.graph import graph_delta
+    return graph_delta(_version_pairs(sf_dir, 1), _version_pairs(sf_dir, 2),
+                       ["x", "z"])
+
+
+def kg_snapshot_delta_sql() -> str:
+    part_s = f"'{NS1}part' || CAST(p_partkey AS VARCHAR)"
+    z1 = f"'<{NS1}sz' || CAST(p_size AS VARCHAR) || '>'"
+    z2 = f"'<{NS1}sz' || CAST((p_size * 7) % 50 + 1 AS VARCHAR) || '>'"
+    return f"""
+WITH v1 AS (SELECT DISTINCT {part_s} AS x, {z1} AS z FROM part),
+v2 AS (
+  SELECT DISTINCT x, z FROM (
+    SELECT {part_s} AS x, {z1} AS z FROM part WHERE p_partkey % 2 = 0
+    UNION ALL
+    SELECT {part_s} AS x, {z2} AS z FROM part
+  )
+)
+SELECT x, z, 'added' AS change FROM (SELECT x, z FROM v2 EXCEPT SELECT x, z FROM v1)
+UNION ALL
+SELECT x, z, 'removed' AS change FROM (SELECT x, z FROM v1 EXCEPT SELECT x, z FROM v2)
+"""

@@ -215,3 +215,37 @@ def test_aggregate_global_count(ray_session):
         store,
         parse_sparql("SELECT ?x ?y ?z WHERE { ?x ?y ?z }")[0]).count()
     assert int(total["total"].iloc[0]) == full > 0
+
+
+def test_kg_snapshot_delta_parity_and_consistency(ray_session):
+    """graph_delta == bidirectional EXCEPT, and its 'added' direction
+    must equal the reference MINUS query's result exactly."""
+    import duckdb
+    from kgforge.pipelines import versioning as V
+    df = V.kg_snapshot_delta(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{SF}/part.parquet')")
+    odf = con.sql(V.kg_snapshot_delta_sql()).df()
+    key = ["change", "x", "z"]
+    a = df[key].sort_values(key).reset_index(drop=True)
+    b = odf[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    minus = con.sql(V.sparql_versioning_minus_sql()).df()
+    added = df[df.change == "added"][["x", "z"]]
+    assert (set(map(tuple, added.itertuples(index=False)))
+            == set(map(tuple, minus.itertuples(index=False))))
+
+
+def test_graph_delta_planted(ray_session):
+    import ray.data
+    from kgforge.ops.graph import graph_delta
+    old = ray.data.from_items(
+        [{"s": "a", "o": "1"}, {"s": "b", "o": "2"},
+         {"s": "b", "o": "2"}])                       # dup collapses
+    new = ray.data.from_items(
+        [{"s": "b", "o": "2"}, {"s": "c", "o": "3"}])
+    df = (graph_delta(old, new, ["s", "o"]).to_pandas()
+          .sort_values(["change", "s"]).reset_index(drop=True))
+    assert df.values.tolist() == [["c", "3", "added"],
+                                  ["a", "1", "removed"]]
