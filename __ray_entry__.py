@@ -172,6 +172,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # per-key top-k frequent values (histogram-sized shuffle)
     q["event_time_deltas"] = relational.event_time_deltas
     q["top_tokens_per_lang"] = relational.top_tokens_per_lang
+    # grouped top-k ROWS (per-batch combiner caps wire at k/group/block)
+    q["top_docs_per_lang"] = relational.top_docs_per_lang
+    # majority-vote truth discovery over conflicting assertions
+    q["customer_status_vote"] = relational.customer_status_vote
 
     # --- substring-level cross-doc duplication (Lee et al. 2022-style
     # duplicated n-gram coverage: ONE gram-keyed bucket shuffle of
@@ -316,6 +320,8 @@ def oracle_sql() -> dict[str, str]:
         relational.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL)
     o["event_time_deltas"] = relational.EVENT_TIME_DELTAS_SQL
     o["top_tokens_per_lang"] = relational.top_tokens_per_lang_sql()
+    o["top_docs_per_lang"] = relational.top_docs_per_lang_sql()
+    o["customer_status_vote"] = relational.CUSTOMER_STATUS_VOTE_SQL
     from kgforge.ops import rank, substring
     o["dup_gram_coverage"] = substring.dup_gram_coverage_sql()
     o["repetition_stats"] = text.REPETITION_STATS_SQL

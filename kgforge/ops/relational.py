@@ -1111,3 +1111,127 @@ SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k ROWS (per-group best records, not value histograms)
+# ---------------------------------------------------------------------------
+
+def grouped_topk_rows(ds: "ray.data.Dataset", group: str,
+                      order_col: str, k: int,
+                      descending: bool = True,
+                      tie_col: str | None = None,
+                      num_buckets: int | None = None
+                      ) -> "ray.data.Dataset":
+    """Top-k rows per group by (order_col, tie_col) — the per-domain
+    quality-sampling primitive (e.g. best k docs per language). A
+    per-BATCH top-k combiner caps the wire at k rows per (group, block)
+    before ONE hash(group) bucket shuffle; per-bucket C-level sort+head
+    finishes. No global sort, no barrier."""
+    import polars as pl
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+    by = [order_col] + ([tie_col] if tie_col else [])
+    desc = [descending] + ([False] if tie_col else [])
+
+    def topk(df: "pl.DataFrame") -> "pl.DataFrame":
+        return (df.sort(by, descending=desc)
+                .group_by(group, maintain_order=True).head(k))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = topk(pl.from_arrow(batch))
+        h = df.select(pl.col(group).cast(pl.Utf8)).hash_rows(seed=0)
+        return df.with_columns(
+            (h % num_buckets).cast(pl.Int32).alias("_tb")).to_arrow()
+
+    def finish(g: pa.Table) -> pa.Table:
+        return topk(pl.from_arrow(g.drop_columns(["_tb"]))).to_arrow()
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_tb").map_groups(finish, batch_format="pyarrow"))
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Gate: the k longest documents per language (ties: doc_id asc)."""
+    from ..sources.readers import read_table
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "n_chars"])
+    out = grouped_topk_rows(docs, "lang", "n_chars", k, tie_col="doc_id")
+    return out.map_batches(
+        lambda b: b.select(["lang", "doc_id", "n_chars"]).cast(
+            pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                       ("n_chars", pa.int64())])),
+        batch_format="pyarrow")
+
+
+def top_docs_per_lang_sql(k: int = 3) -> str:
+    return f"""
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Majority-vote conflict resolution (KG truth discovery)
+# ---------------------------------------------------------------------------
+
+def majority_vote(ds: "ray.data.Dataset", s: str, o: str,
+                  num_buckets: int | None = None) -> "ray.data.Dataset":
+    """One resolved object per subject from conflicting assertions:
+    majority count wins, ties broken by object value asc — the basic
+    truth-discovery step when fusing multi-source extractions into one
+    KG. Per-batch (s, o) count combiner -> ONE hash(s) bucket shuffle
+    of histogram-sized partials -> per-bucket merge + argmax. The wire
+    carries value-domain-sized counts, never the assertion stream."""
+    import polars as pl
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select([s, o]))
+              .group_by([s, o]).agg(pl.len().cast(pl.Int64).alias("n")))
+        h = df.select(pl.col(s).cast(pl.Utf8)).hash_rows(seed=0)
+        return df.with_columns(
+            (h % num_buckets).cast(pl.Int32).alias("_vb")).to_arrow()
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["_vb"]))
+        merged = df.group_by([s, o]).agg(pl.col("n").sum())
+        return (merged.sort(["n", o], descending=[True, False])
+                .group_by(s, maintain_order=True).head(1)
+                .rename({"n": "n_votes"}).to_arrow())
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_vb").map_groups(finish, batch_format="pyarrow"))
+
+
+def customer_status_vote(sf_dir: str) -> "ray.data.Dataset":
+    """Gate: each customer's majority order status over their orders —
+    planted conflicts everywhere (statuses vary per order)."""
+    from ..sources.readers import read_table
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderstatus"])
+    out = majority_vote(orders, "o_custkey", "o_orderstatus")
+    return out.map_batches(
+        lambda b: b.cast(pa.schema([
+            ("o_custkey", pa.int64()), ("o_orderstatus", pa.string()),
+            ("n_votes", pa.int64())])),
+        batch_format="pyarrow")
+
+
+CUSTOMER_STATUS_VOTE_SQL = """
+SELECT o_custkey, o_orderstatus, n_votes FROM (
+  SELECT o_custkey, o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_votes,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY count(*) DESC, o_orderstatus ASC)
+             AS rn
+  FROM orders GROUP BY o_custkey, o_orderstatus
+) WHERE rn = 1
+"""

@@ -518,3 +518,39 @@ def test_bigram_lm_scores_paths_and_shape(ray_session, tmp_path):
     assert s[3] == -1
     # "" splits to one empty token -> no bigram -> -1
     assert s[4] == -1
+
+
+def test_top_docs_per_lang_vs_sql(ray_session):
+    from kgforge.ops import relational as R
+    _match(R.top_docs_per_lang(SF), R.top_docs_per_lang_sql(), _con())
+
+
+def test_customer_status_vote_vs_sql(ray_session):
+    from kgforge.ops import relational as R
+    _match(R.customer_status_vote(SF), R.CUSTOMER_STATUS_VOTE_SQL, _con())
+
+
+def test_grouped_topk_rows_cross_block_and_ties(ray_session):
+    """Rows of one group spread over many blocks still yield the exact
+    global top-k; ties resolve by the tie column ascending."""
+    import ray.data
+    from kgforge.ops import relational as R
+    rows = [{"g": "a", "score": s, "id": i}
+            for i, s in enumerate([5, 9, 9, 1, 7, 9])]
+    rows += [{"g": "b", "score": 2, "id": 99}]
+    ds = ray.data.from_items(rows, override_num_blocks=7)  # 1 row/block
+    out = (R.grouped_topk_rows(ds, "g", "score", 2, tie_col="id")
+           .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
+    got = set(map(tuple, out[["g", "score", "id"]].itertuples(index=False)))
+    assert got == {("a", 9, 1), ("a", 9, 2), ("b", 2, 99)}
+
+
+def test_majority_vote_tie_breaks_low_value(ray_session):
+    import ray.data
+    from kgforge.ops import relational as R
+    rows = ([{"s": 1, "o": "z"}] * 2 + [{"s": 1, "o": "a"}] * 2
+            + [{"s": 2, "o": "x"}])
+    ds = ray.data.from_items(rows, override_num_blocks=5)
+    out = (R.majority_vote(ds, "s", "o").to_pandas()
+           .sort_values("s").reset_index(drop=True))
+    assert out.values.tolist() == [[1, "a", 2], [2, "x", 1]]
