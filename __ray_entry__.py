@@ -189,6 +189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # corpus-trained integer bigram LM score (log-free perplexity
     # stand-in); broadcast fast path + one-key w1 join scale path
     q["bigram_lm_scores"] = text.bigram_lm_scores
+    # RAG-style overlapping passage chunking (pure map, streams)
+    q["passage_chunks"] = text.passage_chunks
+    # zlib compression-ratio quality signal (scalar-ref zlib oracle)
+    q["compression_ratio"] = text.compression_ratio
     # deterministic training-order assignment: distributed row_number
     # (equal-width hash range partition + count-pass prefix offsets)
     from kgforge.ops import rank
@@ -327,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
     o["repetition_stats"] = text.REPETITION_STATS_SQL
     o["pii_scrub"] = text.pii_scrub_sql()
     o["bigram_lm_scores"] = text.bigram_lm_scores_sql()
+    o["passage_chunks"] = text.passage_chunks_sql()
     o["corpus_shuffle"] = rank.corpus_shuffle_sql()
     o["token_budget_shards"] = rank.token_budget_shards_sql()
     from kgforge.ops import crawl
@@ -368,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
     # input's content key (kgforge/scalar_ref.py)
     from kgforge import scalar_ref as SR
     o["contamination_check"] = SR.contamination_oracle_sql()
+    o["compression_ratio"] = SR.compression_ratio_oracle_sql()
     o["doc_fingerprints"] = SR.fingerprint_oracle_sql()
     o["neardup_labels"] = SR.neardup_labels_oracle_sql()
     o["neardup_survivors"] = SR.neardup_survivors_oracle_sql()

@@ -979,3 +979,107 @@ WITH toks AS (
 SELECT d.doc_id, CAST(COALESCE(s // nb, -1) AS BIGINT) AS lm_score
 FROM documents d LEFT JOIN contrib USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Passage chunking (fixed window + stride)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 50      # window, tokens
+CHUNK_S = 30      # stride, tokens (overlap = W - S)
+
+
+def passage_chunks(sf_dir: str, window: int = CHUNK_W,
+                   stride: int = CHUNK_S) -> "ray.data.Dataset":
+    """Overlapping fixed-size passages per document — the chunking step
+    of a RAG / context-window pipeline. Raw whitespace tokens (the
+    repo's dup-gram rule); chunk i covers tokens [i·stride, i·stride +
+    window); the last chunk may be short; every doc emits ≥ 1 chunk.
+    Pure per-batch map (polars int_ranges explode + per-row list.slice)
+    — no shuffle, the corpus streams."""
+    import polars as pl
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+        ("n_toks", pa.int64()), ("chunk_text", pa.string())])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        df = df.with_columns(pl.col("text").str.split(" ").alias("t"))
+        df = df.with_columns(pl.col("t").list.len().cast(pl.Int64)
+                             .alias("n"))
+        df = df.with_columns(
+            pl.when(pl.col("n") <= window).then(1)
+            .otherwise((pl.col("n") - window + stride - 1) // stride + 1)
+            .cast(pl.Int64).alias("n_chunks"))
+        df = (df.with_columns(
+                  pl.int_ranges(0, pl.col("n_chunks")).alias("chunk_idx"))
+              .explode("chunk_idx"))
+        sl = pl.col("t").list.slice(pl.col("chunk_idx") * stride, window)
+        df = df.with_columns(
+            sl.list.len().cast(pl.Int64).alias("n_toks"),
+            sl.list.join(" ").alias("chunk_text"),
+            pl.col("chunk_idx").cast(pl.Int64))
+        return (df.select(["doc_id", "chunk_idx", "n_toks", "chunk_text"])
+                .to_arrow().cast(out_schema))
+
+    return docs.map_batches(chunk, batch_format="pyarrow")
+
+
+def passage_chunks_sql(window: int = CHUNK_W,
+                       stride: int = CHUNK_S) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), spans AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= {window} THEN 1
+              ELSE (n - {window} + {stride} - 1) // {stride} + 1
+         END AS n_chunks
+  FROM toks
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(least(n - i * {stride}, {window}) AS BIGINT) AS n_toks,
+       array_to_string(
+         t[CAST(i * {stride} + 1 AS BIGINT)
+           :CAST(least(i * {stride} + {window}, n) AS BIGINT)],
+         ' ') AS chunk_text
+FROM spans, UNNEST(range(0, n_chunks)) AS r(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+ZLIB_LEVEL = 6
+
+
+def compression_ratio(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, raw_len, comp_len, ratio_permille) — zlib(level 6)
+    compressed size over the utf-8 text; highly repetitive/boilerplate
+    text compresses far below ~600‰, near-random text sits near 1000‰.
+    The classic cheap quality signal (used by Gopher/FineWeb-style
+    pipelines). zlib has no Arrow kernel, so the per-doc C call is the
+    batch loop — same justified shape as the md5 key in exact_dedup;
+    everything else streams. Oracle: the independent scalar reference
+    runs the SAME stdlib zlib (deterministic for fixed level/library)."""
+    import zlib
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks().cast(pa.string())
+        raw = [t.encode() for t in texts.to_pylist()]
+        comp = np.array([len(zlib.compress(b, ZLIB_LEVEL)) for b in raw],
+                        dtype=np.int64)
+        rl = np.array([len(b) for b in raw], dtype=np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+            "raw_len": pa.array(rl, pa.int64()),
+            "comp_len": pa.array(comp, pa.int64()),
+            "ratio_permille": pa.array(
+                1000 * comp // np.maximum(rl, 1), pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

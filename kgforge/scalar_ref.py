@@ -688,3 +688,24 @@ def kcore_oracle_sql(k: int = 3) -> str:
             for d in _sf_dirs()}
     return values_oracle_sql(rows, ["doc_id", "core_deg"],
                              ["BIGINT", "BIGINT"])
+
+
+def compression_ratio_ref(docs: list[tuple[int, str]]
+                          ) -> list[tuple[int, int, int, int]]:
+    """Independent zlib-ratio reference (same stdlib zlib, level 6)."""
+    import zlib
+    out = []
+    for doc_id, text in docs:
+        b = (text or "").encode()
+        c = len(zlib.compress(b, 6))
+        out.append((doc_id, len(b), c, 1000 * c // max(len(b), 1)))
+    return sorted(out)
+
+
+@functools.lru_cache(maxsize=None)
+def compression_ratio_oracle_sql() -> str:
+    rows = {_doc_key(d): compression_ratio_ref(list(_docs(d)))
+            for d in _sf_dirs()}
+    return values_oracle_sql(
+        rows, ["doc_id", "raw_len", "comp_len", "ratio_permille"],
+        ["BIGINT"] * 4)

@@ -554,3 +554,33 @@ def test_majority_vote_tie_breaks_low_value(ray_session):
     out = (R.majority_vote(ds, "s", "o").to_pandas()
            .sort_values("s").reset_index(drop=True))
     assert out.values.tolist() == [[1, "a", 2], [2, "x", 1]]
+
+
+def test_passage_chunks_vs_sql_and_overlap(ray_session):
+    from kgforge.ops import text as T
+    _match(T.passage_chunks(SF), T.passage_chunks_sql(), _con())
+    df = T.passage_chunks(SF).to_pandas()
+    # every doc chunks; consecutive chunks overlap by W - S tokens
+    assert df.groupby("doc_id")["chunk_idx"].min().eq(0).all()
+    one = df[df.doc_id == df.loc[df.chunk_idx == 1, "doc_id"].iloc[0]]
+    c0 = one.loc[one.chunk_idx == 0, "chunk_text"].iloc[0].split(" ")
+    c1 = one.loc[one.chunk_idx == 1, "chunk_text"].iloc[0].split(" ")
+    assert c0[T.CHUNK_S:] == c1[:T.CHUNK_W - T.CHUNK_S]
+
+
+def test_compression_ratio_vs_ref_and_shape(ray_session, tmp_path):
+    import pandas as pd
+    from kgforge import scalar_ref as SR
+    from kgforge.ops import text as T
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["spam " * 200,                       # hyper-compressible
+                 " ".join(f"u{i*7919%6007}" for i in range(200))],
+        "n_chars": [1000, 1000]})
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = (T.compression_ratio(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ref = SR.compression_ratio_ref(list(zip(df.doc_id, df.text)))
+    assert list(map(tuple, out.itertuples(index=False))) == ref
+    r = dict(zip(out.doc_id, out.ratio_permille))
+    assert r[0] < 100 < r[1]          # boilerplate vs high-entropy
