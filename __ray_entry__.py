@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # counting pre-agg (holistic aggregate without the hot-key trap)
     from kgforge.ops import graph, quantile
     q["entity_pagerank"] = graph.entity_pagerank
+    # personalized PageRank seeded at entity nodes (topic-sensitive)
+    q["entity_ppr"] = graph.entity_ppr
     q["entity_cooccurrence"] = graph.entity_cooccurrence
     q["lang_length_quantiles"] = quantile.lang_length_quantiles
     q["lang_length_quantiles_hdr"] = quantile.lang_length_quantiles_hdr
@@ -317,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
     # PageRank is iterative but K is fixed — the mirror unrolls the
     # iterations as chained CTEs in the same int64 arithmetic
     o["entity_pagerank"] = graph.entity_pagerank_sql()
+    o["entity_ppr"] = graph.entity_ppr_sql()
     o["entity_cooccurrence"] = graph.entity_cooccurrence_sql()
     o["lang_length_quantiles"] = quantile.lang_length_quantiles_sql()
     o["order_price_tiers"] = relational.order_price_tiers_sql()

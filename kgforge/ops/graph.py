@@ -152,13 +152,19 @@ def _ones(batch: pa.Table) -> pa.Table:
 
 def pagerank(edges: "ray.data.Dataset", iterations: int = 3,
              salt: int = DEFAULT_SALT,
-             num_buckets: int | None = None) -> "ray.data.Dataset":
+             num_buckets: int | None = None,
+             seed_prefix: str | None = None) -> "ray.data.Dataset":
     """Integer-exact damped PageRank over a symmetric ``(src, dst)``
     edge Dataset (every node therefore has deg ≥ 1 and at least one
     in-edge). Returns ``(node:string, pr:int64)`` for every node.
 
     Path choice per the module docstring: broadcast contrib map below
-    KGFORGE_GRAPH_BROADCAST_LIMIT nodes, salted replicated join above."""
+    KGFORGE_GRAPH_BROADCAST_LIMIT nodes, salted replicated join above.
+
+    ``seed_prefix`` switches to PERSONALIZED PageRank: only nodes whose
+    string id starts with the prefix receive the teleport mass (init
+    SCALE on seeds / 0 elsewhere; per-round base term seeds-only) —
+    topic-sensitive ranking with the same integer-exact arithmetic."""
     if num_buckets is None:
         num_buckets = default_num_buckets()
     edges = edges.materialize()
@@ -167,21 +173,39 @@ def pagerank(edges: "ray.data.Dataset", iterations: int = 3,
     n_nodes = deg.count()
 
     if n_nodes <= _broadcast_limit():
-        return _pagerank_broadcast(edges, deg, iterations, num_buckets)
-    return _pagerank_salted(edges, deg, iterations, salt, num_buckets)
+        return _pagerank_broadcast(edges, deg, iterations, num_buckets,
+                                   seed_prefix)
+    return _pagerank_salted(edges, deg, iterations, salt, num_buckets,
+                            seed_prefix)
 
 
-def _finish_rank(sums: "ray.data.Dataset") -> "ray.data.Dataset":
+def _finish_rank(sums: "ray.data.Dataset", seed_prefix: str | None = None
+                 ) -> "ray.data.Dataset":
     def fin(batch: pa.Table) -> pa.Table:
         s = batch["insum"].combine_chunks().cast(pa.int64())
-        r = pc.add(pa.scalar(BASE, pa.int64()),
-                   pc.divide(pc.multiply(pa.scalar(DAMP, pa.int64()), s),
-                             pa.scalar(DEN, pa.int64())))
-        return pa.table({"node": batch["dst"], "pr": r})
+        damp = pc.divide(pc.multiply(pa.scalar(DAMP, pa.int64()), s),
+                         pa.scalar(DEN, pa.int64()))
+        if seed_prefix is None:
+            base = pa.scalar(BASE, pa.int64())
+        else:
+            base = pc.if_else(
+                pc.starts_with(batch["dst"].combine_chunks()
+                               .cast(pa.string()), seed_prefix),
+                pa.scalar(BASE, pa.int64()), pa.scalar(0, pa.int64()))
+        return pa.table({"node": batch["dst"], "pr": pc.add(base, damp)})
     return sums.map_batches(fin, batch_format="pyarrow")
 
 
-def _pagerank_broadcast(edges, deg, iterations, num_buckets):
+def _seed_ranks(nodes: pa.Array, seed_prefix: str | None) -> pa.Array:
+    if seed_prefix is None:
+        return pa.array([SCALE] * len(nodes), pa.int64())
+    return pc.if_else(
+        pc.starts_with(nodes.cast(pa.string()), seed_prefix),
+        pa.scalar(SCALE, pa.int64()), pa.scalar(0, pa.int64()))
+
+
+def _pagerank_broadcast(edges, deg, iterations, num_buckets,
+                        seed_prefix=None):
     """Contrib table as a ray.put broadcast (node array + aligned
     contrib array, looked up with vectorized ``pc.index_in``): per
     iteration ONE streaming pass over edges + an algebraic bucket sum;
@@ -190,7 +214,7 @@ def _pagerank_broadcast(edges, deg, iterations, num_buckets):
         b for b in deg.iter_batches(batch_size=None, batch_format="pyarrow"))
     nodes = deg_tbl["src"].combine_chunks()
     degs = deg_tbl["deg"].combine_chunks().cast(pa.int64())
-    ranks = pa.array([SCALE] * len(nodes), pa.int64())
+    ranks = _seed_ranks(nodes, seed_prefix)
 
     out = None
     for _ in range(iterations):
@@ -207,7 +231,7 @@ def _pagerank_broadcast(edges, deg, iterations, num_buckets):
         sums = _bucket_sum(
             edges.map_batches(partial, batch_format="pyarrow"),
             "dst", "c", num_buckets, "insum")
-        out = _finish_rank(sums).materialize()
+        out = _finish_rank(sums, seed_prefix).materialize()
         rt = pa.concat_tables(
             b for b in out.iter_batches(batch_size=None,
                                         batch_format="pyarrow"))
@@ -217,7 +241,8 @@ def _pagerank_broadcast(edges, deg, iterations, num_buckets):
     return out
 
 
-def _pagerank_salted(edges, deg, iterations, salt, num_buckets):
+def _pagerank_salted(edges, deg, iterations, salt, num_buckets,
+                     seed_prefix=None):
     """Salted replicated join: the node-sized (node, rank//deg) table
     is replicated ``salt`` ways; each edge deterministically picks
     ``_salt = hash(dst) % salt`` so a hot src's edge list joins against
@@ -248,7 +273,7 @@ def _pagerank_salted(edges, deg, iterations, salt, num_buckets):
         lambda b: pa.table({
             "node": b["src"],
             "deg": b["deg"].cast(pa.int64()),
-            "pr": pa.array([SCALE] * b.num_rows, pa.int64())}),
+            "pr": _seed_ranks(b["src"].combine_chunks(), seed_prefix)}),
         batch_format="pyarrow").materialize()
 
     out = None
@@ -271,7 +296,7 @@ def _pagerank_salted(edges, deg, iterations, salt, num_buckets):
             on=("src", "_salt"), right_on=("jnode", "_jsalt"))
         sums = _bucket_sum(joined.select_columns(["dst", "c"]),
                            "dst", "c", num_buckets, "insum")
-        ranks = _finish_rank(sums).map_batches(
+        ranks = _finish_rank(sums, seed_prefix).map_batches(
             lambda b: b, batch_format="pyarrow", batch_size=SANITIZE_BATCH)
         # attach deg for the next round: node-sized ⋈ node-sized
         state = ranks.join(
@@ -464,3 +489,48 @@ def graph_delta(old: "ray.data.Dataset", new: "ray.data.Dataset",
         .union(new.map_batches(tag("n"), batch_format="pyarrow"))
         .groupby("_gb").map_groups(diff, batch_format="pyarrow"),
         out_schema)
+
+
+def entity_ppr(sf_dir: str, iterations: int = 3) -> "ray.data.Dataset":
+    """Gate: PERSONALIZED PageRank seeded at the entity nodes of the
+    doc↔entity mention graph — topic-sensitive ranking: teleport mass
+    goes only to 'e:' nodes, so docs rank purely by their proximity to
+    the entity set."""
+    edges = symmetric_edges(mention_pairs_ds(sf_dir), "doc_id", "mention")
+    return pagerank(edges, iterations=iterations, seed_prefix="e:")
+
+
+def entity_ppr_sql(iterations: int = 3) -> str:
+    """Mirror of entity_pagerank_sql with seed-conditional init and
+    base term (same unrolled integer CTEs)."""
+    from ..pipelines.webkg import LEXICON
+    from ..sqlgen import sql_quote
+
+    in_list = ", ".join(sql_quote(t) for t in sorted(LEXICON))
+    ctes = [f"""pairs AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+    FROM documents)
+  WHERE token IN ({in_list})),
+edges AS (
+  SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, 'e:' || token AS dst
+  FROM pairs
+  UNION ALL
+  SELECT 'e:' || token, 'd:' || CAST(doc_id AS VARCHAR) FROM pairs),
+deg AS (SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY 1),
+r0 AS (SELECT n, CAST(CASE WHEN n LIKE 'e:%' THEN {SCALE} ELSE 0 END
+                      AS BIGINT) AS r FROM deg)"""]
+    for t in range(1, iterations + 1):
+        ctes.append(f"""r{t} AS (
+  SELECT e.dst AS n,
+         CAST(CASE WHEN e.dst LIKE 'e:%' THEN {BASE} ELSE 0 END
+              AS BIGINT) +
+         (CAST({DAMP} AS BIGINT) * SUM(r{t-1}.r // deg.d))
+           // CAST({DEN} AS BIGINT) AS r
+  FROM edges e
+  JOIN deg ON deg.n = e.src
+  JOIN r{t-1} ON r{t-1}.n = e.src
+  GROUP BY e.dst)""")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT n AS node, CAST(r AS BIGINT) AS pr FROM r{iterations}")

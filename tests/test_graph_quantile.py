@@ -196,3 +196,34 @@ def test_hdr_quantiles_accuracy_vs_exact(ray_session):
             true, est = e[f"p{p}"], a[f"q{p}"]
             assert est <= true
             assert (true - est) / true <= 2 ** -7 + 1e-12, (lang, p)
+
+
+def test_entity_ppr_parity_all_paths(ray_session, monkeypatch):
+    """Personalized PageRank: broadcast and salted paths equal the
+    unrolled-CTE oracle; doc nodes get NO teleport mass (their rank is
+    pure flow), entity nodes keep it."""
+    import duckdb
+    import hashlib
+    from kgforge.ops import graph as G
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = (df[cols].astype(str).sort_values(cols)
+              .reset_index(drop=True))
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    ora = con.sql(G.entity_ppr_sql()).df()
+    bc = G.entity_ppr(SF).to_pandas()
+    assert norm(bc) == norm(ora)
+    monkeypatch.setenv("KGFORGE_GRAPH_BROADCAST_LIMIT", "0")
+    salted = G.entity_ppr(SF).to_pandas()
+    assert norm(salted) == norm(ora)
+    # seeds ('e:') hold strictly more rank than any doc node: every doc
+    # rank lacks the base term
+    e_min = bc[bc.node.str.startswith("e:")]["pr"].min()
+    d_max = bc[bc.node.str.startswith("d:")]["pr"].max()
+    assert len(bc[bc.node.str.startswith("e:")]) > 0
+    assert bc[bc.node.str.startswith("d:")]["pr"].gt(0).all()
