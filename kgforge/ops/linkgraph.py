@@ -319,7 +319,11 @@ def triangle_node_counts(links: "ray.data.Dataset",
     if num_buckets is None:
         from ..stages.dedup import default_num_buckets
         num_buckets = default_num_buckets()
-    edges = distinct_edges(links, num_buckets)
+    out_schema_tri = pa.schema([("doc_id", pa.int64()),
+                                ("triangles", pa.int64())])
+    edges = distinct_edges(links, num_buckets).materialize()
+    if edges.count() == 0:        # all links self-loops (found by fuzz)
+        return ray.data.from_arrow(out_schema_tri.empty_table())
     deg = _edge_degrees(edges)
     oriented = _orient_edges(edges, deg, num_buckets, force_join=force_join)
 

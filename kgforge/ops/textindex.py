@@ -456,8 +456,12 @@ WITH toks AS (
        unnest(string_split(text, ' ')) AS t(tok)
   WHERE len(t.tok) > 0
 ),
-dl AS (SELECT doc_id, CAST(count(*) AS HUGEINT) AS dl
-       FROM toks GROUP BY doc_id),
+-- dl comes from the documents ROWS, not the exploded tokens: an
+-- all-empty doc still counts toward N with dl = 0 (engine semantics)
+dl AS (SELECT doc_id,
+              CAST(len(list_filter(string_split(text, ' '),
+                                   x -> len(x) > 0)) AS HUGEINT) AS dl
+       FROM documents),
 corp AS (SELECT CAST(count(*) AS HUGEINT) AS n,
                 CAST(sum(dl) AS HUGEINT) AS l FROM dl),
 tf AS (SELECT doc_id, token, CAST(count(*) AS HUGEINT) AS tf
