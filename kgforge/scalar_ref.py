@@ -709,3 +709,34 @@ def compression_ratio_oracle_sql() -> str:
     return values_oracle_sql(
         rows, ["doc_id", "raw_len", "comp_len", "ratio_permille"],
         ["BIGINT"] * 4)
+
+
+def quantized_topk_ref(ids: "np.ndarray", M: "np.ndarray",
+                       query_ids: list[int], k: int
+                       ) -> list[tuple[int, int, int, int]]:
+    """Independent symmetric-int8 quantized dot-product top-k (plain
+    numpy, same quantizer expression as the engine by specification)."""
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    Mn = M / nrm
+    g = float(np.abs(Mn).max()) or 1.0
+    q = np.floor(Mn * 127.0 / g).astype(np.int64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    out = []
+    for qid in query_ids:
+        scores = q @ q[pos[qid]]
+        order = sorted((int(-scores[i]), int(v))
+                       for i, v in enumerate(ids) if int(v) != qid)
+        for rank, (neg, v) in enumerate(order[:k], 1):
+            out.append((qid, v, rank, -neg))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def quantized_topk_oracle_sql(k: int = 10) -> str:
+    rows = {}
+    for d in _sf_dirs():
+        ids, M = _emb(d)
+        rows[_doc_key(d)] = quantized_topk_ref(ids, M, [0, 1, 2], k)
+    return values_oracle_sql(rows, ["query_id", "vec_id", "rank",
+                                    "qscore"], ["BIGINT"] * 4)

@@ -584,3 +584,27 @@ def test_compression_ratio_vs_ref_and_shape(ray_session, tmp_path):
     assert list(map(tuple, out.itertuples(index=False))) == ref
     r = dict(zip(out.doc_id, out.ratio_permille))
     assert r[0] < 100 < r[1]          # boilerplate vs high-entropy
+
+
+def test_quantized_topk_parity_and_recall(ray_session):
+    """Symmetric-int8 ANN equals its scalar reference exactly and keeps
+    >= 0.8 recall@10 against the exact cosine ranker."""
+    import pyarrow.parquet as pq
+    from kgforge import scalar_ref as SR
+    from kgforge.ops import ann as A
+    eng = A.quantized_topk(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ref = SR.quantized_topk_ref(
+        np.array(t["vec_id"].to_pylist()),
+        np.array(t["embedding"].to_pylist(), dtype=np.float64),
+        [0, 1, 2], 10)
+    got = sorted(map(tuple, eng.itertuples(index=False)))
+    assert got == sorted(ref)
+    exact = A.ann_topk(SF).to_pandas()
+    hits = total = 0
+    for qid in (0, 1, 2):
+        e = set(exact[exact.query_id == qid].vec_id)
+        g = set(eng[eng.query_id == qid].vec_id)
+        hits += len(e & g)
+        total += len(e)
+    assert hits / total >= 0.8
