@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_ivf_topk"] = ann.ivf_topk
     # symmetric-int8 quantized ANN (8x smaller wire, integer matmul)
     q["ann_quantized_topk"] = ann.quantized_topk
+    # grouped vector mean pooling: per-language int8 centroids
+    q["lang_centroids"] = ann.lang_centroids
     # same probe over the PARTITION-PRUNED on-disk IVF layout (reads
     # only the probed ivf_list= dirs); output identical to ann_ivf_topk
     q["ann_ivf_indexed"] = ann.ivf_topk_indexed
@@ -387,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
     o["neardup_clusters"] = SR.neardup_clusters_oracle_sql()
     o["ann_ivf_topk"] = SR.ivf_oracle_sql()
     o["ann_quantized_topk"] = SR.quantized_topk_oracle_sql()
+    o["lang_centroids"] = SR.lang_centroids_oracle_sql()
     o["ann_ivf_indexed"] = SR.ivf_oracle_sql()
     o["embedding_dup_pairs"] = SR.embedding_dup_oracle_sql()
     o["embedding_clusters"] = SR.embedding_clusters_oracle_sql()

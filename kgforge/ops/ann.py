@@ -551,3 +551,92 @@ def quantized_topk(sf_dir: str, query_ids: list[int] | None = None,
         allc = allc.astype({c: "int64" for c in allc.columns})
     return ray.data.from_pandas(
         allc[["query_id", "vec_id", "rank", "qscore"]])
+
+
+def lang_centroids(sf_dir: str, num_buckets: int | None = None
+                   ) -> "ray.data.Dataset":
+    """Per-language int8-quantized embedding centroids, one row per
+    (lang, dim): centroid_q = (Σ q_i[dim]) // n over the group, q =
+    symmetric-int8 of the L2-normalized vector — grouped vector mean
+    pooling, the aggregation behind per-domain/per-language embedding
+    profiles. Vectors meet their doc's lang on ONE hash(id)
+    tagged-union bucket merge; per-bucket partials are (lang, dim,
+    s, cnt) rows — lexicon × dim sized, never vector-stream sized —
+    finished by a groupby sum."""
+    import polars as pl
+    if num_buckets is None:
+        from ..stages.dedup import default_num_buckets
+        num_buckets = default_num_buckets()
+    g = embedding_absmax(sf_dir)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    out_schema = pa.schema([("lang", pa.string()), ("dim", pa.int64()),
+                            ("centroid_q", pa.int64())])
+
+    def tag_emb(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "id": batch["vec_id"].combine_chunks().cast(pa.int64()),
+            "embedding": batch["embedding"].combine_chunks(),
+            "lang": pa.nulls(batch.num_rows, pa.string())})
+        return t.append_column("_eb", pa.array(
+            (ids % num_buckets).astype(np.int32)))
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+            "embedding": pa.nulls(
+                batch.num_rows, pa.list_(pa.float64())),
+            "lang": batch["lang"].combine_chunks().cast(pa.string())})
+        return t.append_column("_eb", pa.array(
+            (ids % num_buckets).astype(np.int32)))
+
+    def partial(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.drop_columns(["_eb"]))
+        e = df.filter(pl.col("lang").is_null()).select(["id", "embedding"])
+        l = df.filter(pl.col("lang").is_not_null()).select(["id", "lang"])
+        j = e.join(l, on="id", how="inner")
+        if j.height == 0:
+            return pa.schema([("lang", pa.string()), ("dim", pa.int64()),
+                              ("s", pa.int64()),
+                              ("cnt", pa.int64())]).empty_table()
+        m = np.array(j["embedding"].to_list(), dtype=np.float64)
+        q = quantize_i8(_normalize(m), g)
+        langs = j["lang"].to_list()
+        uniq = sorted(set(langs))
+        rows_l, rows_d, rows_s, rows_c = [], [], [], []
+        for lg in uniq:
+            sel = q[np.array([x == lg for x in langs])]
+            s = sel.sum(axis=0)
+            rows_l.extend([lg] * q.shape[1])
+            rows_d.extend(range(q.shape[1]))
+            rows_s.extend(s.tolist())
+            rows_c.extend([sel.shape[0]] * q.shape[1])
+        return pa.table({"lang": pa.array(rows_l, pa.string()),
+                         "dim": pa.array(rows_d, pa.int64()),
+                         "s": pa.array(rows_s, pa.int64()),
+                         "cnt": pa.array(rows_c, pa.int64())})
+
+    from ray.data.aggregate import Sum
+    sums = (emb.map_batches(tag_emb, batch_format="pyarrow")
+            .union(docs.map_batches(tag_doc, batch_format="pyarrow"))
+            .groupby("_eb").map_groups(partial, batch_format="pyarrow")
+            .groupby(["lang", "dim"])
+            .aggregate(Sum("s", alias_name="s"),
+                       Sum("cnt", alias_name="cnt")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        # sums can be negative (symmetric int8): // must be FLOOR
+        # division on both sides — numpy and python agree, C-style
+        # truncation would not
+        return pa.table({
+            "lang": batch["lang"].combine_chunks().cast(pa.string()),
+            "dim": batch["dim"].combine_chunks().cast(pa.int64()),
+            "centroid_q": pa.array(s // c, pa.int64())})
+
+    from . import ensure_schema
+    return ensure_schema(sums.map_batches(fin, batch_format="pyarrow"),
+                         out_schema)

@@ -740,3 +740,39 @@ def quantized_topk_oracle_sql(k: int = 10) -> str:
         rows[_doc_key(d)] = quantized_topk_ref(ids, M, [0, 1, 2], k)
     return values_oracle_sql(rows, ["query_id", "vec_id", "rank",
                                     "qscore"], ["BIGINT"] * 4)
+
+
+def lang_centroids_ref(ids: "np.ndarray", M: "np.ndarray",
+                       langs_by_id: dict[int, str]
+                       ) -> list[tuple[str, int, int]]:
+    """Independent grouped int8 centroid reference (python dicts)."""
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    Mn = M / nrm
+    g = float(np.abs(Mn).max()) or 1.0
+    q = np.floor(Mn * 127.0 / g).astype(np.int64)
+    groups: dict[str, list[int]] = {}
+    for i, v in enumerate(ids):
+        groups.setdefault(langs_by_id[int(v)], []).append(i)
+    out = []
+    for lang in sorted(groups):
+        sel = q[groups[lang]]
+        s = sel.sum(axis=0)
+        for d in range(q.shape[1]):
+            out.append((lang, d, int(s[d]) // len(groups[lang])))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def lang_centroids_oracle_sql() -> str:
+    import pyarrow.parquet as pq
+    rows = {}
+    for d in _sf_dirs():
+        ids, M = _emb(d)
+        t = pq.read_table(f"{d}/documents.parquet",
+                          columns=["doc_id", "lang"])
+        langs = dict(zip((int(x) for x in t["doc_id"].to_pylist()),
+                         t["lang"].to_pylist()))
+        rows[_doc_key(d)] = lang_centroids_ref(ids, M, langs)
+    return values_oracle_sql(rows, ["lang", "dim", "centroid_q"],
+                             ["VARCHAR", "BIGINT", "BIGINT"])

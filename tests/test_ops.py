@@ -608,3 +608,36 @@ def test_quantized_topk_parity_and_recall(ray_session):
         hits += len(e & g)
         total += len(e)
     assert hits / total >= 0.8
+
+
+def test_lang_centroids_parity_and_planted(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq2
+    from kgforge import scalar_ref as SR
+    from kgforge.ops import ann as A
+    # gate-path parity on the testdata
+    eng = A.lang_centroids(SF).to_pandas()
+    t = pq2.read_table(f"{SF}/embeddings.parquet")
+    d = pq2.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "lang"])
+    ref = SR.lang_centroids_ref(
+        np.array(t["vec_id"].to_pylist()),
+        np.array(t["embedding"].to_pylist(), dtype=np.float64),
+        dict(zip((int(x) for x in d["doc_id"].to_pylist()),
+                 d["lang"].to_pylist())))
+    assert sorted(map(tuple, eng.itertuples(index=False))) == sorted(ref)
+    # planted: two opposite-direction groups give opposite centroids
+    v = np.eye(4)[0]
+    pd.DataFrame({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [v.tolist(), v.tolist(),
+                      (-v).tolist(), (-v).tolist()]}
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    pd.DataFrame({
+        "doc_id": [0, 1, 2, 3], "text": ["x"] * 4,
+        "lang": ["a", "a", "b", "b"], "source": ["s"] * 4,
+        "n_chars": [1] * 4}).to_parquet(tmp_path / "documents.parquet")
+    out = A.lang_centroids(str(tmp_path)).to_pandas()
+    a0 = out[(out.lang == "a") & (out.dim == 0)]["centroid_q"].iloc[0]
+    b0 = out[(out.lang == "b") & (out.dim == 0)]["centroid_q"].iloc[0]
+    assert a0 == 127 and b0 == -127
