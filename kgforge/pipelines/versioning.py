@@ -274,3 +274,77 @@ SELECT x, z, 'added' AS change FROM (SELECT x, z FROM v2 EXCEPT SELECT x, z FROM
 UNION ALL
 SELECT x, z, 'removed' AS change FROM (SELECT x, z FROM v1 EXCEPT SELECT x, z FROM v2)
 """
+
+
+ASOF_DATE = "1995-06-30"
+
+
+def kg_as_of_status(sf_dir: str, as_of: str = ASOF_DATE
+                    ) -> "ray.data.Dataset":
+    """Temporal-KG point-in-time query: each customer's latest asserted
+    status triple VALID AT `as_of` — assertions are (customer, status)
+    facts valid from their order date; the winner per subject is the
+    max (valid_from, o_orderkey) at or before the cut. Runs as the
+    grouped-top-1 primitive (per-batch combiner, ONE subject-bucket
+    shuffle); term-form output."""
+    import numpy as np
+    import pyarrow.compute as pc2
+    from ..ops.relational import grouped_topk_rows
+    from ..sources.readers import read_table
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].combine_chunks()
+        ds32 = d.cast(pa.date32()).cast(pa.int32()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keys = (b["o_orderkey"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        import datetime
+        keep = pc2.less_equal(
+            d.cast(pa.date32()),
+            pa.scalar(datetime.date.fromisoformat(as_of), pa.date32()))
+        t = pa.table({
+            "o_custkey": b["o_custkey"].combine_chunks().cast(pa.int64()),
+            "o_orderstatus": b["o_orderstatus"].combine_chunks()
+            .cast(pa.string()),
+            "valid_from": d.cast(pa.date32()).cast(pa.string()),
+            "pack": pa.array(ds32 * (1 << 32) + keys, pa.int64())})
+        return t.filter(keep)
+
+    top = grouped_topk_rows(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "o_custkey", "pack", 1)
+
+    def term_form(b: pa.Table) -> pa.Table:
+        c = b["o_custkey"].combine_chunks().cast(pa.string())
+        s = pa.compute.binary_join_element_wise(
+            pa.scalar(NS1 + "customer"), c, "")
+        o = b["o_orderstatus"].combine_chunks().cast(pa.string())
+        return pa.table({
+            "s": s,
+            "p": pa.array([NS1 + "last_status"] * b.num_rows,
+                          pa.string()),
+            "o": o,
+            "valid_from": b["valid_from"].combine_chunks()
+            .cast(pa.string())})
+
+    return top.map_batches(term_form, batch_format="pyarrow")
+
+
+def kg_as_of_status_sql(as_of: str = ASOF_DATE) -> str:
+    return f"""
+SELECT '{NS1}customer' || CAST(o_custkey AS VARCHAR) AS s,
+       '{NS1}last_status' AS p,
+       o_orderstatus AS o,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS valid_from
+FROM (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+             AS rn
+  FROM orders WHERE o_orderdate <= DATE '{as_of}'
+) WHERE rn = 1
+"""

@@ -249,3 +249,22 @@ def test_graph_delta_planted(ray_session):
           .sort_values(["change", "s"]).reset_index(drop=True))
     assert df.values.tolist() == [["c", "3", "added"],
                                   ["a", "1", "removed"]]
+
+
+def test_kg_as_of_status_parity_and_cut(ray_session):
+    import duckdb
+    from kgforge.pipelines import versioning as V
+    df = V.kg_as_of_status(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{SF}/orders.parquet')")
+    odf = con.sql(V.kg_as_of_status_sql()).df()
+    key = ["s", "p", "o", "valid_from"]
+    assert (df[key].sort_values(key).reset_index(drop=True)
+            .equals(odf[key].sort_values(key).reset_index(drop=True)))
+    # every winner is at or before the cut; one row per subject
+    assert (df["valid_from"] <= V.ASOF_DATE).all()
+    assert df["s"].is_unique
+    # a later cut covers at least as many subjects
+    late = V.kg_as_of_status(SF, as_of="2005-01-01").to_pandas()
+    assert len(late) >= len(df)
