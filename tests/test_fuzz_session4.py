@@ -184,3 +184,68 @@ def test_fuzz_top_docs_per_lang(ray_session, tmp_path_factory, texts):
     con = _con(d)
     odf = con.sql(R.top_docs_per_lang_sql(k=2)).df()
     assert _same(df, odf)
+
+
+@settings(**PIPE_SETTINGS)
+@given(st.integers(min_value=2, max_value=12),
+       st.integers(min_value=2, max_value=6))
+def test_fuzz_quantized_topk_and_centroids(ray_session, tmp_path_factory,
+                                           n, dim):
+    import numpy as np
+    from kgforge import scalar_ref as SR
+    from kgforge.ops import ann as A
+    tmp = tmp_path_factory.mktemp("qt")
+    d = tmp / hashlib.md5(repr((n, dim)).encode()).hexdigest()[:10]
+    os.makedirs(d, exist_ok=True)
+    # deterministic pseudo-random embeddings incl. a zero vector
+    M = np.array([[((i * 31 + j * 17) % 13) - 6.0 for j in range(dim)]
+                  for i in range(n)])
+    M[n - 1] = 0.0
+    ids = np.arange(n)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(M.tolist(),
+                              pa.list_(pa.float64()))}),
+        str(d) + "/embeddings.parquet")
+    langs = ["l%d" % (i % 2) for i in ids]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["x"] * n), "lang": pa.array(langs),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array([1] * n, pa.int64())}),
+        str(d) + "/documents.parquet")
+    qids = [0, 1]
+    eng = A.quantized_topk(str(d), query_ids=qids, k=5).to_pandas()
+    ref = SR.quantized_topk_ref(ids, M, qids, 5)
+    assert sorted(map(tuple, eng.itertuples(index=False))) == sorted(ref)
+    engc = A.lang_centroids(str(d)).to_pandas()
+    refc = SR.lang_centroids_ref(ids, M, dict(zip(ids.tolist(), langs)))
+    assert sorted(map(tuple, engc.itertuples(index=False))) == sorted(refc)
+
+
+@settings(**PIPE_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 6),
+                          st.sampled_from(["F", "O", "P"]),
+                          st.integers(0, 700)),
+                min_size=1, max_size=25))
+def test_fuzz_kg_as_of(ray_session, tmp_path_factory, orders):
+    import datetime
+    from kgforge.pipelines import versioning as V
+    tmp = tmp_path_factory.mktemp("ao")
+    d = tmp / hashlib.md5(repr(tuple(orders)).encode()).hexdigest()[:10]
+    os.makedirs(d, exist_ok=True)
+    base = datetime.datetime(1995, 1, 1)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(len(orders)), pa.int64()),
+        "o_custkey": pa.array([c for c, _, _ in orders], pa.int64()),
+        "o_orderstatus": pa.array([s for _, s, _ in orders]),
+        "o_orderdate": pa.array(
+            [base + datetime.timedelta(days=dd) for _, _, dd in orders],
+            pa.timestamp("us")),
+    }), str(d) + "/orders.parquet")
+    df = V.kg_as_of_status(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{d}/orders.parquet')")
+    odf = con.sql(V.kg_as_of_status_sql()).df()
+    assert _same(df, odf)
