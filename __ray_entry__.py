@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_snapshot_delta"] = versioning.kg_snapshot_delta
     # temporal-KG point-in-time query (latest valid assertion per subj)
     q["kg_as_of_status"] = versioning.kg_as_of_status
+    # SPARQL OPTIONAL (left join): half the rows unbound by fixture
+    q["sparql_optional_v2"] = versioning.sparql_optional_v2
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -303,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_groupby_count"] = versioning.sparql_groupby_count_sql()
     o["kg_snapshot_delta"] = versioning.kg_snapshot_delta_sql()
     o["kg_as_of_status"] = versioning.kg_as_of_status_sql()
+    o["sparql_optional_v2"] = versioning.sparql_optional_v2_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

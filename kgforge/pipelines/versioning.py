@@ -348,3 +348,53 @@ FROM (
   FROM orders WHERE o_orderdate <= DATE '{as_of}'
 ) WHERE rn = 1
 """
+
+
+OPTIONAL_QUERY_TEXT = f"""
+PREFIX ns1v1: <{NS1V1}>
+PREFIX ns1v2: <{NS1V2}>
+SELECT ?x ?a ?w WHERE {{
+  ?x ns1v1:applicable_to ?a .
+  OPTIONAL {{ ?x ns1v2:applicable_to ?a . ?x ns1v1:applicable_to ?w }}
+}}
+"""
+
+
+def sparql_optional_v2(sf_dir: str) -> "ray.data.Dataset":
+    """OPTIONAL (left-join) gate over the versioned store: each v1
+    assertion plus a witness variable bound only when the SAME (x, a)
+    pair is still asserted at v2 — null (rendered '' — engine
+    fill_null == oracle COALESCE) for the pairs v2 dropped. Odd part
+    keys are uncarried by fixture construction, so the unbound path is
+    exercised on every scale (checked in tests)."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(OPTIONAL_QUERY_TEXT)[0]
+    assert q.where.optionals, "query must carry an OPTIONAL group"
+    out = execute_sparql(versioned_store(sf_dir), q)
+
+    def fill(b: pa.Table) -> pa.Table:
+        t = b["w"].combine_chunks().cast(pa.string())
+        return b.set_column(b.schema.get_field_index("w"), "w",
+                            pc.fill_null(t, ""))
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+def sparql_optional_v2_sql() -> str:
+    part_s = f"'{NS1}part' || CAST(p_partkey AS VARCHAR)"
+    z1 = f"'<{NS1}sz' || CAST(p_size AS VARCHAR) || '>'"
+    z2 = f"'<{NS1}sz' || CAST((p_size * 7) % 50 + 1 AS VARCHAR) || '>'"
+    return f"""
+WITH v1 AS (SELECT {part_s} AS x, {z1} AS a FROM part),
+v2 AS (
+  SELECT {part_s} AS x, {z1} AS a FROM part WHERE p_partkey % 2 = 0
+  UNION ALL
+  SELECT {part_s} AS x, {z2} AS a FROM part
+),
+opt AS (
+  SELECT v2.x, v2.a, v1b.a AS w
+  FROM v2 JOIN v1 v1b ON v1b.x = v2.x
+)
+SELECT m.x, m.a, COALESCE(o.w, '') AS w
+FROM v1 m LEFT JOIN opt o ON o.x = m.x AND o.a = m.a
+"""

@@ -93,6 +93,7 @@ class Group:
     patterns: list[Pattern] = field(default_factory=list)
     minus: list["Group"] = field(default_factory=list)
     filters: list[Filter] = field(default_factory=list)
+    optionals: list["Group"] = field(default_factory=list)
 
 
 @dataclass(frozen=True)
@@ -231,12 +232,17 @@ class _P:
                 g.patterns.extend(sub.patterns)
                 g.minus.extend(sub.minus)
                 g.filters.extend(sub.filters)
+                g.optionals.extend(sub.optionals)
                 if self.peek() == ".":
                     self.next()
                 continue
             if _is_kw(tok, "minus"):
                 self.next()
                 g.minus.append(self.group())
+                continue
+            if _is_kw(tok, "optional"):
+                self.next()
+                g.optionals.append(self.group())
                 continue
             if _is_kw(tok, "filter"):
                 self.next()
@@ -578,6 +584,51 @@ def _anti_join(bind: _Bind, minus: _Bind, on: list[str]) -> _Bind:
                  bind.cls, bind.cols())
 
 
+def _left_join(bind: _Bind, opt: _Bind, on: list[str]) -> _Bind:
+    """OPTIONAL: left-outer join on the shared variables — unmatched
+    solutions keep their row with the optional vars null (unbound).
+    Size-adaptive like the other joins: arrow join when both sides are
+    driver-sized, per-batch broadcast join for a small optional side,
+    hash-partitioned Dataset left_outer otherwise."""
+    from .stages.canonicalize import default_shuffle_partitions
+    if not on:
+        raise SparqlError("OPTIONAL must share a variable with the group")
+    cls = dict(bind.cls)
+    cls.update(opt.cls)
+    joined = bind.cols() + [c for c in opt.cols() if c not in bind.cols()]
+    if opt.small:
+        ot = opt.data.select(on + [c for c in opt.cols() if c not in on])
+        if bind.small:
+            j = bind.data.join(ot, keys=on, join_type="left outer")
+            return _Bind(j.select(joined), cls, joined)
+
+        def jn(b: pa.Table, _t=ot, _on=list(on), _j=list(joined)
+               ) -> pa.Table:
+            return b.join(_t, keys=_on, join_type="left outer").select(_j)
+
+        return _Bind(bind.data.map_batches(jn, batch_format="pyarrow"),
+                     cls, joined)
+    # big optional side: hash-partitioned left_outer, keys prefixed so
+    # the join output keeps the left copy
+    payload = [c for c in opt.cols() if c not in on]
+
+    def tag(b: pa.Table, _on=list(on)) -> pa.Table:
+        cols = {f"_o_{c}": b[c] for c in _on}
+        for c in payload:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    ods = _batch_guard(opt.data.map_batches(tag, batch_format="pyarrow"))
+    left = (ray.data.from_arrow(bind.data) if bind.small else bind.data)
+    j = _batch_guard(left).join(
+        ods, join_type="left_outer",
+        num_partitions=default_shuffle_partitions(),
+        on=tuple(on), right_on=tuple(f"_o_{c}" for c in on))
+    return _Bind(_batch_guard(j.map_batches(
+        lambda b, _j=list(joined): b.select(_j),
+        batch_format="pyarrow")), cls, joined)
+
+
 def _apply_filters(bind: _Bind, filters: list[Filter]) -> _Bind:
     pend = [f for f in filters if f.var in bind.cols()]
     if not pend:
@@ -674,6 +725,10 @@ def _eval_group(store_dir: str, g: Group) -> _Bind:
                     list(md.iter_batches(batch_format="pyarrow"))
                     or [empty]), mb.cls)
         bind = _anti_join(bind, mb, on)
+    for opt in g.optionals:
+        ob = _apply_filters(_eval_group(store_dir, opt), opt.filters)
+        on = sorted(set(bind.cols()) & set(ob.cols()))
+        bind = _left_join(bind, ob, on)
     return bind
 
 

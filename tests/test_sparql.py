@@ -268,3 +268,34 @@ def test_kg_as_of_status_parity_and_cut(ray_session):
     # a later cut covers at least as many subjects
     late = V.kg_as_of_status(SF, as_of="2005-01-01").to_pandas()
     assert len(late) >= len(df)
+
+
+def test_parse_optional():
+    from kgforge.sparql import parse_sparql
+    q = parse_sparql("""
+      SELECT ?x ?w WHERE {
+        ?x <http://p/a> ?a .
+        OPTIONAL { ?x <http://p/b> ?w }
+      }
+    """)[0]
+    assert len(q.where.optionals) == 1
+    assert len(q.where.optionals[0].patterns) == 1
+    assert q.where.patterns[0].vars() == ["x", "a"]
+
+
+def test_sparql_optional_gate_bound_and_unbound(ray_session):
+    import duckdb
+    from kgforge.pipelines import versioning as V
+    df = V.sparql_optional_v2(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{SF}/part.parquet')")
+    odf = con.sql(V.sparql_optional_v2_sql()).df()
+    key = ["x", "a", "w"]
+    assert (df[key].sort_values(key).reset_index(drop=True)
+            .equals(odf[key].sort_values(key).reset_index(drop=True)))
+    # both OPTIONAL paths are genuinely exercised: odd part keys have
+    # no carried v2 pair -> unbound; even keys bind the witness
+    n_unbound = (df["w"] == "").sum()
+    assert 0 < n_unbound < len(df)
+    assert (df.loc[df.w != "", "w"] == df.loc[df.w != "", "a"]).all()
