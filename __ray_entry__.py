@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_as_of_status"] = versioning.kg_as_of_status
     # SPARQL OPTIONAL (left join): half the rows unbound by fixture
     q["sparql_optional_v2"] = versioning.sparql_optional_v2
+    q["sparql_union_versions"] = versioning.sparql_union_versions
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -306,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_snapshot_delta"] = versioning.kg_snapshot_delta_sql()
     o["kg_as_of_status"] = versioning.kg_as_of_status_sql()
     o["sparql_optional_v2"] = versioning.sparql_optional_v2_sql()
+    o["sparql_union_versions"] = versioning.sparql_union_versions_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

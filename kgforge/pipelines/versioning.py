@@ -398,3 +398,35 @@ opt AS (
 SELECT m.x, m.a, COALESCE(o.w, '') AS w
 FROM v1 m LEFT JOIN opt o ON o.x = m.x AND o.a = m.a
 """
+
+
+UNION_QUERY_TEXT = f"""
+PREFIX ns1v1: <{NS1V1}>
+PREFIX ns1v2: <{NS1V2}>
+SELECT ?x ?a WHERE {{
+  {{ ?x ns1v1:applicable_to ?a }} UNION {{ ?x ns1v2:applicable_to ?a }}
+}}
+"""
+
+
+def sparql_union_versions(sf_dir: str) -> "ray.data.Dataset":
+    """UNION gate: all assertions across BOTH property versions — bag
+    semantics (carried pairs appear twice, once per arm), matching
+    SPARQL UNION and the SQL UNION ALL mirror."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(UNION_QUERY_TEXT)[0]
+    assert q.where.unions and len(q.where.unions[0]) == 2
+    return execute_sparql(versioned_store(sf_dir), q)
+
+
+def sparql_union_versions_sql() -> str:
+    part_s = f"'{NS1}part' || CAST(p_partkey AS VARCHAR)"
+    z1 = f"'<{NS1}sz' || CAST(p_size AS VARCHAR) || '>'"
+    z2 = f"'<{NS1}sz' || CAST((p_size * 7) % 50 + 1 AS VARCHAR) || '>'"
+    return f"""
+SELECT {part_s} AS x, {z1} AS a FROM part
+UNION ALL
+SELECT {part_s} AS x, {z1} AS a FROM part WHERE p_partkey % 2 = 0
+UNION ALL
+SELECT {part_s} AS x, {z2} AS a FROM part
+"""

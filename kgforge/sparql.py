@@ -94,6 +94,7 @@ class Group:
     minus: list["Group"] = field(default_factory=list)
     filters: list[Filter] = field(default_factory=list)
     optionals: list["Group"] = field(default_factory=list)
+    unions: list[list["Group"]] = field(default_factory=list)
 
 
 @dataclass(frozen=True)
@@ -227,12 +228,27 @@ class _P:
             if tok == "}":
                 self.next()
                 return g
-            if tok == "{":               # plain nested group: flatten
+            if tok == "{":
                 sub = self.group()
+                if self.peek() is not None and _is_kw(self.peek(),
+                                                      "union"):
+                    # {A} UNION {B} (UNION {C} ...): one alternatives
+                    # list per union chain
+                    alts = [sub]
+                    while (self.peek() is not None
+                           and _is_kw(self.peek(), "union")):
+                        self.next()
+                        alts.append(self.group())
+                    g.unions.append(alts)
+                    if self.peek() == ".":
+                        self.next()
+                    continue
+                # plain nested group: flatten
                 g.patterns.extend(sub.patterns)
                 g.minus.extend(sub.minus)
                 g.filters.extend(sub.filters)
                 g.optionals.extend(sub.optionals)
+                g.unions.extend(sub.unions)
                 if self.peek() == ".":
                     self.next()
                 continue
@@ -664,6 +680,49 @@ def _merge_cls(cls: dict[str, str], pat: Pattern) -> None:
             cls.setdefault(t.name, "term" if col == "o" else "iri")
 
 
+def _join_binds(bind: _Bind, new: _Bind, cls: dict[str, str]) -> _Bind:
+    """Inner join two binding sets on their shared variables, with the
+    same size-adaptive path choice as pattern chaining."""
+    on = sorted(set(bind.cols()) & set(new.cols()))
+    joined = bind.cols() + [c for c in new.cols()
+                            if c not in bind.cols()]
+    if bind.small and new.small:
+        return _Bind(_join_small(bind.data, new.data, on), cls, joined)
+    if bind.small:
+        return _Bind(_broadcast_join(new.data, bind.data, on), cls,
+                     joined)
+    if new.small:
+        return _Bind(_broadcast_join(bind.data, new.data, on), cls,
+                     joined)
+    from .stages.canonicalize import default_shuffle_partitions
+    return _Bind(
+        _batch_guard(_batch_guard(bind.data).join(
+            _batch_guard(new.data), join_type="inner",
+            num_partitions=default_shuffle_partitions(),
+            on=tuple(on))),
+        cls, joined)
+
+
+def _concat_binds(parts: list[_Bind]) -> _Bind:
+    """UNION of binding sets over an identical variable set (bag
+    semantics — duplicates kept, like SPARQL UNION)."""
+    cols = sorted(parts[0].cols())
+    cls: dict[str, str] = {}
+    for p in parts:
+        cls.update(p.cls)
+    if all(p.small for p in parts):
+        tbl = pa.concat_tables([p.data.select(cols) for p in parts])
+        return _Bind(tbl, cls, list(cols))
+    dss = [(p.data if not p.small else ray.data.from_arrow(p.data))
+           .map_batches(lambda b, _c=list(cols): b.select(_c),
+                        batch_format="pyarrow")
+           for p in parts]
+    ds = dss[0]
+    for other in dss[1:]:
+        ds = ds.union(other)
+    return _Bind(_batch_guard(ds), cls, list(cols))
+
+
 def _eval_group(store_dir: str, g: Group) -> _Bind:
     bind: _Bind | None = None
     cls: dict[str, str] = {}
@@ -684,32 +743,24 @@ def _eval_group(store_dir: str, g: Group) -> _Bind:
                     v for v in vals.to_pylist() if v is not None))
             new = _Bind(_eval_store_pattern(store_dir, pat, p_values), cls,
                         list(_pattern_cols(pat).values()))
-        if bind is None:
-            bind = new
-        else:
-            on = sorted(set(bind.cols()) & set(new.cols()))
-            joined = bind.cols() + [c for c in new.cols()
-                                    if c not in bind.cols()]
-            if bind.small and new.small:
-                bind = _Bind(_join_small(bind.data, new.data, on), cls,
-                             joined)
-            elif bind.small:
-                bind = _Bind(_broadcast_join(new.data, bind.data, on), cls,
-                             joined)
-            elif new.small:
-                bind = _Bind(_broadcast_join(bind.data, new.data, on), cls,
-                             joined)
-            else:
-                from .stages.canonicalize import default_shuffle_partitions
-                bind = _Bind(
-                    _batch_guard(_batch_guard(bind.data).join(
-                        _batch_guard(new.data), join_type="inner",
-                        num_partitions=default_shuffle_partitions(),
-                        on=tuple(on))),
-                    cls, joined)
+        bind = (new if bind is None
+                else _join_binds(bind, new, cls))
         bind = _apply_filters(bind, g.filters)
-    if bind is None:
+    if bind is None and not g.unions:
         raise SparqlError("empty group")
+    for alts in g.unions:
+        parts = [_apply_filters(_eval_group(store_dir, a), a.filters)
+                 for a in alts]
+        colsets = {tuple(sorted(p.cols())) for p in parts}
+        if len(colsets) != 1:
+            raise SparqlError(
+                "UNION alternatives must bind the same variables "
+                f"(got {sorted(colsets)})")
+        ub = _concat_binds(parts)
+        cls = dict(bind.cls) if bind is not None else {}
+        cls.update(ub.cls)
+        bind = ub if bind is None else _join_binds(bind, ub, cls)
+    bind = _apply_filters(bind, g.filters)
     for m in g.minus:
         mb = _eval_group(store_dir, m)
         mb = _apply_filters(mb, m.filters)

@@ -299,3 +299,34 @@ def test_sparql_optional_gate_bound_and_unbound(ray_session):
     n_unbound = (df["w"] == "").sum()
     assert 0 < n_unbound < len(df)
     assert (df.loc[df.w != "", "w"] == df.loc[df.w != "", "a"]).all()
+
+
+def test_sparql_union_gate_and_bag_semantics(ray_session):
+    import duckdb
+    from kgforge.pipelines import versioning as V
+    df = V.sparql_union_versions(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{SF}/part.parquet')")
+    odf = con.sql(V.sparql_union_versions_sql()).df()
+    key = ["x", "a"]
+    a = df[key].sort_values(key).reset_index(drop=True)
+    b = odf[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    # bag semantics: carried (even-key) pairs appear in BOTH arms
+    assert len(df) == 500
+    assert df.duplicated().sum() == 100
+
+
+def test_union_mismatched_vars_rejected():
+    import pytest as _pt
+    from kgforge.sparql import SparqlError, parse_sparql
+    from kgforge.pipelines.tabular import _v4_part_store
+    from kgforge.sparql import execute_sparql
+    q = parse_sparql("""
+      SELECT ?x WHERE {
+        { ?x <http://p/a> ?a } UNION { ?x <http://p/b> ?b }
+      }
+    """)[0]
+    with _pt.raises(SparqlError):
+        execute_sparql(_v4_part_store("/root/testdata/sf0.001"), q)
