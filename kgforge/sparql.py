@@ -29,6 +29,13 @@ dirs; a predicate VARIABLE bound by a schema pattern expands to pruned
 reads per closure value instead of a full scan.  Nothing materializes
 the store driver-side.
 
+Beyond the reference file's four shapes, the subset also covers
+``OPTIONAL`` (size-adaptive left join, unbound = null), ``{A} UNION
+{B}`` (bag semantics over an identical variable set), and the SPARQL
+1.1 aggregates ``COUNT/MIN/MAX`` with ``GROUP BY`` / ``ORDER BY`` /
+``LIMIT`` — each gated against a DuckDB mirror
+(pipelines/versioning.py).
+
 Semantics note: plain BGPs are answered over the ASSERTED graph;
 entailment enters only through schema-pattern closure and the explicit
 CONSTRUCT/INSERT rules — entailment-on-demand rather than a
