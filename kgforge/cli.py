@@ -1,6 +1,8 @@
 """CLI — the reference's command-line surface on the Ray engine.
 
     python -m kgforge.cli -c CONFIG.ini [-o OUT_DIR] [--union]
+    python -m kgforge.cli --sparql QUERIES.sparql --store STORE_DIR
+                          [-o OUT_DIR]
 
 CONFIG.ini is a reference-style options file (per-source file / domain /
 delimiter / semantics / active — csv2rdf-v5/csv2rdf-v5.py:109-141); each
@@ -8,20 +10,42 @@ active source is converted to a sorted N-Triples graph + Parquet mirror,
 plus the shared to-define-in-ontology.txt side output. ``--union``
 reproduces v1's single-shared-store orchestrator.
 
+``--sparql`` runs a .sparql FILE (the reference's requests.sparql
+format: several statements separated by comment banners; subset: BGP,
+FILTER !=, MINUS, OPTIONAL, UNION, COUNT/MIN/MAX + GROUP BY/ORDER BY/
+LIMIT, CONSTRUCT, INSERT) against a ``write_graph_partitioned`` store
+and writes one CSV per statement under OUT_DIR.
+
 This entry point OWNS the Ray session (library code never does).
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+
+def _run_sparql(args) -> int:
+    from .sparql import execute_sparql, parse_sparql
+    with open(args.sparql) as f:
+        text = f.read()
+    queries = parse_sparql(text)
+    os.makedirs(args.out, exist_ok=True)
+    for i, q in enumerate(queries, 1):
+        ds = execute_sparql(args.store, q)
+        df = ds.to_pandas()
+        path = os.path.join(args.out, f"statement{i}_{q.form}.csv")
+        df.to_csv(path, index=False)
+        print(f"statement {i} ({q.form}): {len(df)} rows -> {path}")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="kgforge", description="CSV/Parquet -> RDF on Ray Data")
-    ap.add_argument("-c", "--conf", required=True,
+    ap.add_argument("-c", "--conf",
                     help="options .ini file (reference format)")
     ap.add_argument("-o", "--out", default="kgforge-out",
                     help="output directory")
@@ -30,25 +54,42 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--turtle", action="store_true",
                     help="also emit prefixed Turtle shards (graph.ttl/), "
                          "the reference's artifact format")
+    ap.add_argument("--sparql",
+                    help=".sparql query file to run against --store")
+    ap.add_argument("--store",
+                    help="predicate-partitioned store dir (for --sparql)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
+    if bool(args.sparql) != bool(args.store):
+        ap.error("--sparql and --store must be given together")
+    if not args.sparql and not args.conf:
+        ap.error("either -c/--conf or --sparql/--store is required")
 
     import ray
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    from .pipelines.orchestrator import run_sources
     t0 = time.time()
+    if args.sparql:
+        rc = _run_sparql(args)
+        print(f"done in {time.time() - t0:.1f}s")
+        if owns_session:
+            ray.shutdown()
+        return rc
+
+    from .pipelines.orchestrator import run_sources
     written = run_sources(args.conf, args.out, union_stores=args.union,
                           turtle=args.turtle)
     for w in written:
         print(f"wrote {w}")
     print(f"done in {time.time() - t0:.1f}s")
-    ray.shutdown()
+    if owns_session:
+        ray.shutdown()
     return 0
 
 

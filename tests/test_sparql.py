@@ -330,3 +330,24 @@ def test_union_mismatched_vars_rejected():
     """)[0]
     with _pt.raises(SparqlError):
         execute_sparql(_v4_part_store("/root/testdata/sf0.001"), q)
+
+
+def test_cli_sparql_mode(ray_session, tmp_path):
+    """--sparql runs the reference's own query file against a store and
+    writes one CSV per statement."""
+    import pandas as pd
+    from kgforge.cli import main
+    from kgforge.pipelines.tabular import _v4_part_store
+    from kgforge.sparql import load_reference_requests
+    store = _v4_part_store(SF)
+    qfile = tmp_path / "req.sparql"
+    qfile.write_text(load_reference_requests())
+    out = tmp_path / "out"
+    rc = main(["--sparql", str(qfile), "--store", store,
+               "-o", str(out)])
+    assert rc == 0
+    files = sorted(p.name for p in out.iterdir())
+    assert files == ["statement1_select.csv", "statement2_construct.csv",
+                     "statement3_insert.csv", "statement4_select.csv"]
+    df = pd.read_csv(out / "statement1_select.csv")
+    assert len(df) > 0 and list(df.columns) == ["x", "y", "z"]
