@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # SPARQL OPTIONAL (left join): half the rows unbound by fixture
     q["sparql_optional_v2"] = versioning.sparql_optional_v2
     q["sparql_union_versions"] = versioning.sparql_union_versions
+    # SPARQL FILTER expression subset (numeric compare, regex/strstarts)
+    q["sparql_filter_numeric"] = versioning.sparql_filter_numeric
+    q["sparql_filter_strfuncs"] = versioning.sparql_filter_strfuncs
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -308,6 +311,8 @@ def oracle_sql() -> dict[str, str]:
     o["kg_as_of_status"] = versioning.kg_as_of_status_sql()
     o["sparql_optional_v2"] = versioning.sparql_optional_v2_sql()
     o["sparql_union_versions"] = versioning.sparql_union_versions_sql()
+    o["sparql_filter_numeric"] = versioning.sparql_filter_numeric_sql()
+    o["sparql_filter_strfuncs"] = versioning.sparql_filter_strfuncs_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

@@ -223,6 +223,63 @@ def sparql_groupby_count_sql() -> str:
             f"GROUP BY p ORDER BY n DESC, y ASC LIMIT 5")
 
 
+FILTER_NUM_QUERY = """
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT ?x ?c WHERE {
+  ?x rdfs:comment ?c .
+  FILTER(?c >= 905) FILTER(?c < 915)
+}
+"""
+
+FILTER_STR_QUERY = """
+PREFIX tpch: <https://kgforge.example.org/tpch/>
+SELECT ?x ?b WHERE {
+  ?x tpch:branded_as ?b .
+  FILTER strstarts(str(?b), "https://kgforge.example.org/tpch/s")
+  FILTER regex(str(?b), "_(anvil|gear)$")
+}
+"""
+
+
+def sparql_filter_numeric(sf_dir: str) -> "ray.data.Dataset":
+    """FILTER extension gate: numeric range comparison on a literal's
+    LEXICAL value (``"906.20"`` matches ``>= 905``) — non-numeric
+    terms are eliminated (SPARQL type-error semantics), evaluated as
+    Arrow cast + compare kernels inside the partition-pruned read."""
+    from ..sparql import execute_sparql, parse_sparql
+    from .tabular import _v4_part_store
+    q = parse_sparql(FILTER_NUM_QUERY)[0]
+    assert [f.op for f in q.where.filters] == [">=", "<"]
+    return execute_sparql(_v4_part_store(sf_dir), q)
+
+
+def sparql_filter_numeric_sql() -> str:
+    from .tabular import v4_kg_part_sql
+    num = "TRY_CAST(trim(o, '\"') AS DOUBLE)"
+    return (f"SELECT s AS x, o AS c FROM ({v4_kg_part_sql()}) "
+            f"WHERE p = 'http://www.w3.org/2000/01/rdf-schema#comment' "
+            f"AND {num} >= 905 AND {num} < 915")
+
+
+def sparql_filter_strfuncs(sf_dir: str) -> "ray.data.Dataset":
+    """FILTER extension gate: strstarts + regex over STR(?v) (term
+    decoration stripped), RE2 on both sides of the oracle compare."""
+    from ..sparql import execute_sparql, parse_sparql
+    from .tabular import _v4_part_store
+    q = parse_sparql(FILTER_STR_QUERY)[0]
+    assert [f.op for f in q.where.filters] == ["strstarts", "regex"]
+    return execute_sparql(_v4_part_store(sf_dir), q)
+
+
+def sparql_filter_strfuncs_sql() -> str:
+    from .tabular import v4_kg_part_sql
+    iri = "trim(o, '<>')"
+    return (f"SELECT s AS x, o AS b FROM ({v4_kg_part_sql()}) "
+            f"WHERE p = 'https://kgforge.example.org/tpch/branded_as' "
+            f"AND starts_with({iri}, 'https://kgforge.example.org/tpch/s') "
+            f"AND regexp_matches({iri}, '_(anvil|gear)$')")
+
+
 def _version_pairs(sf_dir: str, version: int) -> "ray.data.Dataset":
     """(x, z) instance pairs of one version of the scaled fixture —
     x raw IRI, z term form, same shapes as the MINUS gate."""

@@ -31,10 +31,15 @@ the store driver-side.
 
 Beyond the reference file's four shapes, the subset also covers
 ``OPTIONAL`` (size-adaptive left join, unbound = null), ``{A} UNION
-{B}`` (bag semantics over an identical variable set), and the SPARQL
+{B}`` (bag semantics over an identical variable set), the SPARQL
 1.1 aggregates ``COUNT/MIN/MAX`` with ``GROUP BY`` / ``ORDER BY`` /
-``LIMIT`` — each gated against a DuckDB mirror
-(pipelines/versioning.py).
+``LIMIT``, and a FILTER expression subset: ``=``/``!=`` on term form,
+``<``/``>``/``<=``/``>=`` against a numeric constant (compared
+NUMERICALLY on the bound term's lexical value; non-numeric terms are
+eliminated, SPARQL type-error semantics), and
+``regex``/``strstarts``/``contains`` over ``STR(?v)`` — all evaluated
+as vectorized Arrow kernels inside the streaming plan, each gated
+against a DuckDB mirror (pipelines/versioning.py).
 
 Semantics note: plain BGPs are answered over the ASSERTED graph;
 entailment enters only through schema-pattern closure and the explicit
@@ -77,6 +82,14 @@ class Lit:
     value: str
 
 
+@dataclass(frozen=True)
+class Num:
+    """Numeric constant in a FILTER comparison (lexical form kept —
+    the planner compares NUMERICALLY against the bound term's lexical
+    value, so ``"900.00"`` matches ``= 900``)."""
+    value: str
+
+
 @dataclass
 class Pattern:
     s: object
@@ -91,8 +104,8 @@ class Pattern:
 @dataclass
 class Filter:
     var: str
-    op: str                  # only '!=' in the subset
-    term: object
+    op: str        # '=' '!=' '<' '>' '<=' '>=' | 'regex' 'strstarts'
+    term: object   # | 'contains' (term = Lit pattern/fragment)
 
 
 @dataclass
@@ -139,8 +152,8 @@ _TOKEN_RE = re.compile(r"""
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|:[A-Za-z0-9_.\-]+)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<num>[0-9]+)
-  | (?P<punct>!=|\{|\}|\(|\)|\.|;|,|\*)
+  | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
+  | (?P<punct>!=|<=|>=|=|<|>|\{|\}|\(|\)|\.|;|,|\*)
   | (?P<ws>\s+)
 """, re.X)
 
@@ -160,6 +173,8 @@ def _tokenize(text: str) -> list[str]:
 # ------------------------------------------------------------ parser
 
 _FORMS = {"select", "construct", "insert"}
+_FILTER_FUNCS = {"regex", "strstarts", "contains"}
+_CMP_OPS = {"=", "!=", "<", ">", "<=", ">="}
 
 
 def _is_kw(tok: str, kw: str) -> bool:
@@ -195,6 +210,9 @@ class _P:
             return Iri(tok[1:-1])
         if tok.startswith('"'):
             return Lit(tok[1:-1])
+        if tok[0].isdigit() or (tok[0] == "-" and len(tok) > 1
+                                and tok[1].isdigit()):
+            return Num(tok)
         if _is_kw(tok, "a"):
             return Iri(RDF_TYPE)
         if ":" in tok:
@@ -203,6 +221,63 @@ class _P:
                 raise SparqlError(f"undeclared prefix {pfx!r} in {tok!r}")
             return Iri(self.prefixes[pfx] + local)
         raise SparqlError(f"cannot parse term {tok!r}")
+
+    def filter_expr(self) -> Filter:
+        """FILTER(?v op const) | FILTER [(] regex/strstarts/contains(
+        [str(]?v[)], "c") [)] — the subset a KG-store user actually
+        writes; boolean combinators stay multi-FILTER conjunctions."""
+        wrapped = False
+        if self.peek() == "(":
+            nxt = (self.t[self.i + 1].lower()
+                   if self.i + 1 < len(self.t) else "")
+            if nxt in _FILTER_FUNCS:
+                wrapped = True
+                self.next()
+            else:
+                self.next()
+                f = self.cmp_expr()
+                self.expect(")")
+                return f
+        tok = self.peek()
+        if tok is None or tok.lower() not in _FILTER_FUNCS:
+            raise SparqlError(f"cannot parse FILTER at {tok!r}")
+        fn = self.next().lower()
+        self.expect("(")
+        v = self.str_arg()
+        self.expect(",")
+        pat = self.term()
+        if not isinstance(pat, Lit):
+            raise SparqlError(f"{fn}() needs a string constant")
+        self.expect(")")
+        if wrapped:
+            self.expect(")")
+        return Filter(v.name, fn, pat)
+
+    def cmp_expr(self) -> Filter:
+        v = self.term()
+        if not isinstance(v, Var):
+            raise SparqlError("FILTER subset needs ?var on the left")
+        op = self.next()
+        if op not in _CMP_OPS:
+            raise SparqlError(f"FILTER op {op!r} unsupported "
+                              f"(subset: {sorted(_CMP_OPS)})")
+        t = self.term()
+        if op not in ("=", "!=") and not isinstance(t, Num):
+            raise SparqlError("ordering FILTER needs a numeric constant")
+        return Filter(v.name, op, t)
+
+    def str_arg(self) -> Var:
+        tok = self.peek()
+        if tok is not None and _is_kw(tok, "str"):
+            self.next()
+            self.expect("(")
+            v = self.term()
+            self.expect(")")
+        else:
+            v = self.term()
+        if not isinstance(v, Var):
+            raise SparqlError("filter function needs a ?var argument")
+        return v
 
     def triples_block(self, out: list[Pattern], stop: set[str]) -> None:
         """subject (pred obj (',' obj)*) (';' pred obj ...)* '.'?"""
@@ -269,17 +344,7 @@ class _P:
                 continue
             if _is_kw(tok, "filter"):
                 self.next()
-                self.expect("(")
-                v = self.term()
-                if not isinstance(v, Var):
-                    raise SparqlError("FILTER subset needs ?var on the left")
-                op = self.next()
-                if op != "!=":
-                    raise SparqlError(f"FILTER op {op!r} unsupported "
-                                      "(subset: !=)")
-                t = self.term()
-                self.expect(")")
-                g.filters.append(Filter(v.name, "!=", t))
+                g.filters.append(self.filter_expr())
                 continue
             self.triples_block(g.patterns, {"}"})
         # unreachable
@@ -652,6 +717,52 @@ def _left_join(bind: _Bind, opt: _Bind, on: list[str]) -> _Bind:
         batch_format="pyarrow")), cls, joined)
 
 
+#: STR() of a term-position value: strip <..> / "..."[^^<dt>] down to
+#: the lexical form (s/p positions already hold raw IRIs).
+_STR_IRI_RE = r"^<(.*)>$"
+_STR_LIT_RE = r'^"(.*)"(?:\^\^<[^>]*>)?$'
+_NUMERIC_RE = r"^-?[0-9]+(?:\.[0-9]+)?$"
+
+_CMP_KERNELS = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                ">": pc.greater, "<=": pc.less_equal,
+                ">=": pc.greater_equal}
+
+
+def _str_form(col, pos_cls: str):
+    if pos_cls != "term":
+        return col
+    a = pc.replace_substring_regex(col, _STR_IRI_RE, r"\1")
+    return pc.replace_substring_regex(a, _STR_LIT_RE, r"\1")
+
+
+def _numeric_form(col, pos_cls: str):
+    """Lexical -> float64; non-numeric terms become null, so the
+    comparison eliminates them (SPARQL type-error semantics)."""
+    s = _str_form(col, pos_cls)
+    ok = pc.match_substring_regex(s, _NUMERIC_RE)
+    return pc.cast(pc.if_else(ok, s, pa.scalar(None, pa.string())),
+                   pa.float64())
+
+
+def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
+    col = b[f.var]
+    pos = cls.get(f.var, "iri")
+    if f.op in _FILTER_FUNCS:
+        s = _str_form(col, pos)
+        if f.op == "regex":
+            return pc.match_substring_regex(s, f.term.value)
+        if f.op == "strstarts":
+            return pc.starts_with(s, f.term.value)
+        return pc.match_substring(s, f.term.value)
+    if isinstance(f.term, Num):
+        return _CMP_KERNELS[f.op](_numeric_form(col, pos),
+                                  float(f.term.value))
+    want = _const_repr(f.term, pos)
+    if f.op not in ("=", "!="):
+        raise SparqlError("ordering FILTER needs a numeric constant")
+    return _CMP_KERNELS[f.op](col, want)
+
+
 def _apply_filters(bind: _Bind, filters: list[Filter]) -> _Bind:
     pend = [f for f in filters if f.var in bind.cols()]
     if not pend:
@@ -660,8 +771,7 @@ def _apply_filters(bind: _Bind, filters: list[Filter]) -> _Bind:
     def flt(b: pa.Table, _fs=list(pend), _cls=dict(bind.cls)) -> pa.Table:
         mask = None
         for f_ in _fs:
-            want = _const_repr(f_.term, _cls.get(f_.var, "iri"))
-            m = pc.not_equal(b[f_.var], want)
+            m = _filter_mask(b, f_, _cls)
             mask = m if mask is None else pc.and_(mask, m)
         return b.filter(mask)
 

@@ -68,7 +68,13 @@ def test_parser_errors():
         parse_sparql("ASK { ?x ?y ?z }")                 # unsupported form
     with pytest.raises(SparqlError):
         parse_sparql("PREFIX e: <http://e/> SELECT ?x WHERE "
-                     "{ FILTER(?x > 3) ?x e:p ?y }")     # op subset
+                     "{ FILTER(?x > e:n) ?x e:p ?y }")   # non-numeric order
+    with pytest.raises(SparqlError):
+        parse_sparql("PREFIX e: <http://e/> SELECT ?x WHERE "
+                     "{ FILTER(bound(?x)) ?x e:p ?y }")  # fn subset
+    with pytest.raises(SparqlError):
+        parse_sparql("PREFIX e: <http://e/> SELECT ?x WHERE "
+                     "{ FILTER regex(?x, ?y) ?x e:p ?y }")  # pat not const
 
 
 # ------------------------------------------------- plan parity (ray)
@@ -351,3 +357,100 @@ def test_cli_sparql_mode(ray_session, tmp_path):
                      "statement3_insert.csv", "statement4_select.csv"]
     df = pd.read_csv(out / "statement1_select.csv")
     assert len(df) > 0 and list(df.columns) == ["x", "y", "z"]
+
+
+# ------------------------------------------------- FILTER expressions
+
+def test_parse_filter_ops():
+    from kgforge.sparql import Num
+    q = parse_sparql("""
+      PREFIX e: <http://e/>
+      SELECT ?x ?c WHERE {
+        ?x e:p ?c .
+        FILTER(?c >= 905) FILTER(?c < 915.5) FILTER(?c != e:bad)
+        FILTER regex(str(?c), "a+b")
+        FILTER(strstarts(str(?x), "http://e/"))
+        FILTER contains(?x, "frag")
+      }
+    """)[0]
+    ops = [f.op for f in q.where.filters]
+    assert ops == [">=", "<", "!=", "regex", "strstarts", "contains"]
+    assert q.where.filters[0].term == Num("905")
+    assert q.where.filters[1].term == Num("915.5")
+    assert q.where.filters[3].term.value == "a+b"
+
+
+def test_filter_numeric_matches_lexical_forms(ray_session, tmp_path):
+    """Numeric FILTER compares the lexical VALUE: "900.00" matches
+    = 900; non-numeric terms are eliminated, not errors."""
+    import ray.data
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    rows = pa.table({
+        "s": pa.array([f"http://e/s{i}" for i in range(4)]),
+        "p": pa.array(["http://e/val"] * 4),
+        "o": pa.array(['"900.00"', '"900.5"', '"free text"',
+                       '"901"^^<http://www.w3.org/2001/XMLSchema#integer>']),
+    })
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(rows), store)
+    got = execute_sparql(store, parse_sparql(
+        "SELECT ?x ?v WHERE { ?x <http://e/val> ?v . FILTER(?v = 900) }"
+    )[0]).to_pandas()
+    assert got["v"].tolist() == ['"900.00"']
+    got2 = execute_sparql(store, parse_sparql(
+        "SELECT ?x ?v WHERE { ?x <http://e/val> ?v . FILTER(?v > 900) }"
+    )[0]).to_pandas()
+    assert sorted(got2["v"]) == ['"900.5"',
+                                 '"901"^^<http://www.w3.org/2001/XMLSchema#integer>']
+
+
+def test_filter_str_functions_strip_term_form(ray_session, tmp_path):
+    import ray.data
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    rows = pa.table({
+        "s": pa.array(["http://e/a", "http://e/b"]),
+        "p": pa.array(["http://e/val"] * 2),
+        "o": pa.array(['<http://e/obj_one>', '"plain two"']),
+    })
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(rows), store)
+    # strstarts over STR() sees the IRI without <>
+    got = execute_sparql(store, parse_sparql(
+        'SELECT ?x ?v WHERE { ?x <http://e/val> ?v . '
+        'FILTER strstarts(str(?v), "http://e/obj") }')[0]).to_pandas()
+    assert got["v"].tolist() == ["<http://e/obj_one>"]
+    # regex over STR() sees the literal without quotes
+    got2 = execute_sparql(store, parse_sparql(
+        'SELECT ?x ?v WHERE { ?x <http://e/val> ?v . '
+        'FILTER regex(str(?v), "^plain t") }')[0]).to_pandas()
+    assert got2["v"].tolist() == ['"plain two"']
+    # contains on an s-position var (raw IRI, STR is identity)
+    got3 = execute_sparql(store, parse_sparql(
+        'SELECT ?x ?v WHERE { ?x <http://e/val> ?v . '
+        'FILTER contains(?x, "/b") }')[0]).to_pandas()
+    assert got3["x"].tolist() == ["http://e/b"]
+
+
+def test_filter_gate_parity(ray_session):
+    """The two FILTER gates hash-match their DuckDB mirrors at test SF."""
+    import duckdb
+    import hashlib
+    from kgforge.pipelines import versioning as V
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{SF}/part.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    for fn, sql in ((V.sparql_filter_numeric, V.sparql_filter_numeric_sql()),
+                    (V.sparql_filter_strfuncs,
+                     V.sparql_filter_strfuncs_sql())):
+        df = fn(SF).to_pandas()
+        odf = con.sql(sql).df()
+        assert sorted(df.columns) == sorted(odf.columns)
+        assert norm(df) == norm(odf)
