@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # personalized PageRank seeded at entity nodes (topic-sensitive)
     q["entity_ppr"] = graph.entity_ppr
     q["entity_cooccurrence"] = graph.entity_cooccurrence
+    # k-hop BFS reachability (crawl-frontier expansion, min depth)
+    q["crawl_frontier"] = graph.crawl_frontier
     q["lang_length_quantiles"] = quantile.lang_length_quantiles
     q["lang_length_quantiles_hdr"] = quantile.lang_length_quantiles_hdr
     # non-equi join family Ray Data lacks: broadcast+searchsorted range
@@ -338,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
     o["entity_pagerank"] = graph.entity_pagerank_sql()
     o["entity_ppr"] = graph.entity_ppr_sql()
     o["entity_cooccurrence"] = graph.entity_cooccurrence_sql()
+    o["crawl_frontier"] = graph.crawl_frontier_sql()
     o["lang_length_quantiles"] = quantile.lang_length_quantiles_sql()
     o["order_price_tiers"] = relational.order_price_tiers_sql()
     o["customers_without_big_orders"] = (

@@ -534,3 +534,210 @@ r0 AS (SELECT n, CAST(CASE WHEN n LIKE 'e:%' THEN {SCALE} ELSE 0 END
   GROUP BY e.dst)""")
     return ("WITH " + ",\n".join(ctes) +
             f"\nSELECT n AS node, CAST(r AS BIGINT) AS pr FROM r{iterations}")
+
+
+# --------------------------------------------------- k-hop reachability
+
+def khop_reachable(edges: "ray.data.Dataset", seeds: "ray.data.Dataset",
+                   k: int, num_buckets: int | None = None,
+                   force_join: bool = False) -> "ray.data.Dataset":
+    """BFS min-depth over a directed edge Dataset: every node within
+    ``k`` hops of the seed set, with its distance (seeds at depth 0).
+    The crawl-frontier primitive (and SPARQL ``p+`` bounded property
+    paths): generalizes csv2rdf's schema-only transitive closure
+    (stages/entailment.transitive_closure, driver-sized) to
+    INSTANCE-scale graphs.
+
+    Semi-naive expansion — each round joins only the NEWLY discovered
+    frontier against the edges, so total join work is O(edges reachable
+    within k), not O(k · edges):
+
+    * broadcast path (frontier+visited ≤ KGFORGE_GRAPH_BROADCAST_LIMIT):
+      frontier ships once per round via ``ray.put``; per-batch
+      vectorized ``np.isin`` against the edge blocks; the edge Dataset
+      streams, never materializes driver-side.
+    * scale path (``force_join`` or the visited set outgrows the
+      limit — the switch is one-way, mid-run): frontier/visited stay
+      Datasets; each round is TWO tagged-union bucket shuffles — (1)
+      hash(src) co-locates frontier with edge sources to emit candidate
+      dsts, (2) hash(node) anti-joins candidates against visited. Hot
+      pages (high out-degree) cost per-bucket vectorized work, never a
+      driver loop.
+
+    Returns (node:int64, depth:int64), node set exact, depth = BFS
+    minimum. Both paths are pinned equal in tests."""
+    import numpy as np
+    import polars as pl
+    import ray as _ray
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    out_schema = pa.schema([("node", pa.int64()), ("depth", pa.int64())])
+    edges = edges.materialize()
+    limit = _broadcast_limit()
+
+    def _np_of(ds: "ray.data.Dataset", col: str) -> np.ndarray:
+        parts = [t[col].to_numpy(zero_copy_only=False)
+                 for t in ds.iter_batches(batch_format="pyarrow")
+                 if t.num_rows]
+        return (np.unique(np.concatenate(parts).astype(np.int64))
+                if parts else np.array([], dtype=np.int64))
+
+    # ---- state: either driver numpy (broadcast) or Datasets (scale)
+    small = not force_join
+    if small:
+        frontier_np = _np_of(seeds, seeds.schema().names[0])
+        if frontier_np.size > limit:
+            small = False
+        else:
+            visited_np = frontier_np
+            levels = [(frontier_np, 0)]
+    if not small:
+        def as_nodes(b: pa.Table, _c=seeds.schema().names[0]) -> pa.Table:
+            return pa.table({"node": b[_c].combine_chunks()
+                             .cast(pa.int64())})
+        frontier_ds = seeds.map_batches(
+            as_nodes, batch_format="pyarrow").materialize()
+        visited_ds = frontier_ds.map_batches(
+            lambda b: b.append_column(
+                "depth", pa.array([0] * b.num_rows, pa.int64())),
+            batch_format="pyarrow").materialize()
+
+    def _to_ds(levels_) -> "ray.data.Dataset":
+        tbl = pa.concat_tables([
+            pa.table({"node": pa.array(ns, pa.int64()),
+                      "depth": pa.array([d] * len(ns), pa.int64())})
+            for ns, d in levels_])
+        return ray.data.from_arrow(tbl.cast(out_schema))
+
+    for depth in range(1, k + 1):
+        if small:
+            ref = _ray.put(frontier_np)
+
+            def expand(batch: pa.Table, ref=ref) -> pa.Table:
+                cur = _ray.get(ref)
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                dst = batch["dst"].to_numpy(zero_copy_only=False)
+                return pa.table({"node": pa.array(
+                    np.unique(dst[np.isin(src, cur)]), pa.int64())})
+
+            cand = _np_of(
+                edges.map_batches(expand, batch_format="pyarrow"), "node")
+            new = cand[~np.isin(cand, visited_np)]
+            if visited_np.size + new.size > limit:
+                # one-way switch: ship the driver state into Datasets
+                # and continue this round on the scale path
+                small = False
+                visited_ds = _to_ds(levels).materialize()
+                frontier_ds = ray.data.from_arrow(pa.table(
+                    {"node": pa.array(frontier_np, pa.int64())}))
+            else:
+                if new.size == 0:
+                    break
+                levels.append((new, depth))
+                visited_np = np.union1d(visited_np, new)
+                frontier_np = new
+                continue
+
+        # ---- scale path round: (1) frontier ⋈ edges on src -> cand
+        def tag_frontier(b: pa.Table) -> pa.Table:
+            df = pl.from_arrow(b).unique()
+            return (df.rename({"node": "src"})
+                    .with_columns(pl.lit(None, pl.Int64).alias("dst"),
+                                  pl.lit(0, pl.Int8).alias("_t"),
+                                  (pl.col("src").hash(seed=0)
+                                   % num_buckets).cast(pl.Int32)
+                                  .alias("_gb")).to_arrow())
+
+        def tag_edges(b: pa.Table) -> pa.Table:
+            df = pl.from_arrow(b.select(["src", "dst"])).unique()
+            return (df.with_columns(pl.lit(1, pl.Int8).alias("_t"),
+                                    (pl.col("src").hash(seed=0)
+                                     % num_buckets).cast(pl.Int32)
+                                    .alias("_gb")).to_arrow())
+
+        def emit_dsts(group: pa.Table) -> pa.Table:
+            df = pl.from_arrow(group)
+            cur = df.filter(pl.col("_t") == 0).select("src").unique()
+            hit = (df.filter(pl.col("_t") == 1)
+                   .join(cur, on="src", how="semi"))
+            return (hit.select(pl.col("dst").alias("node")).unique()
+                    .to_arrow().cast(pa.schema([("node", pa.int64())])))
+
+        cand = (frontier_ds.map_batches(tag_frontier,
+                                        batch_format="pyarrow")
+                .union(edges.map_batches(tag_edges,
+                                         batch_format="pyarrow"))
+                .groupby("_gb").map_groups(emit_dsts,
+                                           batch_format="pyarrow"))
+
+        # ---- (2) cand anti visited, keyed on node
+        def tag_node(t_val: int):
+            def fn(b: pa.Table) -> pa.Table:
+                df = pl.from_arrow(pa.table(
+                    {"node": b["node"].combine_chunks().cast(pa.int64())}
+                )).unique()
+                return df.with_columns(
+                    pl.lit(t_val, pl.Int8).alias("_t"),
+                    (pl.col("node").hash(seed=0) % num_buckets)
+                    .cast(pl.Int32).alias("_gb")).to_arrow()
+            return fn
+
+        def anti(group: pa.Table, _d=depth) -> pa.Table:
+            df = pl.from_arrow(group)
+            seen = df.filter(pl.col("_t") == 1).select("node")
+            fresh = (df.filter(pl.col("_t") == 0).select("node").unique()
+                     .join(seen, on="node", how="anti"))
+            return (fresh.with_columns(pl.lit(_d, pl.Int64).alias("depth"))
+                    .to_arrow().cast(out_schema))
+
+        new_ds = (cand.map_batches(tag_node(0), batch_format="pyarrow")
+                  .union(visited_ds.map_batches(tag_node(1),
+                                                batch_format="pyarrow"))
+                  .groupby("_gb").map_groups(anti, batch_format="pyarrow")
+                  ).materialize()
+        if new_ds.count() == 0:
+            break
+        visited_ds = visited_ds.union(new_ds).materialize()
+        frontier_ds = new_ds.select_columns(["node"]).materialize()
+
+    from . import ensure_schema
+    if small:
+        return ensure_schema(_to_ds(levels), out_schema)
+    return ensure_schema(visited_ds, out_schema)
+
+
+def crawl_frontier(sf_dir: str, k: int = 3, seed_mod: int = 97,
+                   force_join: bool = False) -> "ray.data.Dataset":
+    """Gate: crawl-frontier expansion — every page within ``k`` link
+    hops of the seed pages (doc_id % seed_mod == 0) over the synthetic
+    link graph, with its BFS depth."""
+    from ..sources.readers import read_table
+    from .linkgraph import build_links
+    links = build_links(sf_dir)
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = (b["doc_id"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(ids[ids % seed_mod == 0],
+                                          pa.int64())})
+
+    seeds = docs.map_batches(pick, batch_format="pyarrow")
+    return khop_reachable(links, seeds, k, force_join=force_join)
+
+
+def crawl_frontier_sql(k: int = 3, seed_mod: int = 97) -> str:
+    from .linkgraph import _links_sql
+    return f"""
+WITH RECURSIVE {_links_sql()},
+seeds AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents
+          WHERE doc_id % {seed_mod} = 0),
+walk(node, depth) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT CAST(l.dst AS BIGINT), w.depth + 1
+  FROM walk w JOIN links l ON l.src = w.node
+  WHERE w.depth < {k}
+)
+SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM walk GROUP BY node
+"""

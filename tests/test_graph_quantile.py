@@ -227,3 +227,71 @@ def test_entity_ppr_parity_all_paths(ray_session, monkeypatch):
     d_max = bc[bc.node.str.startswith("d:")]["pr"].max()
     assert len(bc[bc.node.str.startswith("e:")]) > 0
     assert bc[bc.node.str.startswith("d:")]["pr"].gt(0).all()
+
+
+# --------------------------------------------------- k-hop reachability
+
+def _khop_rows(ds):
+    df = ds.to_pandas()
+    return sorted(map(tuple, df[["node", "depth"]].itertuples(index=False)))
+
+
+def _planted_edges():
+    import ray.data
+    # chain 0->1->2->3->4, a cycle back-edge 2->0, and a hub 0->{10,11}
+    src = [0, 1, 2, 3, 2, 0, 0]
+    dst = [1, 2, 3, 4, 0, 10, 11]
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())}))
+
+
+def _planted_seeds():
+    import ray.data
+    return ray.data.from_arrow(pa.table({"node": pa.array([0], pa.int64())}))
+
+
+def test_khop_planted_chain_cycle_hub(ray_session):
+    """BFS min-depth: cycle does not re-discover the seed, hub fans out
+    at depth 1, chain advances one hop per round, k bounds the walk."""
+    from kgforge.ops.graph import khop_reachable
+    got = _khop_rows(khop_reachable(_planted_edges(), _planted_seeds(), 2))
+    assert got == [(0, 0), (1, 1), (2, 2), (10, 1), (11, 1)]
+    got4 = _khop_rows(khop_reachable(_planted_edges(), _planted_seeds(), 4))
+    assert got4 == [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4),
+                    (10, 1), (11, 1)]
+    # early exit: frontier dries up before k
+    got9 = _khop_rows(khop_reachable(_planted_edges(), _planted_seeds(), 9))
+    assert got9 == got4
+
+
+def test_khop_paths_equal(ray_session, monkeypatch):
+    """broadcast, force_join, and the one-way mid-run switch all yield
+    identical (node, depth) sets."""
+    from kgforge.ops.graph import khop_reachable
+    base = _khop_rows(khop_reachable(_planted_edges(), _planted_seeds(), 3))
+    fj = _khop_rows(khop_reachable(_planted_edges(), _planted_seeds(), 3,
+                                   force_join=True))
+    assert fj == base
+    monkeypatch.setenv("KGFORGE_GRAPH_BROADCAST_LIMIT", "2")
+    sw = _khop_rows(khop_reachable(_planted_edges(), _planted_seeds(), 3))
+    assert sw == base
+
+
+def test_crawl_frontier_matches_recursive_cte(ray_session):
+    import hashlib
+    from kgforge.ops.graph import crawl_frontier, crawl_frontier_sql
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = (df[cols].astype(str).sort_values(cols)
+              .reset_index(drop=True))
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    ora = con.sql(crawl_frontier_sql()).df()
+    got = crawl_frontier(SF).to_pandas()
+    assert len(got) == len(ora) > 0
+    assert norm(got) == norm(ora)
