@@ -544,7 +544,16 @@ def _pattern_cols(pat: Pattern) -> dict[str, str]:
     return out
 
 
-def _eval_schema_pattern(store_dir: str, pat: Pattern) -> pa.Table:
+def _wrap_iri(arr) -> pa.Array:
+    return pc.binary_join_element_wise(
+        pa.scalar("<"),
+        arr.combine_chunks().cast(pa.string())
+        if isinstance(arr, pa.ChunkedArray) else arr.cast(pa.string()),
+        pa.scalar(">"), "")
+
+
+def _eval_schema_pattern(store_dir: str, pat: Pattern,
+                         cls: dict[str, str]) -> pa.Table:
     tbl = _closure_table(store_dir, pat.p.value)
     mask = None
     for col, t in (("sub", pat.s), ("sup", pat.o)):
@@ -554,17 +563,24 @@ def _eval_schema_pattern(store_dir: str, pat: Pattern) -> pa.Table:
             mask = m if mask is None else pc.and_(mask, m)
     if mask is not None:
         tbl = tbl.filter(mask)
-    names, keep = [], []
+    names, arrays = [], []
     for col, t in (("sub", pat.s), ("sup", pat.o)):
         if isinstance(t, Var):
-            keep.append(col)
+            arr = tbl[col]
+            if cls.get(t.name) == "term":
+                arr = _wrap_iri(arr)   # closure stores raw IRIs
             names.append(t.name)
-    return tbl.select(keep).rename_columns(names)
+            arrays.append(arr)
+    return pa.table(dict(zip(names, arrays)))
 
 
 def _eval_store_pattern(store_dir: str, pat: Pattern,
-                        p_values: list[str] | None) -> "ray.data.Dataset":
-    """One triple pattern -> Dataset of its variable columns.
+                        p_values: list[str] | None,
+                        cls: dict[str, str]) -> "ray.data.Dataset":
+    """One triple pattern -> Dataset of its variable columns, each in
+    the variable's canonical representation (s/p raw IRIs are WRAPPED
+    to term form for 'term'-class variables so position-crossing
+    chains join correctly — see ``_collect_cls``).
     ``p_values``: when the predicate is a variable already bound to a
     small value set, expand to pruned reads (one partition dir per
     value) instead of a full scan."""
@@ -587,9 +603,12 @@ def _eval_store_pattern(store_dir: str, pat: Pattern,
     else:
         ds = query_triples(store_dir, s=s, o=o)
     ren = _pattern_cols(pat)
+    wrap = {c for c, v in ren.items()
+            if c in ("s", "p") and cls.get(v) == "term"}
 
-    def project(b: pa.Table, _ren=dict(ren)) -> pa.Table:
-        cols = [b[c] for c in _ren]
+    def project(b: pa.Table, _ren=dict(ren), _wrap=frozenset(wrap)
+                ) -> pa.Table:
+        cols = [(_wrap_iri(b[c]) if c in _wrap else b[c]) for c in _ren]
         return pa.table(dict(zip(_ren.values(), cols)))
 
     out = ds.map_batches(project, batch_format="pyarrow")
@@ -791,10 +810,33 @@ def _pattern_order(patterns: list[Pattern]) -> list[Pattern]:
     return sorted(patterns, key=key)
 
 
-def _merge_cls(cls: dict[str, str], pat: Pattern) -> None:
-    for col, t in (("s", pat.s), ("p", pat.p), ("o", pat.o)):
-        if isinstance(t, Var):
-            cls.setdefault(t.name, "term" if col == "o" else "iri")
+def _collect_cls(g: Group, cls: dict[str, str] | None = None
+                 ) -> dict[str, str]:
+    """One canonical representation class per variable across the WHOLE
+    query: 'term' (the store's rendered o form) if the var EVER appears
+    in the o-position of a non-schema pattern, else 'iri' (raw IRI).
+    A var chained from an o-position into an s-position
+    (``?x p ?y . ?y q ?z``) must join in ONE representation — the
+    s/p-position read WRAPS the raw IRI into term form (lossless, no
+    row is dropped), so literal bindings simply fail inner joins and
+    stay unbound under OPTIONAL, the SPARQL semantics."""
+    if cls is None:
+        cls = {}
+    for pat in g.patterns:
+        is_schema = (isinstance(pat.p, Iri)
+                     and pat.p.value in _SCHEMA_PREDS)
+        for col, t in (("s", pat.s), ("p", pat.p), ("o", pat.o)):
+            if isinstance(t, Var):
+                if col == "o" and not is_schema:
+                    cls[t.name] = "term"
+                else:
+                    cls.setdefault(t.name, "iri")
+    for alts in g.unions:
+        for a in alts:
+            _collect_cls(a, cls)
+    for sub in g.minus + g.optionals:
+        _collect_cls(sub, cls)
+    return cls
 
 
 def _join_binds(bind: _Bind, new: _Bind, cls: dict[str, str]) -> _Bind:
@@ -840,16 +882,15 @@ def _concat_binds(parts: list[_Bind]) -> _Bind:
     return _Bind(_batch_guard(ds), cls, list(cols))
 
 
-def _eval_group(store_dir: str, g: Group) -> _Bind:
+def _eval_group(store_dir: str, g: Group,
+                cls: dict[str, str] | None = None) -> _Bind:
+    if cls is None:
+        cls = _collect_cls(g)
     bind: _Bind | None = None
-    cls: dict[str, str] = {}
     for pat in _pattern_order(g.patterns):
         is_schema = (isinstance(pat.p, Iri) and pat.p.value in _SCHEMA_PREDS)
-        _merge_cls(cls, pat)
         if is_schema:
-            tbl = _eval_schema_pattern(store_dir, pat)
-            for v in _pattern_cols(pat).values():
-                cls[v] = "iri"           # closure stores raw IRIs
+            tbl = _eval_schema_pattern(store_dir, pat, cls)
             new = _Bind(tbl, cls)
         else:
             p_values = None
@@ -857,16 +898,18 @@ def _eval_group(store_dir: str, g: Group) -> _Bind:
                     and pat.p.name in bind.cols()):
                 vals = bind.data[pat.p.name]
                 p_values = sorted(set(
-                    v for v in vals.to_pylist() if v is not None))
-            new = _Bind(_eval_store_pattern(store_dir, pat, p_values), cls,
-                        list(_pattern_cols(pat).values()))
+                    v[1:-1] if v.startswith("<") and v.endswith(">") else v
+                    for v in vals.to_pylist() if v is not None))
+            new = _Bind(
+                _eval_store_pattern(store_dir, pat, p_values, cls), cls,
+                list(_pattern_cols(pat).values()))
         bind = (new if bind is None
                 else _join_binds(bind, new, cls))
         bind = _apply_filters(bind, g.filters)
     if bind is None and not g.unions:
         raise SparqlError("empty group")
     for alts in g.unions:
-        parts = [_apply_filters(_eval_group(store_dir, a), a.filters)
+        parts = [_apply_filters(_eval_group(store_dir, a, cls), a.filters)
                  for a in alts]
         colsets = {tuple(sorted(p.cols())) for p in parts}
         if len(colsets) != 1:
@@ -874,12 +917,10 @@ def _eval_group(store_dir: str, g: Group) -> _Bind:
                 "UNION alternatives must bind the same variables "
                 f"(got {sorted(colsets)})")
         ub = _concat_binds(parts)
-        cls = dict(bind.cls) if bind is not None else {}
-        cls.update(ub.cls)
         bind = ub if bind is None else _join_binds(bind, ub, cls)
     bind = _apply_filters(bind, g.filters)
     for m in g.minus:
-        mb = _eval_group(store_dir, m)
+        mb = _eval_group(store_dir, m, cls)
         mb = _apply_filters(mb, m.filters)
         on = sorted(set(bind.cols()) & set(mb.cols()))
         # pull a Dataset minus side driver-side when it is small enough
@@ -894,7 +935,8 @@ def _eval_group(store_dir: str, g: Group) -> _Bind:
                     or [empty]), mb.cls)
         bind = _anti_join(bind, mb, on)
     for opt in g.optionals:
-        ob = _apply_filters(_eval_group(store_dir, opt), opt.filters)
+        ob = _apply_filters(_eval_group(store_dir, opt, cls),
+                            opt.filters)
         on = sorted(set(bind.cols()) & set(ob.cols()))
         bind = _left_join(bind, ob, on)
     return bind

@@ -454,3 +454,74 @@ def test_filter_gate_parity(ray_session):
         odf = con.sql(sql).df()
         assert sorted(df.columns) == sorted(odf.columns)
         assert norm(df) == norm(odf)
+
+
+# ------------------------------------------- position-crossing chains
+
+@pytest.fixture()
+def chain_store(ray_session, tmp_path):
+    import ray.data
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    rows = pa.table({
+        "s": ["http://e/a", "http://e/b", "http://e/a"],
+        "p": ["http://e/p1", "http://e/p2", "http://e/p1"],
+        "o": ['<http://e/b>', '<http://e/c>', '"literal obj"'],
+    })
+    store = str(tmp_path / "chain")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(rows), store)
+    return store
+
+
+def test_object_to_subject_chain(ray_session, chain_store):
+    """?x p1 ?y . ?y p2 ?z — the o-position binding must join the
+    s-position read in ONE representation (regression: this silently
+    returned empty when o kept term form against raw s)."""
+    q = parse_sparql("SELECT ?x ?y ?z WHERE "
+                     "{ ?x <http://e/p1> ?y . ?y <http://e/p2> ?z }")[0]
+    df = execute_sparql(chain_store, q).to_pandas()
+    assert df.to_dict("records") == [
+        {"x": "http://e/a", "y": "<http://e/b>", "z": "<http://e/c>"}]
+
+
+def test_chain_literal_stays_unbound_under_optional(ray_session,
+                                                    chain_store):
+    """A literal ?y cannot match an s-position: dropped by the inner
+    join, kept with unbound ?z under OPTIONAL (type-error semantics —
+    the representation fix must not FILTER the outer side)."""
+    q = parse_sparql(
+        "SELECT ?x ?y ?z WHERE { ?x <http://e/p1> ?y . "
+        "OPTIONAL { ?y <http://e/p2> ?z } }")[0]
+    rows = sorted(execute_sparql(chain_store, q).to_pandas()
+                  .fillna("NULL").itertuples(index=False))
+    assert [tuple(r) for r in rows] == [
+        ("http://e/a", '"literal obj"', "NULL"),
+        ("http://e/a", "<http://e/b>", "<http://e/c>")]
+
+
+def test_chain_into_schema_pattern(ray_session, tmp_path):
+    """o-position var chained into a SCHEMA closure pattern: the
+    closure's raw IRIs are wrapped to the var's term form."""
+    import ray.data
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    sc = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    rows = pa.table({
+        "s": ["http://e/x1", "http://e/T", "http://e/Mid"],
+        "p": ["http://e/typed", sc, sc],
+        "o": ['<http://e/T>', '<http://e/Mid>', '<http://e/Top>'],
+    })
+    store = str(tmp_path / "schchain")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(rows), store)
+    q = parse_sparql(
+        "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+        "SELECT ?i ?t ?a WHERE { ?i <http://e/typed> ?t . "
+        "?t rdfs:subClassOf ?a }")[0]
+    got = sorted(execute_sparql(store, q).to_pandas()
+                 .itertuples(index=False))
+    # transitive closure: T -> Mid and T -> Top. ?t joins in term form
+    # (o-position elsewhere); ?a is schema-closure-only and stays a raw
+    # IRI, the module's convention for entailed schema bindings.
+    assert [tuple(r) for r in got] == [
+        ("http://e/x1", "<http://e/T>", "http://e/Mid"),
+        ("http://e/x1", "<http://e/T>", "http://e/Top")]
