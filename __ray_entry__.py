@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # SPARQL FILTER expression subset (numeric compare, regex/strstarts)
     q["sparql_filter_numeric"] = versioning.sparql_filter_numeric
     q["sparql_filter_strfuncs"] = versioning.sparql_filter_strfuncs
+    # SPARQL 1.1 Kleene-plus property path over an instance predicate
+    q["sparql_path_ancestors"] = versioning.sparql_path_ancestors
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -315,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_union_versions"] = versioning.sparql_union_versions_sql()
     o["sparql_filter_numeric"] = versioning.sparql_filter_numeric_sql()
     o["sparql_filter_strfuncs"] = versioning.sparql_filter_strfuncs_sql()
+    o["sparql_path_ancestors"] = versioning.sparql_path_ancestors_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

@@ -741,3 +741,136 @@ walk(node, depth) AS (
 )
 SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM walk GROUP BY node
 """
+
+
+def transitive_pairs(edges: "ray.data.Dataset", src: str = "src",
+                     dst: str = "dst", num_buckets: int | None = None,
+                     force_join: bool = False, max_rounds: int = 64
+                     ) -> "ray.data.Dataset":
+    """All (start, reach) pairs of the TRANSITIVE CLOSURE (path length
+    >= 1) of a directed STRING-node edge Dataset — the engine behind
+    SPARQL ``p+`` property paths over instance-scale predicates
+    (kgforge/sparql.py), generalizing the driver-sized schema closure
+    (stages/entailment.transitive_closure) the same way khop_reachable
+    generalizes seed-set BFS.
+
+    * broadcast path (distinct edges ≤ KGFORGE_GRAPH_BROADCAST_LIMIT —
+      the common case: ontologies/taxonomies are tiny next to the
+      corpus): one driver BFS per source over the edge dict.
+    * scale path (``force_join`` or more edges): semi-naive iteration —
+      each round extends only the NEWLY found pairs by one edge hop
+      (hash(reach)-bucket join), then anti-joins against the closure
+      (hash(pair)-bucket), so total join work is O(|closure|), cycles
+      saturate instead of looping, and rounds = longest simple path.
+
+    Both paths are pinned equal in tests (including cycles, where a
+    node reaches itself through the loop)."""
+    import polars as pl
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    out_schema = pa.schema([("start", pa.string()),
+                            ("reach", pa.string())])
+
+    def norm(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b.select([src, dst]))
+              .rename({src: "start", dst: "reach"}).unique())
+        return df.to_arrow().cast(out_schema)
+
+    e = edges.map_batches(norm, batch_format="pyarrow").materialize()
+
+    if not force_join and e.count() <= _broadcast_limit():
+        from ..stages.entailment import transitive_closure
+        tbls = [t for t in e.iter_batches(batch_format="pyarrow")
+                if t.num_rows]
+        rows = (pa.concat_tables(tbls) if tbls
+                else out_schema.empty_table())
+        clo = transitive_closure(list(zip(rows["start"].to_pylist(),
+                                          rows["reach"].to_pylist())))
+        starts, reaches = [], []
+        for a in sorted(clo):
+            for b_ in sorted(clo[a]):
+                starts.append(a)
+                reaches.append(b_)
+        return ray.data.from_arrow(pa.table({
+            "start": pa.array(starts, pa.string()),
+            "reach": pa.array(reaches, pa.string())}))
+
+    # ---- scale path: semi-naive closure over Datasets
+    def _pair_distinct(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        from ..stages.dedup import distinct
+        return distinct(ds, ["start", "reach"])
+
+    closure = _pair_distinct(e).materialize()
+    frontier = closure
+
+    # one schema for both union legs: (_key = join node, start, nxt)
+    hop_schema = pa.schema([("_key", pa.string()), ("start", pa.string()),
+                            ("nxt", pa.string()), ("_t", pa.int8()),
+                            ("_gb", pa.int32())])
+
+    def tag_frontier(b: pa.Table) -> pa.Table:
+        # a found pair (start, reach) extends AT its reach node
+        df = pl.from_arrow(b).unique()
+        return (df.select(pl.col("reach").alias("_key"), pl.col("start"),
+                          pl.lit(None, pl.Utf8).alias("nxt"),
+                          pl.lit(0, pl.Int8).alias("_t"),
+                          (pl.col("reach").hash(seed=0) % num_buckets)
+                          .cast(pl.Int32).alias("_gb"))
+                .to_arrow().cast(hop_schema))
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        # an edge (start, reach) is consumed AT its start node
+        df = pl.from_arrow(b).unique()
+        return (df.select(pl.col("start").alias("_key"),
+                          pl.lit(None, pl.Utf8).alias("start"),
+                          pl.col("reach").alias("nxt"),
+                          pl.lit(1, pl.Int8).alias("_t"),
+                          (pl.col("start").hash(seed=0) % num_buckets)
+                          .cast(pl.Int32).alias("_gb"))
+                .to_arrow().cast(hop_schema))
+
+    def extend(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        fr = (df.filter(pl.col("_t") == 0)
+              .select(["_key", "start"]).unique())
+        ed = (df.filter(pl.col("_t") == 1)
+              .select(["_key", "nxt"]).unique())
+        out = (fr.join(ed, on="_key", how="inner")
+               .select([pl.col("start"),
+                        pl.col("nxt").alias("reach")]).unique())
+        return out.to_arrow().cast(out_schema)
+
+    def tag_pairs(t_val: int):
+        def fn(b: pa.Table) -> pa.Table:
+            df = pl.from_arrow(b.select(["start", "reach"])).unique()
+            h = df.hash_rows(seed=0)
+            return df.with_columns(
+                pl.lit(t_val, pl.Int8).alias("_t"),
+                pl.Series("_gb", (h % num_buckets)).cast(pl.Int32)
+            ).to_arrow()
+        return fn
+
+    def anti(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        seen = df.filter(pl.col("_t") == 1).select(["start", "reach"])
+        fresh = (df.filter(pl.col("_t") == 0)
+                 .select(["start", "reach"]).unique()
+                 .join(seen, on=["start", "reach"], how="anti"))
+        return fresh.to_arrow().cast(out_schema)
+
+    for _ in range(max_rounds):
+        cand = (frontier.map_batches(tag_frontier, batch_format="pyarrow")
+                .union(e.map_batches(tag_edges, batch_format="pyarrow"))
+                .groupby("_gb").map_groups(extend, batch_format="pyarrow"))
+        new = (cand.map_batches(tag_pairs(0), batch_format="pyarrow")
+               .union(closure.map_batches(tag_pairs(1),
+                                          batch_format="pyarrow"))
+               .groupby("_gb").map_groups(anti, batch_format="pyarrow")
+               ).materialize()
+        if new.count() == 0:
+            break
+        closure = closure.union(new).materialize()
+        frontier = new
+
+    from . import ensure_schema
+    return ensure_schema(closure, out_schema)

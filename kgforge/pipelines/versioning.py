@@ -271,6 +271,107 @@ def sparql_filter_strfuncs(sf_dir: str) -> "ray.data.Dataset":
     return execute_sparql(_v4_part_store(sf_dir), q)
 
 
+NSC = "https://kgforge.example.org/cat/"
+N_CATS = 120   # cat2..cat121, parent = cat(k//2), root = cat1
+
+
+def category_triples(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic category-taxonomy fixture: a binary-tree hierarchy
+    ``cat_k subCategoryOf cat_{k//2}`` (k in 2..121) plus one
+    ``part_i typed_in cat_{(i % 120) + 2}`` instance triple per part —
+    multi-hop ancestor chains for the ``p+`` property-path gate."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "part", columns=["p_partkey"])
+
+    def build(b: pa.Table) -> pa.Table:
+        keys = (b["p_partkey"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        s = pa.array([f"{NSC}part{k}" for k in keys], pa.string())
+        o = pa.array([f"<{NSC}cat{(k % N_CATS) + 2}>" for k in keys],
+                     pa.string())
+        return pa.table({
+            "s": s,
+            "p": pa.array([NSC + "typed_in"] * len(keys), pa.string()),
+            "o": o})
+
+    inst = ds.map_batches(build, batch_format="pyarrow")
+    ks = list(range(2, N_CATS + 2))
+    tree = pa.table({
+        "s": pa.array([f"{NSC}cat{k}" for k in ks], pa.string()),
+        "p": pa.array([NSC + "subCategoryOf"] * len(ks), pa.string()),
+        "o": pa.array([f"<{NSC}cat{k // 2}>" for k in ks], pa.string()),
+    })
+    return inst.union(ray.data.from_arrow(tree))
+
+
+def category_store(sf_dir: str) -> str:
+    """Idempotent predicate-partitioned store of the category fixture
+    (content-keyed /tmp cache, atomic build)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    src = sorted(glob.glob(os.path.join(sf_dir, "part*.parquet")))
+    stamp = ";".join(f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p):.6f}"
+                     for p in src)
+    key = hashlib.md5(f"catstore:{os.path.abspath(sf_dir)}:{stamp}"
+                      .encode()).hexdigest()[:12]
+    store = f"/tmp/kgforge_catstore_{key}"
+    marker = os.path.join(store, "_SUCCESS")
+    if os.path.exists(marker):
+        return store
+    shutil.rmtree(store, ignore_errors=True)
+    tmp = store + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    from ..sinks.ntriples_sink import write_graph_partitioned
+    os.makedirs(tmp, exist_ok=True)
+    write_graph_partitioned(category_triples(sf_dir), tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    os.replace(tmp, store)
+    return store
+
+
+PATH_QUERY_TEXT = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT DISTINCT ?p ?a WHERE {
+  ?p c:typed_in ?c .
+  ?c c:subCategoryOf+ ?a
+}
+"""
+
+
+def sparql_path_ancestors(sf_dir: str) -> "ray.data.Dataset":
+    """SPARQL 1.1 property-path gate: every (part, category-ancestor)
+    pair through the Kleene-plus of an INSTANCE predicate — the parsed
+    ``subCategoryOf+`` plans onto ops.graph.transitive_pairs, and the
+    ?c chain crosses from an o-position into the path's s-position
+    (exercising the canonical-representation join fix)."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(PATH_QUERY_TEXT)[0]
+    assert q.where.patterns[1].path == "+"
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_path_ancestors_sql() -> str:
+    return f"""
+WITH RECURSIVE
+inst AS (SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+                CAST(p_partkey % {N_CATS} + 2 AS BIGINT) AS ck FROM part),
+walk(node, anc) AS (
+  SELECT CAST(range AS BIGINT), CAST(range // 2 AS BIGINT)
+  FROM range(2, {N_CATS + 2})
+  UNION ALL
+  SELECT w.node, w.anc // 2 FROM walk w WHERE w.anc >= 2
+),
+pairs AS (SELECT DISTINCT node, anc FROM walk)
+SELECT DISTINCT inst.p AS p,
+       '<{NSC}cat' || CAST(pairs.anc AS VARCHAR) || '>' AS a
+FROM inst JOIN pairs ON pairs.node = inst.ck
+"""
+
+
 def sparql_filter_strfuncs_sql() -> str:
     from .tabular import v4_kg_part_sql
     iri = "trim(o, '<>')"

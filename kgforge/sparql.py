@@ -95,6 +95,7 @@ class Pattern:
     s: object
     p: object
     o: object
+    path: str | None = None   # '+' == Kleene-plus property path
 
     def vars(self) -> list[str]:
         return [t.name for t in (self.s, self.p, self.o)
@@ -153,7 +154,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|:[A-Za-z0-9_.\-]+)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>!=|<=|>=|=|<|>|\{|\}|\(|\)|\.|;|,|\*)
+  | (?P<punct>!=|<=|>=|=|<|>|\{|\}|\(|\)|\.|;|,|\*|\+)
   | (?P<ws>\s+)
 """, re.X)
 
@@ -284,9 +285,16 @@ class _P:
         s = self.term()
         while True:
             p = self.term()
+            path = None
+            if self.peek() == "+":
+                self.next()
+                if not isinstance(p, Iri):
+                    raise SparqlError(
+                        "property path '+' needs a constant predicate")
+                path = "+"
             while True:
                 o = self.term()
-                out.append(Pattern(s, p, o))
+                out.append(Pattern(s, p, o, path))
                 if self.peek() == ",":
                     self.next()
                     continue
@@ -800,6 +808,105 @@ def _apply_filters(bind: _Bind, filters: list[Filter]) -> _Bind:
                  bind.cls, bind.cols())
 
 
+def _eval_path_pattern(store_dir: str, pat: Pattern,
+                       cls: dict[str, str]) -> "ray.data.Dataset":
+    """``s p+ o`` (SPARQL 1.1 Kleene-plus property path) over ONE
+    instance predicate: the set of pairs connected by a directed path
+    of length >= 1 through ``p`` edges.
+
+    Plan: the partition-pruned ``p`` read feeds
+    ``ops.graph.transitive_pairs`` (driver BFS when the predicate's
+    edge set is ontology-sized, semi-naive bucket-join iteration at
+    scale) over the IRI-object edges — literals cannot be path
+    INTERMEDIATES — then ONE extension join back onto the raw edge set
+    keeps literal ENDPOINTS reachable at depth >= 2. Path solutions are
+    a set (the spec does not enumerate paths), so pairs are
+    dedup'd."""
+    from .ops.graph import transitive_pairs
+    from .sinks.store_query import query_triples
+    from .stages.dedup import distinct
+    if not isinstance(pat.s, Var) and not isinstance(pat.o, Var):
+        raise SparqlError("fully-ground property path unsupported "
+                          "(subset: at least one variable endpoint)")
+    ds = query_triples(store_dir, p=pat.p.value)
+
+    def et(b: pa.Table) -> pa.Table:   # every edge, term-form endpoint
+        return pa.table({"_s": b["s"].combine_chunks().cast(pa.string()),
+                         "_o": b["o"].combine_chunks().cast(pa.string())})
+
+    e_t = ds.map_batches(et, batch_format="pyarrow")
+    sch_t = pa.schema([("_s", pa.string()), ("_o", pa.string())])
+    e_t = ray.data.from_arrow(sch_t.empty_table()).union(e_t)
+
+    def ei(b: pa.Table) -> pa.Table:   # IRI-object edges, raw space
+        o = b["_o"].combine_chunks().cast(pa.string())
+        m = pc.and_(pc.starts_with(o, "<"), pc.ends_with(o, ">"))
+        t = b.filter(m)
+        raw = pc.replace_substring_regex(
+            t["_o"].combine_chunks().cast(pa.string()),
+            _STR_IRI_RE, r"\1")
+        return pa.table({"src": t["_s"], "dst": raw})
+
+    e_i = e_t.map_batches(ei, batch_format="pyarrow")
+    clo = transitive_pairs(e_i).materialize()
+
+    def c2(b: pa.Table) -> pa.Table:
+        return pa.table({"_ps": b["start"], "_m": b["reach"]})
+
+    clo_m = clo.map_batches(c2, batch_format="pyarrow")
+    sch_c = pa.schema([("_ps", pa.string()), ("_m", pa.string())])
+    if clo.count() <= _broadcast_limit():
+        tbls = [t for t in clo_m.iter_batches(batch_format="pyarrow")
+                if t.num_rows]
+        a = _Bind(pa.concat_tables(tbls) if tbls else sch_c.empty_table(),
+                  {}, ["_ps", "_m"])
+    else:
+        a = _Bind(ray.data.from_arrow(sch_c.empty_table()).union(clo_m),
+                  {}, ["_ps", "_m"])
+
+    def m2(b: pa.Table) -> pa.Table:
+        return pa.table({"_m": b["_s"], "_o": b["_o"]})
+
+    b2 = _Bind(e_t.map_batches(m2, batch_format="pyarrow"), {},
+               ["_m", "_o"])
+    j = _join_binds(a, b2, {})        # depth >= 2 pairs (any endpoint)
+
+    def jsel(b: pa.Table) -> pa.Table:
+        return pa.table({"_s": b["_ps"], "_o": b["_o"]})
+
+    ext = (ray.data.from_arrow(jsel(j.data)) if j.small
+           else j.data.map_batches(jsel, batch_format="pyarrow"))
+    pairs = distinct(e_t.union(ext), ["_s", "_o"])
+
+    wrap_s = isinstance(pat.s, Var) and cls.get(pat.s.name) == "term"
+    s_const = pat.s.value if isinstance(pat.s, Iri) else None
+    o_const = (_const_repr(pat.o, "term")
+               if not isinstance(pat.o, Var) else None)
+    names = {}
+    if isinstance(pat.s, Var):
+        names["_s"] = pat.s.name
+    if isinstance(pat.o, Var):
+        names["_o"] = pat.o.name
+
+    def finish(b: pa.Table, _n=dict(names), _w=wrap_s, _sc=s_const,
+               _oc=o_const) -> pa.Table:
+        if _sc is not None:
+            b = b.filter(pc.equal(b["_s"], _sc))
+        if _oc is not None:
+            b = b.filter(pc.equal(b["_o"], _oc))
+        cols = {}
+        for c, v in _n.items():
+            arr = b[c]
+            if c == "_s" and _w:
+                arr = _wrap_iri(arr)
+            cols[v] = arr
+        return pa.table(cols)
+
+    sch = pa.schema([(v, pa.string()) for v in names.values()])
+    return ray.data.from_arrow(sch.empty_table()).union(
+        pairs.map_batches(finish, batch_format="pyarrow"))
+
+
 def _pattern_order(patterns: list[Pattern]) -> list[Pattern]:
     """Schema-closure patterns first (driver-side, they bind predicate
     variables cheaply), then by boundness (more constants first)."""
@@ -890,8 +997,12 @@ def _eval_group(store_dir: str, g: Group,
     for pat in _pattern_order(g.patterns):
         is_schema = (isinstance(pat.p, Iri) and pat.p.value in _SCHEMA_PREDS)
         if is_schema:
+            # schema closure is already transitive: `p+` == `p` here
             tbl = _eval_schema_pattern(store_dir, pat, cls)
             new = _Bind(tbl, cls)
+        elif pat.path == "+":
+            new = _Bind(_eval_path_pattern(store_dir, pat, cls), cls,
+                        list(_pattern_cols(pat).values()))
         else:
             p_values = None
             if (isinstance(pat.p, Var) and bind is not None and bind.small

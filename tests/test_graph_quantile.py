@@ -295,3 +295,34 @@ def test_crawl_frontier_matches_recursive_cte(ray_session):
     got = crawl_frontier(SF).to_pandas()
     assert len(got) == len(ora) > 0
     assert norm(got) == norm(ora)
+
+
+# ------------------------------------------------- transitive closure
+
+def test_transitive_pairs_paths_equal_with_cycle(ray_session):
+    """Chain + 2-cycle: closure includes cycle self-reachability; the
+    driver-BFS and semi-naive Dataset paths are identical."""
+    import ray.data
+    from kgforge.ops.graph import transitive_pairs
+    e = ray.data.from_arrow(pa.table({
+        "src": ["a", "b", "d", "e"], "dst": ["b", "c", "e", "d"]}))
+
+    def rows(ds):
+        return sorted(map(tuple, ds.to_pandas().itertuples(index=False)))
+
+    want = [("a", "b"), ("a", "c"), ("b", "c"),
+            ("d", "d"), ("d", "e"), ("e", "d"), ("e", "e")]
+    assert rows(transitive_pairs(e)) == want
+    assert rows(transitive_pairs(e, force_join=True)) == want
+
+
+def test_transitive_pairs_diamond_dedup(ray_session):
+    """Diamond a->{b,c}->d: (a, d) appears ONCE (solutions are a set)."""
+    import ray.data
+    from kgforge.ops.graph import transitive_pairs
+    e = ray.data.from_arrow(pa.table({
+        "src": ["a", "a", "b", "c"], "dst": ["b", "c", "d", "d"]}))
+    got = sorted(map(tuple, transitive_pairs(e, force_join=True)
+                     .to_pandas().itertuples(index=False)))
+    assert got == [("a", "b"), ("a", "c"), ("a", "d"),
+                   ("b", "d"), ("c", "d")]

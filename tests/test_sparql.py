@@ -525,3 +525,64 @@ def test_chain_into_schema_pattern(ray_session, tmp_path):
     assert [tuple(r) for r in got] == [
         ("http://e/x1", "<http://e/T>", "http://e/Mid"),
         ("http://e/x1", "<http://e/T>", "http://e/Top")]
+
+
+# ------------------------------------------------- property paths (p+)
+
+def test_parse_property_path():
+    q = parse_sparql("PREFIX e: <http://e/> "
+                     "SELECT ?x ?y WHERE { ?x e:p+ ?y }")[0]
+    assert q.where.patterns[0].path == "+"
+    with pytest.raises(SparqlError):   # variable predicate path
+        parse_sparql("SELECT ?x ?y WHERE { ?x ?p+ ?y }")
+
+
+def test_path_pairs_with_literal_endpoint(ray_session, tmp_path):
+    """a -p-> b -p-> c -p-> "lit": p+ yields all 6 pairs — literals are
+    valid ENDPOINTS (any depth) but never intermediates."""
+    import ray.data
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    rows = pa.table({
+        "s": ["http://e/a", "http://e/b", "http://e/c"],
+        "p": ["http://e/p"] * 3,
+        "o": ['<http://e/b>', '<http://e/c>', '"leaf lit"'],
+    })
+    store = str(tmp_path / "path")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(rows), store)
+    q = parse_sparql("SELECT ?x ?y WHERE { ?x <http://e/p>+ ?y }")[0]
+    got = sorted(map(tuple, execute_sparql(store, q).to_pandas()
+                     .itertuples(index=False)))
+    assert got == [
+        ("http://e/a", '"leaf lit"'), ("http://e/a", "<http://e/b>"),
+        ("http://e/a", "<http://e/c>"), ("http://e/b", '"leaf lit"'),
+        ("http://e/b", "<http://e/c>"), ("http://e/c", '"leaf lit"')]
+    # constant start endpoint
+    q2 = parse_sparql(
+        "SELECT ?y WHERE { <http://e/a> <http://e/p>+ ?y }")[0]
+    ys = sorted(execute_sparql(store, q2).to_pandas()["y"])
+    assert ys == ['"leaf lit"', "<http://e/b>", "<http://e/c>"]
+    # constant end endpoint (term form compare)
+    q3 = parse_sparql(
+        'SELECT ?x WHERE { ?x <http://e/p>+ "leaf lit" }')[0]
+    xs = sorted(execute_sparql(store, q3).to_pandas()["x"])
+    assert xs == ["http://e/a", "http://e/b", "http://e/c"]
+
+
+def test_path_gate_parity(ray_session):
+    import duckdb
+    import hashlib
+    from kgforge.pipelines import versioning as V
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{SF}/part.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    df = V.sparql_path_ancestors(SF).to_pandas()
+    odf = con.sql(V.sparql_path_ancestors_sql()).df()
+    assert len(df) == len(odf) > 0
+    assert norm(df) == norm(odf)
