@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_filter_strfuncs"] = versioning.sparql_filter_strfuncs
     # SPARQL 1.1 Kleene-plus property path over an instance predicate
     q["sparql_path_ancestors"] = versioning.sparql_path_ancestors
+    # ASK existence form (limit-1 short circuit)
+    q["sparql_ask_pair"] = versioning.sparql_ask_pair
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -318,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_filter_numeric"] = versioning.sparql_filter_numeric_sql()
     o["sparql_filter_strfuncs"] = versioning.sparql_filter_strfuncs_sql()
     o["sparql_path_ancestors"] = versioning.sparql_path_ancestors_sql()
+    o["sparql_ask_pair"] = versioning.sparql_ask_pair_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

@@ -381,6 +381,49 @@ def sparql_filter_strfuncs_sql() -> str:
             f"AND regexp_matches({iri}, '_(anvil|gear)$')")
 
 
+ASK_PRESENT = """
+PREFIX tpch: <https://kgforge.example.org/tpch/>
+ASK { ?x tpch:branded_as ?b }
+"""
+ASK_ABSENT = """
+PREFIX tpch: <https://kgforge.example.org/tpch/>
+ASK WHERE { ?x tpch:branded_as "no such brand" }
+"""
+
+
+def sparql_ask_pair(sf_dir: str) -> "ray.data.Dataset":
+    """ASK form gate: one satisfiable and one unsatisfiable existence
+    check over the v4 store (the unsatisfiable one binds a literal
+    object that never occurs) — the plan stops at the first surviving
+    binding (limit-1), never scanning the whole partition."""
+    import pandas as pd
+
+    from ..sparql import execute_sparql, parse_sparql
+    from .tabular import _v4_part_store
+    store = _v4_part_store(sf_dir)
+    out = []
+    for which, text in (("absent", ASK_ABSENT), ("present", ASK_PRESENT)):
+        q = parse_sparql(text)[0]
+        assert q.form == "ask"
+        got = execute_sparql(store, q).to_pandas()
+        out.append({"which": which, "ask": bool(got["ask"][0])})
+    return pd.DataFrame(out)
+
+
+def sparql_ask_pair_sql() -> str:
+    from .tabular import v4_kg_part_sql
+    v4 = v4_kg_part_sql()
+    pred = "https://kgforge.example.org/tpch/branded_as"
+    return f"""
+SELECT 'absent' AS which,
+       EXISTS(SELECT 1 FROM ({v4})
+              WHERE p = '{pred}' AND o = '"no such brand"') AS ask
+UNION ALL
+SELECT 'present',
+       EXISTS(SELECT 1 FROM ({v4}) WHERE p = '{pred}')
+"""
+
+
 def _version_pairs(sf_dir: str, version: int) -> "ray.data.Dataset":
     """(x, z) instance pairs of one version of the scaled fixture —
     x raw IRI, z term form, same shapes as the MINUS gate."""

@@ -173,7 +173,7 @@ def _tokenize(text: str) -> list[str]:
 
 # ------------------------------------------------------------ parser
 
-_FORMS = {"select", "construct", "insert"}
+_FORMS = {"select", "construct", "insert", "ask"}
 _FILTER_FUNCS = {"regex", "strstarts", "contains"}
 _CMP_OPS = {"=", "!=", "<", ">", "<=", ">="}
 
@@ -470,6 +470,12 @@ def parse_sparql(text: str) -> list[Query]:
                                  dict(prefixes), aggs=aggs,
                                  group_by=group_by, order_by=order_by,
                                  limit=limit))
+        elif low == "ask":
+            # ASK { ... } | ASK WHERE { ... }
+            if p.peek() and _is_kw(p.peek(), "where"):
+                p.next()
+            queries.append(Query("ask", False, [], [], p.group(),
+                                 dict(prefixes)))
         else:
             tmpl = p.template()
             p.expect("where")
@@ -1096,6 +1102,12 @@ def execute_sparql(store_dir: str, q: Query) -> "ray.data.Dataset":
     store. SELECT returns a Dataset with the selected variables as
     columns; CONSTRUCT/INSERT return the derived graph (s, p, o)."""
     bind = _eval_group(store_dir, q.where)
+    if q.form == "ask":
+        # existence check: stop at the first surviving binding
+        n = (bind.data.num_rows if bind.small
+             else _batch_guard(bind.data).limit(1).count())
+        return ray.data.from_arrow(pa.table({"ask": pa.array(
+            [n > 0], pa.bool_())}))
     if q.form in ("construct", "insert"):
         return _render_template(bind, q.template)
     if q.aggs:

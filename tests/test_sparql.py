@@ -65,7 +65,7 @@ def test_parser_errors():
     with pytest.raises(SparqlError):
         parse_sparql("SELECT ?x WHERE { ?x ex:p ?y }")   # undeclared prefix
     with pytest.raises(SparqlError):
-        parse_sparql("ASK { ?x ?y ?z }")                 # unsupported form
+        parse_sparql("DESCRIBE <http://e/x>")            # unsupported form
     with pytest.raises(SparqlError):
         parse_sparql("PREFIX e: <http://e/> SELECT ?x WHERE "
                      "{ FILTER(?x > e:n) ?x e:p ?y }")   # non-numeric order
@@ -586,3 +586,30 @@ def test_path_gate_parity(ray_session):
     odf = con.sql(V.sparql_path_ancestors_sql()).df()
     assert len(df) == len(odf) > 0
     assert norm(df) == norm(odf)
+
+
+# ------------------------------------------------------------ ASK form
+
+def test_ask_form(ray_session, chain_store):
+    q = parse_sparql(
+        "ASK { ?x <http://e/p1> ?y }")[0]
+    assert q.form == "ask"
+    got = execute_sparql(chain_store, q).to_pandas()
+    assert got["ask"].tolist() == [True]
+    q2 = parse_sparql(
+        'ASK WHERE { ?x <http://e/p1> "nope" }')[0]
+    got2 = execute_sparql(chain_store, q2).to_pandas()
+    assert got2["ask"].tolist() == [False]
+
+
+def test_ask_gate_parity(ray_session):
+    import duckdb
+    from kgforge.pipelines import versioning as V
+    df = V.sparql_ask_pair(SF).sort_values("which").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{SF}/part.parquet')")
+    odf = (con.sql(V.sparql_ask_pair_sql()).df()
+           .sort_values("which").reset_index(drop=True))
+    assert df["which"].tolist() == odf["which"].tolist()
+    assert df["ask"].tolist() == odf["ask"].astype(bool).tolist()
