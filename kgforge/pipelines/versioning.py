@@ -381,6 +381,35 @@ def sparql_filter_strfuncs_sql() -> str:
             f"AND regexp_matches({iri}, '_(anvil|gear)$')")
 
 
+VALUES_QUERY_TEXT = """
+PREFIX tpch: <https://kgforge.example.org/tpch/>
+SELECT ?x ?b WHERE {
+  VALUES ?b { tpch:small_anvil tpch:red_gear }
+  ?x tpch:branded_as ?b
+}
+"""
+
+
+def sparql_values_brands(sf_dir: str) -> "ray.data.Dataset":
+    """SPARQL VALUES gate: inline data joined into the group — the
+    constants are rendered in the variable's canonical representation
+    (?b is o-position class, so term form) and the join is the same
+    size-adaptive machinery as pattern chaining."""
+    from ..sparql import execute_sparql, parse_sparql
+    from .tabular import _v4_part_store
+    q = parse_sparql(VALUES_QUERY_TEXT)[0]
+    assert q.where.values and q.where.values[0][0] == ["b"]
+    return execute_sparql(_v4_part_store(sf_dir), q)
+
+
+def sparql_values_brands_sql() -> str:
+    from .tabular import v4_kg_part_sql
+    tp = "https://kgforge.example.org/tpch/"
+    return (f"SELECT s AS x, o AS b FROM ({v4_kg_part_sql()}) "
+            f"WHERE p = '{tp}branded_as' AND o IN "
+            f"('<{tp}small_anvil>', '<{tp}red_gear>')")
+
+
 ASK_PRESENT = """
 PREFIX tpch: <https://kgforge.example.org/tpch/>
 ASK { ?x tpch:branded_as ?b }

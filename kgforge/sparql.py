@@ -116,6 +116,9 @@ class Group:
     filters: list[Filter] = field(default_factory=list)
     optionals: list["Group"] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)
+    # VALUES inline data: (var names, rows of constants)
+    values: list[tuple[list[str], list[list[object]]]] = \
+        field(default_factory=list)
 
 
 @dataclass(frozen=True)
@@ -280,6 +283,50 @@ class _P:
             raise SparqlError("filter function needs a ?var argument")
         return v
 
+    def values_block(self) -> tuple[list[str], list[list[object]]]:
+        """VALUES ?x { c1 c2 } | VALUES (?x ?y) { (a b) (c d) }"""
+        if self.peek() == "(":
+            self.next()
+            vars_: list[str] = []
+            while self.peek() != ")":
+                v = self.term()
+                if not isinstance(v, Var):
+                    raise SparqlError("VALUES header takes ?vars")
+                vars_.append(v.name)
+            self.next()
+        else:
+            v = self.term()
+            if not isinstance(v, Var):
+                raise SparqlError("VALUES header takes ?vars")
+            vars_ = [v.name]
+        if not vars_:
+            raise SparqlError("empty VALUES header")
+        self.expect("{")
+        rows: list[list[object]] = []
+        while self.peek() != "}":
+            if self.peek() is None:
+                raise SparqlError("unterminated VALUES block")
+            if self.peek() == "(":
+                self.next()
+                row = []
+                while self.peek() != ")":
+                    row.append(self.const_term())
+                self.next()
+            else:
+                row = [self.const_term()]
+            if len(row) != len(vars_):
+                raise SparqlError(
+                    f"VALUES row width {len(row)} != {len(vars_)} vars")
+            rows.append(row)
+        self.next()
+        return (vars_, rows)
+
+    def const_term(self):
+        t = self.term()
+        if not isinstance(t, (Iri, Lit)):
+            raise SparqlError("VALUES rows take IRI/literal constants")
+        return t
+
     def triples_block(self, out: list[Pattern], stop: set[str]) -> None:
         """subject (pred obj (',' obj)*) (';' pred obj ...)* '.'?"""
         s = self.term()
@@ -353,6 +400,10 @@ class _P:
             if _is_kw(tok, "filter"):
                 self.next()
                 g.filters.append(self.filter_expr())
+                continue
+            if _is_kw(tok, "values"):
+                self.next()
+                g.values.append(self.values_block())
                 continue
             self.triples_block(g.patterns, {"}"})
         # unreachable
@@ -534,6 +585,16 @@ def _const_repr(term, pos_cls: str) -> str:
     if isinstance(term, Lit):
         return f'"{term.value}"'
     raise SparqlError(f"not a constant: {term}")
+
+
+def _values_repr(term, pos_cls: str) -> str:
+    """A VALUES constant in the variable's canonical representation:
+    raw IRI for 'iri'-class vars, rendered term form otherwise."""
+    if isinstance(term, Iri):
+        return term.value if pos_cls == "iri" else f"<{term.value}>"
+    if isinstance(term, Lit):
+        return f'"{term.value}"'
+    raise SparqlError(f"not a VALUES constant: {term}")
 
 
 def _closure_table(store_dir: str, pred: str) -> pa.Table:
@@ -944,6 +1005,9 @@ def _collect_cls(g: Group, cls: dict[str, str] | None = None
                     cls[t.name] = "term"
                 else:
                     cls.setdefault(t.name, "iri")
+    for vars_, _rows in g.values:
+        for v in vars_:
+            cls.setdefault(v, "iri")
     for alts in g.unions:
         for a in alts:
             _collect_cls(a, cls)
@@ -1022,6 +1086,15 @@ def _eval_group(store_dir: str, g: Group,
                 list(_pattern_cols(pat).values()))
         bind = (new if bind is None
                 else _join_binds(bind, new, cls))
+        bind = _apply_filters(bind, g.filters)
+    for vars_, rows_ in g.values:
+        cols = {}
+        for i, v in enumerate(vars_):
+            cols[v] = pa.array(
+                [_values_repr(r[i], cls.get(v, "iri")) for r in rows_],
+                pa.string())
+        vb = _Bind(pa.table(cols), cls, list(vars_))
+        bind = vb if bind is None else _join_binds(bind, vb, cls)
         bind = _apply_filters(bind, g.filters)
     if bind is None and not g.unions:
         raise SparqlError("empty group")

@@ -613,3 +613,63 @@ def test_ask_gate_parity(ray_session):
            .sort_values("which").reset_index(drop=True))
     assert df["which"].tolist() == odf["which"].tolist()
     assert df["ask"].tolist() == odf["ask"].astype(bool).tolist()
+
+
+# ------------------------------------------------------------ VALUES
+
+def test_parse_values_forms():
+    q = parse_sparql("""
+      PREFIX e: <http://e/>
+      SELECT ?x ?y WHERE {
+        VALUES ?x { e:a e:b }
+        VALUES (?x ?y) { (e:a "1") (e:b "2") }
+        ?x e:p ?y
+      }""")[0]
+    assert [v[0] for v in q.where.values] == [["x"], ["x", "y"]]
+    assert len(q.where.values[1][1]) == 2
+    with pytest.raises(SparqlError):   # row width mismatch
+        parse_sparql('PREFIX e: <http://e/> SELECT ?x WHERE '
+                     '{ VALUES (?x ?y) { (e:a) } ?x e:p ?y }')
+    with pytest.raises(SparqlError):   # var in rows
+        parse_sparql('PREFIX e: <http://e/> SELECT ?x WHERE '
+                     '{ VALUES ?x { ?y } ?x e:p ?y }')
+
+
+def test_values_restricts_bindings(ray_session, chain_store):
+    q = parse_sparql("""
+      SELECT ?x ?y WHERE {
+        VALUES ?x { <http://e/a> }
+        ?x <http://e/p1> ?y
+      }""")[0]
+    got = sorted(map(tuple, execute_sparql(chain_store, q).to_pandas()
+                     .itertuples(index=False)))
+    assert got == [("http://e/a", '"literal obj"'),
+                   ("http://e/a", "<http://e/b>")]
+    # o-position VALUES constant renders in term form
+    q2 = parse_sparql("""
+      SELECT ?x ?y WHERE {
+        ?x <http://e/p1> ?y
+        VALUES ?y { <http://e/b> }
+      }""")[0]
+    got2 = sorted(map(tuple, execute_sparql(chain_store, q2).to_pandas()
+                      .itertuples(index=False)))
+    assert got2 == [("http://e/a", "<http://e/b>")]
+
+
+def test_values_gate_parity(ray_session):
+    import duckdb
+    import hashlib
+    from kgforge.pipelines import versioning as V
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{SF}/part.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    df = V.sparql_values_brands(SF).to_pandas()
+    odf = con.sql(V.sparql_values_brands_sql()).df()
+    assert len(df) == len(odf) > 0
+    assert norm(df) == norm(odf)
