@@ -410,6 +410,40 @@ def sparql_values_brands_sql() -> str:
             f"('<{tp}small_anvil>', '<{tp}red_gear>')")
 
 
+DESCRIBE_QUERY_TEXT = """
+PREFIX tpch: <https://kgforge.example.org/tpch/>
+DESCRIBE ?b WHERE {
+  ?x tpch:branded_as ?b .
+  FILTER strstarts(str(?b), "https://kgforge.example.org/tpch/c")
+}
+"""
+
+
+def sparql_describe_brands(sf_dir: str) -> "ray.data.Dataset":
+    """DESCRIBE gate: the outgoing triples of every 'c…' brand entity
+    matched by the WHERE group — resources resolve driver-side
+    (bounded), then ONE streamed store scan with a broadcast membership
+    filter."""
+    from ..sparql import execute_sparql, parse_sparql
+    from .tabular import _v4_part_store
+    q = parse_sparql(DESCRIBE_QUERY_TEXT)[0]
+    assert q.form == "describe"
+    return execute_sparql(_v4_part_store(sf_dir), q)
+
+
+def sparql_describe_brands_sql() -> str:
+    from .tabular import v4_kg_part_sql
+    v4 = v4_kg_part_sql()
+    tp = "https://kgforge.example.org/tpch/"
+    return f"""
+SELECT s, p, o FROM ({v4})
+WHERE s IN (
+  SELECT DISTINCT trim(o, '<>') FROM ({v4})
+  WHERE p = '{tp}branded_as'
+    AND starts_with(trim(o, '<>'), '{tp}c'))
+"""
+
+
 ASK_PRESENT = """
 PREFIX tpch: <https://kgforge.example.org/tpch/>
 ASK { ?x tpch:branded_as ?b }

@@ -141,6 +141,8 @@ class Query:
     group_by: list[str] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
+    # DESCRIBE resource terms (Iri constants and/or Vars)
+    describe_terms: list[object] = field(default_factory=list)
 
 
 class SparqlError(ValueError):
@@ -176,7 +178,7 @@ def _tokenize(text: str) -> list[str]:
 
 # ------------------------------------------------------------ parser
 
-_FORMS = {"select", "construct", "insert", "ask"}
+_FORMS = {"select", "construct", "insert", "ask", "describe"}
 _FILTER_FUNCS = {"regex", "strstarts", "contains"}
 _CMP_OPS = {"=", "!=", "<", ">", "<=", ">="}
 
@@ -527,6 +529,29 @@ def parse_sparql(text: str) -> list[Query]:
                 p.next()
             queries.append(Query("ask", False, [], [], p.group(),
                                  dict(prefixes)))
+        elif low == "describe":
+            # DESCRIBE <iri>... | DESCRIBE ?x... WHERE { ... }
+            terms: list[object] = []
+            while p.peek() is not None and not _is_kw(p.peek(), "where"):
+                nxt = p.peek()
+                if not (nxt.startswith("?") or nxt.startswith("<")
+                        or ":" in nxt):
+                    break
+                t = p.term()
+                if not isinstance(t, (Var, Iri)):
+                    raise SparqlError("DESCRIBE takes IRIs or ?vars")
+                terms.append(t)
+            if not terms:
+                raise SparqlError("DESCRIBE needs at least one term")
+            if p.peek() is not None and _is_kw(p.peek(), "where"):
+                p.next()
+                where = p.group()
+            else:
+                if any(isinstance(t, Var) for t in terms):
+                    raise SparqlError("DESCRIBE ?var needs a WHERE group")
+                where = Group()
+            queries.append(Query("describe", False, [], [], where,
+                                 dict(prefixes), describe_terms=terms))
         else:
             tmpl = p.template()
             p.expect("where")
@@ -1170,10 +1195,59 @@ def _render_template(bind: _Bind, template: list[Pattern]
     return distinct(ds, ["s", "p", "o"])
 
 
+def _eval_describe(store_dir: str, q: Query) -> "ray.data.Dataset":
+    """DESCRIBE: the outgoing triples of each matched resource (concise
+    'asserted description' — subject-rooted, the common implementation
+    choice). Resource ids resolve driver-side (constants, plus the
+    DISTINCT bindings of each ?var from the WHERE group — bounded by
+    KGFORGE_BROADCAST_LIMIT, DESCRIBE is an inspection form); the store
+    is then ONE streamed scan with a broadcast membership filter."""
+    from .sinks.store_query import query_triples
+    from .stages.dedup import distinct
+    raws = {t.value for t in q.describe_terms if isinstance(t, Iri)}
+    var_names = [t.name for t in q.describe_terms if isinstance(t, Var)]
+    if var_names:
+        bind = _eval_group(store_dir, q.where)
+        missing = [v for v in var_names if v not in bind.cols()]
+        if missing:
+            raise SparqlError(f"DESCRIBE vars not bound: {missing}")
+        for v in var_names:
+            if bind.small:
+                vals = pc.unique(bind.data[v].combine_chunks()).to_pylist()
+            else:
+                dd = distinct(bind.data, [v])
+                if dd.count() > _broadcast_limit():
+                    raise SparqlError(
+                        "DESCRIBE resource set exceeds the broadcast "
+                        "limit — narrow the WHERE group")
+                vals = [r[v] for r in dd.take_all()]
+            for val in vals:
+                if val is None:
+                    continue
+                if val.startswith("<") and val.endswith(">"):
+                    raws.add(val[1:-1])
+                elif not val.startswith('"'):
+                    raws.add(val)        # raw IRI; literals are skipped
+    want = pa.array(sorted(raws), pa.string())
+
+    def keep(b: pa.Table, _w=want) -> pa.Table:
+        return b.filter(pc.is_in(b["s"].combine_chunks()
+                                 .cast(pa.string()), value_set=_w))
+
+    spo = pa.schema([("s", pa.string()), ("p", pa.string()),
+                     ("o", pa.string())])
+    got = query_triples(store_dir).map_batches(
+        keep, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["s", "p", "o"]), batch_format="pyarrow")
+    return ray.data.from_arrow(spo.empty_table()).union(got)
+
+
 def execute_sparql(store_dir: str, q: Query) -> "ray.data.Dataset":
     """Run one parsed query against a ``write_graph_partitioned``
     store. SELECT returns a Dataset with the selected variables as
     columns; CONSTRUCT/INSERT return the derived graph (s, p, o)."""
+    if q.form == "describe":
+        return _eval_describe(store_dir, q)
     bind = _eval_group(store_dir, q.where)
     if q.form == "ask":
         # existence check: stop at the first surviving binding

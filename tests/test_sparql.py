@@ -65,7 +65,7 @@ def test_parser_errors():
     with pytest.raises(SparqlError):
         parse_sparql("SELECT ?x WHERE { ?x ex:p ?y }")   # undeclared prefix
     with pytest.raises(SparqlError):
-        parse_sparql("DESCRIBE <http://e/x>")            # unsupported form
+        parse_sparql("DELETE WHERE { ?x ?y ?z }")        # unsupported form
     with pytest.raises(SparqlError):
         parse_sparql("PREFIX e: <http://e/> SELECT ?x WHERE "
                      "{ FILTER(?x > e:n) ?x e:p ?y }")   # non-numeric order
@@ -671,5 +671,44 @@ def test_values_gate_parity(ray_session):
 
     df = V.sparql_values_brands(SF).to_pandas()
     odf = con.sql(V.sparql_values_brands_sql()).df()
+    assert len(df) == len(odf) > 0
+    assert norm(df) == norm(odf)
+
+
+# ----------------------------------------------------------- DESCRIBE
+
+def test_describe_forms(ray_session, chain_store):
+    q = parse_sparql("DESCRIBE <http://e/b>")[0]
+    got = sorted(map(tuple, execute_sparql(chain_store, q).to_pandas()
+                     .itertuples(index=False)))
+    assert got == [("http://e/b", "http://e/p2", "<http://e/c>")]
+    # var form: resources from the WHERE group; literal bindings are
+    # skipped (a literal has no description)
+    q2 = parse_sparql(
+        "DESCRIBE ?y WHERE { <http://e/a> <http://e/p1> ?y }")[0]
+    got2 = sorted(map(tuple, execute_sparql(chain_store, q2).to_pandas()
+                      .itertuples(index=False)))
+    assert got2 == [("http://e/b", "http://e/p2", "<http://e/c>")]
+    with pytest.raises(SparqlError):
+        parse_sparql("DESCRIBE ?x")       # var without WHERE
+    with pytest.raises(SparqlError):
+        parse_sparql("DESCRIBE")          # no terms
+
+
+def test_describe_gate_parity(ray_session):
+    import duckdb
+    import hashlib
+    from kgforge.pipelines import versioning as V
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{SF}/part.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    df = V.sparql_describe_brands(SF).to_pandas()
+    odf = con.sql(V.sparql_describe_brands_sql()).df()
     assert len(df) == len(odf) > 0
     assert norm(df) == norm(odf)
