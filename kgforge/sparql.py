@@ -29,17 +29,31 @@ dirs; a predicate VARIABLE bound by a schema pattern expands to pruned
 reads per closure value instead of a full scan.  Nothing materializes
 the store driver-side.
 
-Beyond the reference file's four shapes, the subset also covers
-``OPTIONAL`` (size-adaptive left join, unbound = null), ``{A} UNION
-{B}`` (bag semantics over an identical variable set), the SPARQL
-1.1 aggregates ``COUNT/MIN/MAX`` with ``GROUP BY`` / ``ORDER BY`` /
-``LIMIT``, and a FILTER expression subset: ``=``/``!=`` on term form,
-``<``/``>``/``<=``/``>=`` against a numeric constant (compared
-NUMERICALLY on the bound term's lexical value; non-numeric terms are
-eliminated, SPARQL type-error semantics), and
-``regex``/``strstarts``/``contains`` over ``STR(?v)`` — all evaluated
-as vectorized Arrow kernels inside the streaming plan, each gated
-against a DuckDB mirror (pipelines/versioning.py).
+Beyond the reference file's four shapes, the subset also covers:
+
+- ``OPTIONAL`` (size-adaptive left join, unbound = null) and ``{A}
+  UNION {B}`` (bag semantics over an identical variable set);
+- SPARQL 1.1 aggregates ``COUNT/MIN/MAX`` with ``GROUP BY`` /
+  ``ORDER BY`` / ``LIMIT``;
+- a FILTER expression subset: ``=``/``!=`` on term form,
+  ``<``/``>``/``<=``/``>=`` against a numeric constant (compared
+  NUMERICALLY on the bound term's lexical value; non-numeric terms
+  eliminated, SPARQL type-error semantics), and
+  ``regex``/``strstarts``/``contains`` over ``STR(?v)`` — vectorized
+  Arrow kernels inside the streaming plan;
+- ``VALUES`` inline data (single- and multi-var), ``ASK`` (limit-1
+  existence plan), ``DESCRIBE`` (subject-rooted description, one
+  streamed scan with a broadcast membership filter);
+- ``p+`` property paths over instance predicates
+  (ops/graph.transitive_pairs: driver BFS for ontology-sized
+  partitions, semi-naive bucket-join iteration at scale).
+
+Position-crossing chains (``?x p ?y . ?y q ?z``) join correctly: every
+variable gets ONE canonical representation across the whole query
+(``_collect_cls``) — s/p-position reads wrap raw IRIs to term form for
+o-bound variables, losslessly, so literal bindings fail inner joins
+and stay unbound under OPTIONAL. Each feature is gated against a
+DuckDB mirror (pipelines/versioning.py).
 
 Semantics note: plain BGPs are answered over the ASSERTED graph;
 entailment enters only through schema-pattern closure and the explicit
