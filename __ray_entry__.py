@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_rdfs_types_part"] = tabular.v4_entailed_types
     # CONSTRUCT inference (facts via subPropertyOf closure)
     q["kg_entailed_facts_part"] = tabular.v4_entailed_facts
+    # ontology conformance report (domain/range validation view)
+    q["kg_conformance"] = tabular.kg_conformance
 
     # --- SPARQL text front-end: the reference's OWN query file
     # (csv2rdf-v4/jena/requests.sparql) parsed and planned onto the
@@ -310,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_customer_v2"] = tabular.v2_kg_customer_sql()
     o["kg_part_v4"] = tabular.v4_kg_part_sql()
     o["kg_rdfs_types_part"] = tabular.v4_entailed_types_sql()
+    o["kg_conformance"] = tabular.kg_conformance_sql()
     o["kg_entailed_facts_part"] = tabular.v4_entailed_facts_sql()
     from kgforge.pipelines import versioning
     o["sparql_select_store"] = versioning.sparql_select_store_sql()

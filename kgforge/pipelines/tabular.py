@@ -561,3 +561,59 @@ def v3_chain_kg_part_sql(domain: str = KG_DOMAIN) -> str:
     rs = compile_grammar(PART_V3_GRAMMAR, domain, type_chains=True)
     colmap = {sec: f'"{r.source_column}"' for sec, r in rs.rules.items()}
     return ruleset_to_sql(rs, "part", colmap)
+
+
+def kg_conformance(sf_dir: str) -> "ray.data.Dataset":
+    """Gate: ontology conformance report over the v4 part store — per
+    declared (predicate, domain|range, class) constraint, instance
+    triples checked and endpoints lacking the declared class among
+    their asserted+subClassOf types (stages/conformance.py). The v4
+    grammar mints a type for every entity it mints, so this store is
+    CONFORMANT — six constraint rows with checked>0, violations 0;
+    violation detection is pinned by the planted store in
+    tests/test_conformance.py."""
+    from ..stages.conformance import conformance_report
+    return conformance_report(_v4_part_store(sf_dir))
+
+
+def kg_conformance_sql() -> str:
+    from ..ntriples import RDF_TYPE
+    from ..stages.entailment import (RDFS_DOMAIN, RDFS_RANGE,
+                                     RDFS_SUBCLASSOF)
+    v4 = v4_kg_part_sql()
+    return f"""
+WITH RECURSIVE v4 AS ({v4}),
+clo(c, a) AS (
+  SELECT s, trim(o, '<>') FROM v4 WHERE p = '{RDFS_SUBCLASSOF}'
+  UNION
+  SELECT clo.c, trim(v.o, '<>') FROM clo
+  JOIN v4 v ON v.s = clo.a AND v.p = '{RDFS_SUBCLASSOF}'
+),
+etypes AS (
+  SELECT s AS e, trim(o, '<>') AS c FROM v4 WHERE p = '{RDF_TYPE}'
+  UNION
+  SELECT t.s, clo.a FROM v4 t
+  JOIN clo ON clo.c = trim(t.o, '<>') WHERE t.p = '{RDF_TYPE}'
+),
+decl AS (
+  SELECT s AS pred, 'domain' AS kind, trim(o, '<>') AS cls
+  FROM v4 WHERE p = '{RDFS_DOMAIN}'
+  UNION ALL
+  SELECT s, 'range', trim(o, '<>') FROM v4 WHERE p = '{RDFS_RANGE}'
+),
+ck AS (
+  SELECT d.pred, d.kind, d.cls,
+         CASE WHEN d.kind = 'domain' THEN i.s
+              WHEN i.o IS NOT NULL AND starts_with(i.o, '<')
+                THEN trim(i.o, '<>')
+              ELSE NULL END AS endpoint
+  FROM decl d LEFT JOIN v4 i ON i.p = d.pred
+)
+SELECT pred, kind, cls,
+       CAST(count(endpoint) AS BIGINT) AS checked,
+       CAST(coalesce(sum(CASE WHEN endpoint IS NOT NULL AND NOT EXISTS
+         (SELECT 1 FROM etypes
+          WHERE etypes.e = ck.endpoint AND etypes.c = ck.cls)
+         THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
+FROM ck GROUP BY 1, 2, 3
+"""
