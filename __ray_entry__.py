@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_values_brands"] = versioning.sparql_values_brands
     # DESCRIBE (subject-rooted resource description)
     q["sparql_describe_brands"] = versioning.sparql_describe_brands
+    # FILTER [NOT] EXISTS (correlated anti/semi join)
+    q["sparql_not_exists"] = versioning.sparql_not_exists
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -330,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_ask_pair"] = versioning.sparql_ask_pair_sql()
     o["sparql_values_brands"] = versioning.sparql_values_brands_sql()
     o["sparql_describe_brands"] = versioning.sparql_describe_brands_sql()
+    o["sparql_not_exists"] = versioning.sparql_not_exists_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

@@ -444,6 +444,44 @@ WHERE s IN (
 """
 
 
+NOT_EXISTS_QUERY_TEXT = """
+PREFIX tpch: <https://kgforge.example.org/tpch/>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT ?b ?c WHERE {
+  ?b rdfs:comment ?c .
+  FILTER NOT EXISTS {
+    ?x tpch:branded_as ?b .
+    FILTER strstarts(str(?x), "https://kgforge.example.org/tpch/Brand")
+  }
+}
+"""
+
+
+def sparql_not_exists(sf_dir: str) -> "ray.data.Dataset":
+    """FILTER NOT EXISTS gate: brand entities with a comment that are
+    never branded by a 'Brand#'-style subject — correlated on ?b, which
+    also crosses positions (outer s, inner o), so the canonical term
+    representation carries through the anti-join."""
+    from ..sparql import execute_sparql, parse_sparql
+    from .tabular import _v4_part_store
+    q = parse_sparql(NOT_EXISTS_QUERY_TEXT)[0]
+    assert q.where.not_exists and q.where.not_exists[0].filters
+    return execute_sparql(_v4_part_store(sf_dir), q)
+
+
+def sparql_not_exists_sql() -> str:
+    from .tabular import v4_kg_part_sql
+    v4 = v4_kg_part_sql()
+    tp = "https://kgforge.example.org/tpch/"
+    return f"""
+SELECT '<' || s || '>' AS b, o AS c FROM ({v4})
+WHERE p = 'http://www.w3.org/2000/01/rdf-schema#comment'
+  AND s NOT IN (
+    SELECT trim(o, '<>') FROM ({v4})
+    WHERE p = '{tp}branded_as' AND starts_with(s, '{tp}Brand'))
+"""
+
+
 ASK_PRESENT = """
 PREFIX tpch: <https://kgforge.example.org/tpch/>
 ASK { ?x tpch:branded_as ?b }

@@ -133,6 +133,8 @@ class Group:
     # VALUES inline data: (var names, rows of constants)
     values: list[tuple[list[str], list[list[object]]]] = \
         field(default_factory=list)
+    exists: list["Group"] = field(default_factory=list)
+    not_exists: list["Group"] = field(default_factory=list)
 
 
 @dataclass(frozen=True)
@@ -415,6 +417,17 @@ class _P:
                 continue
             if _is_kw(tok, "filter"):
                 self.next()
+                nxt = self.peek()
+                if nxt is not None and _is_kw(nxt, "not"):
+                    self.next()
+                    if not _is_kw(self.next(), "exists"):
+                        raise SparqlError("FILTER NOT must be NOT EXISTS")
+                    g.not_exists.append(self.group())
+                    continue
+                if nxt is not None and _is_kw(nxt, "exists"):
+                    self.next()
+                    g.exists.append(self.group())
+                    continue
                 g.filters.append(self.filter_expr())
                 continue
             if _is_kw(tok, "values"):
@@ -1050,7 +1063,7 @@ def _collect_cls(g: Group, cls: dict[str, str] | None = None
     for alts in g.unions:
         for a in alts:
             _collect_cls(a, cls)
-    for sub in g.minus + g.optionals:
+    for sub in g.minus + g.optionals + g.exists + g.not_exists:
         _collect_cls(sub, cls)
     return cls
 
@@ -1152,23 +1165,74 @@ def _eval_group(store_dir: str, g: Group,
         mb = _eval_group(store_dir, m, cls)
         mb = _apply_filters(mb, m.filters)
         on = sorted(set(bind.cols()) & set(mb.cols()))
-        # pull a Dataset minus side driver-side when it is small enough
-        if not mb.small:
-            from .stages.dedup import distinct
-            md = distinct(mb.data, on)
-            if md.count() <= _broadcast_limit():
-                empty = pa.table({c: pa.array([], type=pa.string())
-                                  for c in on})
-                mb = _Bind(pa.concat_tables(
-                    list(md.iter_batches(batch_format="pyarrow"))
-                    or [empty]), mb.cls)
-        bind = _anti_join(bind, mb, on)
+        bind = _anti_join(bind, _smallify(mb, on), on)
+    for ne in g.not_exists:
+        # FILTER NOT EXISTS: with shared vars == anti-join on them;
+        # with none, the inner group is an uncorrelated ASK — keep all
+        # rows iff it is empty
+        nb = _apply_filters(_eval_group(store_dir, ne, cls), ne.filters)
+        on = sorted(set(bind.cols()) & set(nb.cols()))
+        if on:
+            bind = _anti_join(bind, _smallify(nb, on), on)
+        elif _nonempty(nb):
+            bind = _empty_like(bind)
+    for ex in g.exists:
+        # FILTER EXISTS: semi-join on shared vars (inner side reduced
+        # to its DISTINCT shared-var keys — no row duplication)
+        eb = _apply_filters(_eval_group(store_dir, ex, cls), ex.filters)
+        on = sorted(set(bind.cols()) & set(eb.cols()))
+        if on:
+            keys = _distinct_keys(eb, on)
+            bind = _join_binds(bind, keys, cls)
+        elif not _nonempty(eb):
+            bind = _empty_like(bind)
     for opt in g.optionals:
         ob = _apply_filters(_eval_group(store_dir, opt, cls),
                             opt.filters)
         on = sorted(set(bind.cols()) & set(ob.cols()))
         bind = _left_join(bind, ob, on)
     return bind
+
+
+def _smallify(b: _Bind, on: list[str]) -> _Bind:
+    """Pull a Dataset side driver-side (projected to the join columns,
+    distinct) when it is below the broadcast limit."""
+    if b.small:
+        return b
+    from .stages.dedup import distinct
+    md = distinct(b.data, on)
+    if md.count() <= _broadcast_limit():
+        empty = pa.table({c: pa.array([], type=pa.string())
+                          for c in on})
+        return _Bind(pa.concat_tables(
+            [t for t in md.iter_batches(batch_format="pyarrow")]
+            or [empty]), b.cls, on)
+    return b
+
+
+def _distinct_keys(b: _Bind, on: list[str]) -> _Bind:
+    """Project a binding set to its DISTINCT values of `on` (the
+    semi-join key side), size-adaptively small."""
+    if b.small:
+        import polars as pl
+        return _Bind(pl.from_arrow(b.data.select(on)).unique()
+                     .to_arrow(), b.cls, on)
+    from .stages.dedup import distinct
+    sm = _smallify(b, on)
+    if sm.small:
+        return sm
+    return _Bind(distinct(b.data, on), b.cls, on)
+
+
+def _nonempty(b: _Bind) -> bool:
+    if b.small:
+        return b.data.num_rows > 0
+    return _batch_guard(b.data).limit(1).count() > 0
+
+
+def _empty_like(b: _Bind) -> _Bind:
+    sch = pa.schema([(c, pa.string()) for c in b.cols()])
+    return _Bind(sch.empty_table(), b.cls, b.cols())
 
 
 def _render_template(bind: _Bind, template: list[Pattern]

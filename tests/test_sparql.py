@@ -712,3 +712,63 @@ def test_describe_gate_parity(ray_session):
     odf = con.sql(V.sparql_describe_brands_sql()).df()
     assert len(df) == len(odf) > 0
     assert norm(df) == norm(odf)
+
+
+# ------------------------------------------------- FILTER [NOT] EXISTS
+
+@pytest.fixture()
+def exists_store(ray_session, tmp_path):
+    import ray.data
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    rows = pa.table({
+        "s": ["http://e/a", "http://e/b", "http://e/a"],
+        "p": ["http://e/p1", "http://e/p1", "http://e/p2"],
+        "o": ['"1"', '"2"', '"x"'],
+    })
+    store = str(tmp_path / "ex")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(rows), store)
+    return store
+
+
+def test_not_exists_correlated(ray_session, exists_store):
+    q = parse_sparql("SELECT ?x WHERE { ?x <http://e/p1> ?v . "
+                     "FILTER NOT EXISTS { ?x <http://e/p2> ?w } }")[0]
+    assert sorted(execute_sparql(exists_store, q).to_pandas()["x"]) == \
+        ["http://e/b"]
+    q2 = parse_sparql("SELECT ?x WHERE { ?x <http://e/p1> ?v . "
+                      "FILTER EXISTS { ?x <http://e/p2> ?w } }")[0]
+    assert sorted(execute_sparql(exists_store, q2).to_pandas()["x"]) == \
+        ["http://e/a"]
+
+
+def test_not_exists_uncorrelated(ray_session, exists_store):
+    """No shared vars: the inner group acts as an uncorrelated ASK."""
+    q = parse_sparql("SELECT ?x WHERE { ?x <http://e/p1> ?v . "
+                     "FILTER NOT EXISTS { ?y <http://e/p2> ?w } }")[0]
+    assert len(execute_sparql(exists_store, q).to_pandas()) == 0
+    q2 = parse_sparql("SELECT ?x WHERE { ?x <http://e/p1> ?v . "
+                      "FILTER EXISTS { ?y <http://e/nope> ?w } }")[0]
+    assert len(execute_sparql(exists_store, q2).to_pandas()) == 0
+    q3 = parse_sparql("SELECT ?x WHERE { ?x <http://e/p1> ?v . "
+                      "FILTER EXISTS { ?y <http://e/p2> ?w } }")[0]
+    assert len(execute_sparql(exists_store, q3).to_pandas()) == 2
+
+
+def test_not_exists_gate_parity(ray_session):
+    import duckdb
+    import hashlib
+    from kgforge.pipelines import versioning as V
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{SF}/part.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    df = V.sparql_not_exists(SF).to_pandas()
+    odf = con.sql(V.sparql_not_exists_sql()).df()
+    assert len(df) == len(odf) > 0
+    assert norm(df) == norm(odf)
