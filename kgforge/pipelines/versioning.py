@@ -451,7 +451,7 @@ SELECT ?b ?c WHERE {
   ?b rdfs:comment ?c .
   FILTER NOT EXISTS {
     ?x tpch:branded_as ?b .
-    FILTER strstarts(str(?x), "https://kgforge.example.org/tpch/Brand")
+    FILTER strstarts(str(?x), "https://kgforge.example.org/tpch/acme")
   }
 }
 """
@@ -459,7 +459,7 @@ SELECT ?b ?c WHERE {
 
 def sparql_not_exists(sf_dir: str) -> "ray.data.Dataset":
     """FILTER NOT EXISTS gate: brand entities with a comment that are
-    never branded by a 'Brand#'-style subject — correlated on ?b, which
+    never branded by an 'acme…'-style subject (non-empty at every test SF) — correlated on ?b, which
     also crosses positions (outer s, inner o), so the canonical term
     representation carries through the anti-join."""
     from ..sparql import execute_sparql, parse_sparql
@@ -478,7 +478,7 @@ SELECT '<' || s || '>' AS b, o AS c FROM ({v4})
 WHERE p = 'http://www.w3.org/2000/01/rdf-schema#comment'
   AND s NOT IN (
     SELECT trim(o, '<>') FROM ({v4})
-    WHERE p = '{tp}branded_as' AND starts_with(s, '{tp}Brand'))
+    WHERE p = '{tp}branded_as' AND starts_with(s, '{tp}acme'))
 """
 
 
