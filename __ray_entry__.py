@@ -104,6 +104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_describe_brands"] = versioning.sparql_describe_brands
     # FILTER [NOT] EXISTS (correlated anti/semi join)
     q["sparql_not_exists"] = versioning.sparql_not_exists
+    # property-path syntax: sequence (/), inverse (^), alternation (|)
+    q["sparql_seq_path"] = versioning.sparql_seq_path
+    q["sparql_inv_alt_path"] = versioning.sparql_inv_alt_path
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -333,6 +336,8 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_values_brands"] = versioning.sparql_values_brands_sql()
     o["sparql_describe_brands"] = versioning.sparql_describe_brands_sql()
     o["sparql_not_exists"] = versioning.sparql_not_exists_sql()
+    o["sparql_seq_path"] = versioning.sparql_path_ancestors_sql()
+    o["sparql_inv_alt_path"] = versioning.sparql_inv_alt_path_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

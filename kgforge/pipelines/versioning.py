@@ -444,6 +444,48 @@ WHERE s IN (
 """
 
 
+SEQ_PATH_QUERY_TEXT = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT DISTINCT ?p ?a WHERE { ?p c:typed_in/c:subCategoryOf+ ?a }
+"""
+
+
+def sparql_seq_path(sf_dir: str) -> "ray.data.Dataset":
+    """Sequence property path gate: ``typed_in/subCategoryOf+`` — the
+    parse-time rewrite chains a fresh intermediate variable into the
+    same plan as the explicit two-pattern query, so the result must
+    hash-match the sparql_path_ancestors oracle exactly."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(SEQ_PATH_QUERY_TEXT)[0]
+    assert len(q.where.patterns) == 2     # rewritten into a chain
+    assert q.where.patterns[1].path == "+"
+    return execute_sparql(category_store(sf_dir), q)
+
+
+INV_ALT_QUERY_TEXT = """
+PREFIX tpch: <https://kgforge.example.org/tpch/>
+SELECT ?part ?thing WHERE { ?thing ^tpch:sized|^tpch:typed_as ?part }
+"""
+
+
+def sparql_inv_alt_path(sf_dir: str) -> "ray.data.Dataset":
+    """Inverse + alternation path gate: ``^sized|^typed_as`` — each
+    alternative swaps subject/object at parse time and the alternation
+    becomes the planner's UNION."""
+    from ..sparql import execute_sparql, parse_sparql
+    from .tabular import _v4_part_store
+    q = parse_sparql(INV_ALT_QUERY_TEXT)[0]
+    assert len(q.where.unions) == 1 and len(q.where.unions[0]) == 2
+    return execute_sparql(_v4_part_store(sf_dir), q)
+
+
+def sparql_inv_alt_path_sql() -> str:
+    from .tabular import v4_kg_part_sql
+    tp = "https://kgforge.example.org/tpch/"
+    return (f"SELECT s AS part, o AS thing FROM ({v4_kg_part_sql()}) "
+            f"WHERE p IN ('{tp}sized', '{tp}typed_as')")
+
+
 NOT_EXISTS_QUERY_TEXT = """
 PREFIX tpch: <https://kgforge.example.org/tpch/>
 PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>

@@ -175,7 +175,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|:[A-Za-z0-9_.\-]+)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>!=|<=|>=|=|<|>|\{|\}|\(|\)|\.|;|,|\*|\+)
+  | (?P<punct>!=|<=|>=|=|<|>|\{|\}|\(|\)|\.|;|,|\*|\+|\^|/|\|)
   | (?P<ws>\s+)
 """, re.X)
 
@@ -345,21 +345,81 @@ class _P:
             raise SparqlError("VALUES rows take IRI/literal constants")
         return t
 
-    def triples_block(self, out: list[Pattern], stop: set[str]) -> None:
-        """subject (pred obj (',' obj)*) (';' pred obj ...)* '.'?"""
-        s = self.term()
-        while True:
-            p = self.term()
-            path = None
+    def path_spec(self) -> list[list[tuple[bool, object, bool]]]:
+        """Property-path subset as alternatives of element sequences:
+        ``elt := ['^'] term ['+']``; ``seq := elt ('/' elt)*``;
+        ``path := seq ('|' seq)*``. A plain ``?var`` predicate is the
+        single-element degenerate case."""
+        def elt() -> tuple[bool, object, bool]:
+            inv = False
+            if self.peek() == "^":
+                self.next()
+                inv = True
+            t = self.term()
+            plus = False
             if self.peek() == "+":
                 self.next()
-                if not isinstance(p, Iri):
-                    raise SparqlError(
-                        "property path '+' needs a constant predicate")
-                path = "+"
+                plus = True
+            if (inv or plus) and not isinstance(t, Iri):
+                raise SparqlError(
+                    "property-path operators need a constant predicate")
+            return (inv, t, plus)
+
+        seqs = [[elt()]]
+        while self.peek() in ("/", "|"):
+            op = self.next()
+            if op == "/":
+                seqs[-1].append(elt())
+            else:
+                seqs.append([elt()])
+        return seqs
+
+    def _fresh_var(self) -> Var:
+        self._fresh = getattr(self, "_fresh", 0) + 1
+        return Var(f"_seq{self._fresh}")
+
+    def _emit_seq(self, out: list[Pattern], s, seq, o) -> None:
+        """One element sequence: chain with fresh intermediate vars;
+        inverse elements swap subject/object at emit time."""
+        cur = s
+        for i, (inv, t, plus) in enumerate(seq):
+            nxt = o if i == len(seq) - 1 else self._fresh_var()
+            path = "+" if plus else None
+            if inv:
+                out.append(Pattern(nxt, t, cur, path))
+            else:
+                out.append(Pattern(cur, t, nxt, path))
+            cur = nxt
+
+    def emit_path(self, out: list[Pattern], group: "Group | None",
+                  s, seqs, o) -> None:
+        if len(seqs) == 1:
+            self._emit_seq(out, s, seqs[0], o)
+            return
+        if group is None:
+            raise SparqlError(
+                "path alternation '|' is not allowed in a template")
+        if any(len(seq) > 1 for seq in seqs):
+            raise SparqlError("path alternation subset: single elements "
+                              "only (no '/' inside '|')")
+        # rewrite to {legA} UNION {legB}: every leg binds exactly the
+        # pattern's own variables, so the union var sets line up
+        alts = []
+        for seq in seqs:
+            leg = Group()
+            self._emit_seq(leg.patterns, s, seq, o)
+            alts.append(leg)
+        group.unions.append(alts)
+
+    def triples_block(self, out: list[Pattern], stop: set[str],
+                      group: "Group | None" = None) -> None:
+        """subject (path obj (',' obj)*) (';' path obj ...)* '.'?"""
+        s = self.term()
+        while True:
+            seqs = self.path_spec()
             while True:
                 o = self.term()
-                out.append(Pattern(s, p, o, path))
+                self.emit_path(out, group, s, seqs, o)
                 if self.peek() == ",":
                     self.next()
                     continue
@@ -434,7 +494,7 @@ class _P:
                 self.next()
                 g.values.append(self.values_block())
                 continue
-            self.triples_block(g.patterns, {"}"})
+            self.triples_block(g.patterns, {"}"}, group=g)
         # unreachable
 
     def template(self) -> list[Pattern]:

@@ -772,3 +772,63 @@ def test_not_exists_gate_parity(ray_session):
     odf = con.sql(V.sparql_not_exists_sql()).df()
     assert len(df) == len(odf) > 0
     assert norm(df) == norm(odf)
+
+
+# ------------------------------------------- path syntax (/, ^, |)
+
+def test_parse_path_syntax():
+    q = parse_sparql("PREFIX e: <http://e/> "
+                     "SELECT ?x ?z WHERE { ?x e:p1/e:p2+ ?z }")[0]
+    pats = q.where.patterns
+    assert len(pats) == 2
+    assert pats[0].o == pats[1].s          # fresh chained var
+    assert pats[0].o.name.startswith("_seq")
+    assert pats[1].path == "+"
+    q2 = parse_sparql("PREFIX e: <http://e/> "
+                      "SELECT ?a ?b WHERE { ?a e:p|e:q ?b }")[0]
+    assert len(q2.where.unions) == 1 and len(q2.where.unions[0]) == 2
+    with pytest.raises(SparqlError):   # no '/' inside '|'
+        parse_sparql("PREFIX e: <http://e/> SELECT ?a ?b WHERE "
+                     "{ ?a e:p/e:q|e:r ?b }")
+    with pytest.raises(SparqlError):   # ^ needs a constant
+        parse_sparql("SELECT ?a ?b WHERE { ?a ^?p ?b }")
+
+
+def test_path_syntax_eval(ray_session, tmp_path):
+    import ray.data
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    rows = pa.table({
+        "s": ["http://e/a", "http://e/b", "http://e/a", "http://e/c"],
+        "p": ["http://e/p1", "http://e/p2", "http://e/q", "http://e/p2"],
+        "o": ['<http://e/b>', '"end"', '"qv"', '"c2"'],
+    })
+    store = str(tmp_path / "paths")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(rows), store)
+    seq = execute_sparql(store, parse_sparql(
+        "SELECT ?x ?z WHERE { ?x <http://e/p1>/<http://e/p2> ?z }")[0]
+    ).to_pandas()
+    assert sorted(map(tuple, seq.itertuples(index=False))) == [
+        ("http://e/a", '"end"')]
+    inv = execute_sparql(store, parse_sparql(
+        "SELECT ?y ?x WHERE { ?y ^<http://e/p1> ?x }")[0]).to_pandas()
+    assert sorted(map(tuple, inv.itertuples(index=False))) == [
+        ("<http://e/b>", "http://e/a")]
+    alt = execute_sparql(store, parse_sparql(
+        "SELECT ?x ?v WHERE { ?x <http://e/p2>|<http://e/q> ?v }")[0]
+    ).to_pandas()
+    assert sorted(map(tuple, alt.itertuples(index=False))) == [
+        ("http://e/a", '"qv"'), ("http://e/b", '"end"'),
+        ("http://e/c", '"c2"')]
+
+
+def test_seq_path_equals_explicit_chain(ray_session):
+    """The /-rewrite must produce the same rows as the explicit
+    two-pattern ancestor query on the category store."""
+    from kgforge.pipelines.versioning import (PATH_QUERY_TEXT,
+                                              SEQ_PATH_QUERY_TEXT,
+                                              category_store)
+    store = category_store(SF)
+    a = _rows(execute_sparql(store, parse_sparql(PATH_QUERY_TEXT)[0]))
+    b = _rows(execute_sparql(store, parse_sparql(SEQ_PATH_QUERY_TEXT)[0]))
+    assert a == b and len(a) > 0
