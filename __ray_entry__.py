@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["entity_cooccurrence"] = graph.entity_cooccurrence
     # k-hop BFS reachability (crawl-frontier expansion, min depth)
     q["crawl_frontier"] = graph.crawl_frontier
+    # KG-embedding training data: filtered deterministic negatives
+    from kgforge.ops import kgtrain
+    q["kg_negative_samples"] = kgtrain.kg_negative_samples
     q["lang_length_quantiles"] = quantile.lang_length_quantiles
     q["lang_length_quantiles_hdr"] = quantile.lang_length_quantiles_hdr
     # non-equi join family Ray Data lacks: broadcast+searchsorted range
@@ -364,6 +367,8 @@ def oracle_sql() -> dict[str, str]:
     o["entity_ppr"] = graph.entity_ppr_sql()
     o["entity_cooccurrence"] = graph.entity_cooccurrence_sql()
     o["crawl_frontier"] = graph.crawl_frontier_sql()
+    from kgforge.ops import kgtrain as _kgtrain
+    o["kg_negative_samples"] = _kgtrain.kg_negative_samples_sql()
     o["lang_length_quantiles"] = quantile.lang_length_quantiles_sql()
     o["order_price_tiers"] = relational.order_price_tiers_sql()
     o["customers_without_big_orders"] = (

@@ -1,0 +1,236 @@
+"""KG-embedding training-data preparation over the constructed graph.
+
+A knowledge graph is not just queried — at web scale it is TRAINING
+DATA for link-prediction / KG-embedding models (TransE-style margin
+ranking). This module turns the link graph into model-ready triplets:
+
+``link_negative_samples`` emits one row per (positive edge, k):
+``(h, t_pos, t_neg, k)`` where ``t_neg`` is a DETERMINISTIC corrupted
+tail — the candidate pool is the distinct tail set, indexed by a
+Knuth-style multiplicative hash of (h, t_pos, k) (all arithmetic mod
+2^32, so a DuckDB HUGEINT mirror is bit-exact — same convention as
+ops/text.dataset_split) — FILTERED: candidates that collide with a
+true edge are dropped, not retried (the standard "filtered" negative
+sampling; per-head output count therefore varies, which the oracle
+reproduces exactly).
+
+Scale shape:
+
+* positives are the globally-distinct edge set (one pair-keyed bucket
+  shuffle via linkgraph.distinct-style per-batch combiners);
+* candidate generation is a pure map over positive-edge blocks — no
+  shuffle, no RNG state (hash-of-content, parallelism-independent);
+* the tail pool broadcasts once via ``ray.put`` below
+  KGFORGE_GRAPH_BROADCAST_LIMIT (a sorted int64 array, vectorized
+  fancy-indexing per batch); above it (or ``force_join``) the pool
+  ships as an (idx, t) Dataset and candidates join on idx%B buckets;
+* the true-edge filter is vectorized ``np.isin`` on packed (h,t)
+  int64 keys against the broadcast positive set below the limit, else
+  ONE tagged-union hash(h,t_neg) bucket anti-merge.
+
+Both paths are pinned equal in tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+M1 = 2654435761          # Knuth multiplicative constant (2^32 golden)
+M2 = 2246822519          # xxhash PRIME32_2
+M3 = 3266489917          # xxhash PRIME32_3
+_MOD = 1 << 32
+
+_OUT = pa.schema([("h", pa.int64()), ("t_pos", pa.int64()),
+                  ("t_neg", pa.int64()), ("k", pa.int64())])
+
+
+def _limit() -> int:
+    return int(os.environ.get("KGFORGE_GRAPH_BROADCAST_LIMIT", 1_000_000))
+
+
+def _pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(h, t) -> one int64 key (both ids < 2^31 in this graph family;
+    guarded)."""
+    assert a.size == 0 or (a.max() < (1 << 31) and b.max() < (1 << 31))
+    return (a.astype(np.int64) << np.int64(31)) | b.astype(np.int64)
+
+
+def negative_samples(edges: "ray.data.Dataset", k: int = 2,
+                     force_join: bool = False) -> "ray.data.Dataset":
+    """Filtered deterministic negative sampling over a directed
+    (src:int64, dst:int64) edge Dataset. Returns
+    (h, t_pos, t_neg, k) margin-ranking triplets."""
+    import polars as pl
+    from ..stages.dedup import default_num_buckets
+    num_buckets = default_num_buckets()
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["src", "dst"])).unique()
+        return df.with_columns(
+            (pl.col("src").hash(seed=0) % num_buckets)
+            .cast(pl.Int32).alias("_gb")).to_arrow()
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        return (pl.from_arrow(g.select(["src", "dst"])).unique()
+                .to_arrow().cast(pa.schema([("src", pa.int64()),
+                                            ("dst", pa.int64())])))
+
+    pos = (edges.map_batches(dedup_batch, batch_format="pyarrow")
+           .groupby("_gb").map_groups(dedup_bucket,
+                                      batch_format="pyarrow")
+           ).materialize()
+
+    # tail pool: sorted distinct dst (defines the hash->tail indexing
+    # the oracle reproduces with row_number() OVER (ORDER BY dst))
+    def tails(b: pa.Table) -> pa.Table:
+        return pa.table({"t": pa.array(
+            np.unique(b["dst"].to_numpy(zero_copy_only=False)),
+            pa.int64())})
+
+    pool_parts = [t["t"].to_numpy(zero_copy_only=False)
+                  for t in pos.map_batches(tails, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow") if t.num_rows]
+    pool = (np.unique(np.concatenate(pool_parts)) if pool_parts
+            else np.array([], dtype=np.int64))
+    n_pool = int(pool.size)
+    if n_pool == 0:
+        return ray.data.from_arrow(_OUT.empty_table())
+
+    small = not force_join and (pos.count() + n_pool) <= _limit()
+    pool_ref = ray.put(pool)
+
+    if small:
+        pos_keys = np.sort(np.concatenate(
+            [_pack(t["src"].to_numpy(zero_copy_only=False),
+                   t["dst"].to_numpy(zero_copy_only=False))
+             for t in pos.iter_batches(batch_format="pyarrow")
+             if t.num_rows]))
+        keys_ref = ray.put(pos_keys)
+
+        def gen(b: pa.Table, _k=k) -> pa.Table:
+            pl_ = ray.get(pool_ref)
+            keys = ray.get(keys_ref)
+            h = b["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            t = b["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            hs, ts, ns, ks = [], [], [], []
+            for kk in range(_k):
+                idx = ((h * np.uint64(M1) + t * np.uint64(M2)
+                        + np.uint64(kk) * np.uint64(M3))
+                       % np.uint64(_MOD)) % np.uint64(len(pl_))
+                neg = pl_[idx.astype(np.int64)]
+                ok = ~np.isin(_pack(h.astype(np.int64), neg), keys)
+                hs.append(h.astype(np.int64)[ok])
+                ts.append(t.astype(np.int64)[ok])
+                ns.append(neg[ok])
+                ks.append(np.full(int(ok.sum()), kk, np.int64))
+            return pa.table({
+                "h": pa.array(np.concatenate(hs), pa.int64()),
+                "t_pos": pa.array(np.concatenate(ts), pa.int64()),
+                "t_neg": pa.array(np.concatenate(ns), pa.int64()),
+                "k": pa.array(np.concatenate(ks), pa.int64())})
+
+        from . import ensure_schema
+        return ensure_schema(
+            pos.map_batches(gen, batch_format="pyarrow"), _OUT)
+
+    # ---- scale path: candidates with idx, pool join, edge anti-merge
+    def cand(b: pa.Table, _k=k) -> pa.Table:
+        h = b["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        t = b["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hs, ts, ix, ks = [], [], [], []
+        for kk in range(_k):
+            idx = ((h * np.uint64(M1) + t * np.uint64(M2)
+                    + np.uint64(kk) * np.uint64(M3))
+                   % np.uint64(_MOD)) % np.uint64(n_pool)
+            hs.append(h.astype(np.int64))
+            ts.append(t.astype(np.int64))
+            ix.append(idx.astype(np.int64))
+            ks.append(np.full(len(h), kk, np.int64))
+        return pa.table({
+            "h": pa.array(np.concatenate(hs), pa.int64()),
+            "t_pos": pa.array(np.concatenate(ts), pa.int64()),
+            "_idx": pa.array(np.concatenate(ix), pa.int64()),
+            "k": pa.array(np.concatenate(ks), pa.int64())})
+
+    def attach_pool(b: pa.Table) -> pa.Table:
+        # pool is index-addressable: resolve _idx locally against the
+        # shared array (zero-copy plasma read — not a shuffle)
+        pl_ = ray.get(pool_ref)
+        idx = b["_idx"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "h": b["h"], "t_pos": b["t_pos"],
+            "t_neg": pa.array(pl_[idx], pa.int64()), "k": b["k"]})
+
+    cands = pos.map_batches(cand, batch_format="pyarrow").map_batches(
+        attach_pool, batch_format="pyarrow")
+
+    def tag_cand(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.with_columns(
+            pl.lit(0, pl.Int8).alias("_t"),
+            ((pl.col("h").hash(seed=0) + pl.col("t_neg").hash(seed=1))
+             % num_buckets).cast(pl.Int32).alias("_gb")).to_arrow()
+
+    def tag_pos(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["src", "dst"])).rename(
+            {"src": "h", "dst": "t_neg"})
+        return df.with_columns(
+            pl.lit(None, pl.Int64).alias("t_pos"),
+            pl.lit(None, pl.Int64).alias("k"),
+            pl.lit(1, pl.Int8).alias("_t"),
+            ((pl.col("h").hash(seed=0) + pl.col("t_neg").hash(seed=1))
+             % num_buckets).cast(pl.Int32).alias("_gb")
+        ).select(["h", "t_pos", "t_neg", "k", "_t", "_gb"]).to_arrow()
+
+    def anti(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        true_e = (df.filter(pl.col("_t") == 1)
+                  .select(["h", "t_neg"]).unique())
+        keep = (df.filter(pl.col("_t") == 0)
+                .select(["h", "t_pos", "t_neg", "k"])
+                .join(true_e, on=["h", "t_neg"], how="anti"))
+        return keep.to_arrow().cast(_OUT)
+
+    from . import ensure_schema
+    return ensure_schema(
+        cands.map_batches(tag_cand, batch_format="pyarrow")
+        .union(pos.map_batches(tag_pos, batch_format="pyarrow"))
+        .groupby("_gb").map_groups(anti, batch_format="pyarrow"), _OUT)
+
+
+def kg_negative_samples(sf_dir: str, k: int = 2,
+                        force_join: bool = False) -> "ray.data.Dataset":
+    """Gate: filtered deterministic negative samples over the synthetic
+    link graph — (h, t_pos, t_neg, k) margin-ranking triplets."""
+    from .linkgraph import build_links
+    return negative_samples(build_links(sf_dir), k=k,
+                            force_join=force_join)
+
+
+def kg_negative_samples_sql(k: int = 2) -> str:
+    from .linkgraph import _links_sql
+    return f"""
+WITH {_links_sql()},
+pos AS (SELECT DISTINCT src, dst FROM links),
+pool AS (SELECT t, row_number() OVER (ORDER BY t) - 1 AS idx
+         FROM (SELECT DISTINCT dst AS t FROM links)),
+np AS (SELECT count(*) AS c FROM pool),
+cand AS (
+  SELECT p.src AS h, p.dst AS t_pos, ks.k,
+         CAST(((CAST(p.src AS HUGEINT) * {M1}
+                + CAST(p.dst AS HUGEINT) * {M2}
+                + CAST(ks.k AS HUGEINT) * {M3}) % {_MOD})
+              % (SELECT c FROM np) AS BIGINT) AS idx
+  FROM pos p CROSS JOIN (SELECT range AS k FROM range(0, {k})) ks)
+SELECT CAST(c.h AS BIGINT) AS h, CAST(c.t_pos AS BIGINT) AS t_pos,
+       CAST(pool.t AS BIGINT) AS t_neg, CAST(c.k AS BIGINT) AS k
+FROM cand c JOIN pool ON pool.idx = c.idx
+WHERE NOT EXISTS (SELECT 1 FROM pos
+                  WHERE pos.src = c.h AND pos.dst = pool.t)
+"""

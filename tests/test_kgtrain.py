@@ -1,0 +1,70 @@
+"""KG-embedding training-data ops (ops/kgtrain.py): deterministic
+filtered negative sampling — planted collisions, pool indexing,
+broadcast==scale equality, oracle parity."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(pairs):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.int64()),
+        "dst": pa.array([p[1] for p in pairs], pa.int64())}))
+
+
+def _rows(ds):
+    return sorted(map(tuple, ds.to_pandas().itertuples(index=False)))
+
+
+def test_negative_samples_deterministic_and_filtered(ray_session):
+    from kgforge.ops.kgtrain import M1, M2, M3, _MOD, negative_samples
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    got = _rows(negative_samples(_edges(pairs), k=2))
+    # reproduce by hand: pool = sorted distinct dst = [1, 2]
+    pool = np.array([1, 2], dtype=np.int64)
+    want = []
+    for h, t in pairs:
+        for k in range(2):
+            idx = ((h * M1 + t * M2 + k * M3) % _MOD) % len(pool)
+            neg = int(pool[idx])
+            if (h, neg) not in pairs:        # filtered, no retry
+                want.append((h, t, neg, k))
+    assert got == sorted(want)
+    assert len(got) > 0
+    # determinism: identical on re-run
+    assert got == _rows(negative_samples(_edges(pairs), k=2))
+
+
+def test_negative_samples_paths_equal(ray_session):
+    from kgforge.ops.kgtrain import negative_samples
+    pairs = [(i, (i * 3 + 1) % 7) for i in range(7)] + [(2, 5), (6, 1)]
+    base = _rows(negative_samples(_edges(pairs), k=3))
+    fj = _rows(negative_samples(_edges(pairs), k=3, force_join=True))
+    assert fj == base and len(base) > 0
+
+
+def test_gate_parity(ray_session):
+    import hashlib
+
+    from kgforge.ops.kgtrain import (kg_negative_samples,
+                                     kg_negative_samples_sql)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    df = kg_negative_samples(SF).to_pandas()
+    odf = con.sql(kg_negative_samples_sql()).df()
+    assert len(df) == len(odf) > 0
+    assert norm(df) == norm(odf)
+    # the filter really fired: fewer rows than raw candidates
+    assert len(df) < 2 * 2 * 500 + 1
