@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # KG-embedding training data: filtered deterministic negatives
     from kgforge.ops import kgtrain
     q["kg_negative_samples"] = kgtrain.kg_negative_samples
+    q["kg_random_walks"] = kgtrain.kg_random_walks
     q["lang_length_quantiles"] = quantile.lang_length_quantiles
     q["lang_length_quantiles_hdr"] = quantile.lang_length_quantiles_hdr
     # non-equi join family Ray Data lacks: broadcast+searchsorted range
@@ -369,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
     o["crawl_frontier"] = graph.crawl_frontier_sql()
     from kgforge.ops import kgtrain as _kgtrain
     o["kg_negative_samples"] = _kgtrain.kg_negative_samples_sql()
+    o["kg_random_walks"] = _kgtrain.kg_random_walks_sql()
     o["lang_length_quantiles"] = quantile.lang_length_quantiles_sql()
     o["order_price_tiers"] = relational.order_price_tiers_sql()
     o["customers_without_big_orders"] = (

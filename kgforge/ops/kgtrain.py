@@ -234,3 +234,221 @@ FROM cand c JOIN pool ON pool.idx = c.idx
 WHERE NOT EXISTS (SELECT 1 FROM pos
                   WHERE pos.src = c.h AND pos.dst = pool.t)
 """
+
+
+_WALK = pa.schema([("start", pa.int64()), ("w", pa.int64()),
+                   ("step", pa.int64()), ("node", pa.int64())])
+
+
+def random_walks(edges: "ray.data.Dataset", length: int = 3,
+                 walks_per_node: int = 2, force_join: bool = False
+                 ) -> "ray.data.Dataset":
+    """DeepWalk-style walk corpus, fully DETERMINISTIC: from every node
+    with out-edges, ``walks_per_node`` truncated walks of ``length``
+    steps; the next hop from node v at step s of walk w is
+    ``neighbors(v)[hash(v, w, s) % deg(v)]`` with the sorted-neighbor
+    ranking and the same mod-2^32 multiplicative hash as
+    ``negative_samples`` — no RNG state, parallelism-independent, and a
+    DuckDB recursive-CTE mirror is bit-exact. Dead ends truncate the
+    walk (standard DeepWalk behavior).
+
+    Output rows: (start, w, step, node) with step 0 = the start node.
+
+    Scale shape: adjacency broadcasts once as CSR arrays (sorted node
+    keys, offsets, flat neighbor list) below
+    KGFORGE_GRAPH_BROADCAST_LIMIT edges — each step is then a pure
+    vectorized map over the frontier (searchsorted + gather, no
+    shuffle). Above it (or ``force_join``) the ranked adjacency ships
+    as a Dataset and each step is ONE tagged-union hash(node) bucket
+    join. L steps = L bounded rounds over a frontier that never
+    exceeds |starts|·W rows."""
+    import polars as pl
+    from ..stages.dedup import default_num_buckets
+    num_buckets = default_num_buckets()
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["src", "dst"])).unique()
+        return df.with_columns(
+            (pl.col("src").hash(seed=0) % num_buckets)
+            .cast(pl.Int32).alias("_gb")).to_arrow()
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        # a src's edges land in ONE bucket, so the per-src sorted rank
+        # computed here is the GLOBAL neighbor rank
+        df = (pl.from_arrow(g.select(["src", "dst"])).unique()
+              .sort(["src", "dst"]))
+        df = df.with_columns(
+            (pl.col("dst").cum_count().over("src") - 1).alias("r"),
+            pl.col("dst").count().over("src").alias("deg"))
+        return df.to_arrow().cast(pa.schema([
+            ("src", pa.int64()), ("dst", pa.int64()),
+            ("r", pa.int64()), ("deg", pa.int64())]))
+
+    adj = (edges.map_batches(dedup_batch, batch_format="pyarrow")
+           .groupby("_gb").map_groups(rank_bucket,
+                                      batch_format="pyarrow")
+           ).materialize()
+
+    def starts_fn(b: pa.Table) -> pa.Table:
+        return pa.table({"s": pa.array(
+            np.unique(b["src"].to_numpy(zero_copy_only=False)),
+            pa.int64())})
+
+    s_parts = [t["s"].to_numpy(zero_copy_only=False)
+               for t in adj.map_batches(starts_fn, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow") if t.num_rows]
+    starts = (np.unique(np.concatenate(s_parts)) if s_parts
+              else np.array([], dtype=np.int64))
+    if starts.size == 0:
+        return ray.data.from_arrow(_WALK.empty_table())
+
+    step0 = pa.table({
+        "start": pa.array(np.repeat(starts, walks_per_node), pa.int64()),
+        "w": pa.array(np.tile(np.arange(walks_per_node, dtype=np.int64),
+                              starts.size), pa.int64()),
+        "step": pa.array(np.zeros(starts.size * walks_per_node,
+                                  np.int64), pa.int64()),
+        "node": pa.array(np.repeat(starts, walks_per_node), pa.int64()),
+    })
+    frontier = ray.data.from_arrow(step0)
+    acc = [frontier]
+
+    small = not force_join and adj.count() <= _limit()
+    if small:
+        tbls = [t for t in adj.iter_batches(batch_format="pyarrow")
+                if t.num_rows]
+        flat = pa.concat_tables(tbls).sort_by([("src", "ascending"),
+                                               ("r", "ascending")])
+        keys_all = flat["src"].to_numpy(zero_copy_only=False)
+        neigh = flat["dst"].to_numpy(zero_copy_only=False)
+        keys, first = np.unique(keys_all, return_index=True)
+        offsets = np.append(first, len(keys_all))
+        csr_ref = ray.put((keys, offsets.astype(np.int64), neigh))
+
+    for s in range(length):
+        if small:
+            def hop(b: pa.Table, _s=s) -> pa.Table:
+                keys_, off_, fl_ = ray.get(csr_ref)
+                cur = b["node"].to_numpy(zero_copy_only=False)
+                st = b["start"].to_numpy(zero_copy_only=False)
+                w = b["w"].to_numpy(zero_copy_only=False)
+                pos_ = np.searchsorted(keys_, cur)
+                ok = pos_ < len(keys_)
+                pos_c = np.minimum(pos_, len(keys_) - 1)
+                ok &= keys_[pos_c] == cur
+                cur, st, w, pos_c = cur[ok], st[ok], w[ok], pos_c[ok]
+                deg = off_[pos_c + 1] - off_[pos_c]
+                r = ((cur.astype(np.uint64) * np.uint64(M1)
+                      + w.astype(np.uint64) * np.uint64(M2)
+                      + np.uint64(_s) * np.uint64(M3))
+                     % np.uint64(_MOD)) % deg.astype(np.uint64)
+                nxt = fl_[off_[pos_c] + r.astype(np.int64)]
+                return pa.table({
+                    "start": pa.array(st, pa.int64()),
+                    "w": pa.array(w, pa.int64()),
+                    "step": pa.array(np.full(len(st), _s + 1, np.int64),
+                                     pa.int64()),
+                    "node": pa.array(nxt, pa.int64())})
+
+            frontier = frontier.map_batches(
+                hop, batch_format="pyarrow").materialize()
+        else:
+            def tag_front(b: pa.Table) -> pa.Table:
+                df = pl.from_arrow(b)
+                return df.with_columns(
+                    pl.lit(None, pl.Int64).alias("dst"),
+                    pl.lit(None, pl.Int64).alias("r"),
+                    pl.lit(None, pl.Int64).alias("deg"),
+                    pl.lit(0, pl.Int8).alias("_t"),
+                    (pl.col("node").hash(seed=0) % num_buckets)
+                    .cast(pl.Int32).alias("_gb")).select(
+                    ["start", "w", "step", "node", "dst", "r", "deg",
+                     "_t", "_gb"]).to_arrow()
+
+            def tag_adj(b: pa.Table) -> pa.Table:
+                df = pl.from_arrow(b)
+                return df.with_columns(
+                    pl.lit(None, pl.Int64).alias("start"),
+                    pl.lit(None, pl.Int64).alias("w"),
+                    pl.lit(None, pl.Int64).alias("step"),
+                    pl.col("src").alias("node"),
+                    pl.lit(1, pl.Int8).alias("_t"),
+                    (pl.col("src").hash(seed=0) % num_buckets)
+                    .cast(pl.Int32).alias("_gb")).select(
+                    ["start", "w", "step", "node", "dst", "r", "deg",
+                     "_t", "_gb"]).to_arrow()
+
+            def hop_join(group: pa.Table, _s=s) -> pa.Table:
+                df = pl.from_arrow(group)
+                fr = df.filter(pl.col("_t") == 0).select(
+                    ["start", "w", "node"])
+                ad = df.filter(pl.col("_t") == 1).select(
+                    ["node", "dst", "r", "deg"])
+                dg = ad.select(["node", "deg"]).unique()
+                j = fr.join(dg, on="node", how="inner")
+                j = j.with_columns(
+                    (((pl.col("node").cast(pl.UInt64) * M1
+                       + pl.col("w").cast(pl.UInt64) * M2
+                       + _s * M3) % _MOD)
+                     % pl.col("deg").cast(pl.UInt64))
+                    .cast(pl.Int64).alias("r"))
+                out = (j.join(ad, on=["node", "r"], how="inner")
+                       .select([pl.col("start"), pl.col("w"),
+                                pl.lit(_s + 1, pl.Int64).alias("step"),
+                                pl.col("dst").alias("node")]))
+                return out.to_arrow().cast(_WALK)
+
+            frontier = (frontier.map_batches(tag_front,
+                                             batch_format="pyarrow")
+                        .union(adj.map_batches(tag_adj,
+                                               batch_format="pyarrow"))
+                        .groupby("_gb").map_groups(
+                            hop_join, batch_format="pyarrow")
+                        ).materialize()
+        if frontier.count() == 0:
+            break
+        acc.append(frontier)
+
+    out = acc[0]
+    for a in acc[1:]:
+        out = out.union(a)
+    from . import ensure_schema
+    return ensure_schema(out, _WALK)
+
+
+def kg_random_walks(sf_dir: str, length: int = 3, walks_per_node: int = 2,
+                    force_join: bool = False) -> "ray.data.Dataset":
+    """Gate: deterministic DeepWalk corpus over the synthetic link
+    graph — (start, w, step, node) rows, step 0 = start."""
+    from .linkgraph import build_links
+    return random_walks(build_links(sf_dir), length=length,
+                        walks_per_node=walks_per_node,
+                        force_join=force_join)
+
+
+def kg_random_walks_sql(length: int = 3, walks_per_node: int = 2) -> str:
+    from .linkgraph import _links_sql
+    return f"""
+WITH RECURSIVE {_links_sql()},
+adj AS (SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+               count(*) OVER (PARTITION BY src) AS deg
+        FROM (SELECT DISTINCT src, dst FROM links)),
+starts AS (SELECT DISTINCT src AS s FROM links),
+walk(start, w, step, node) AS (
+  SELECT s, CAST(ws.range AS BIGINT), CAST(0 AS BIGINT), s
+  FROM starts CROSS JOIN range(0, {walks_per_node}) ws
+  UNION ALL
+  SELECT wk.start, wk.w, wk.step + 1, a.dst
+  FROM walk wk
+  JOIN adj a ON a.src = wk.node
+   AND a.r = CAST(((CAST(wk.node AS HUGEINT) * {M1}
+                    + CAST(wk.w AS HUGEINT) * {M2}
+                    + CAST(wk.step AS HUGEINT) * {M3}) % {_MOD})
+                  % a.deg AS BIGINT)
+  WHERE wk.step < {length}
+)
+SELECT CAST(start AS BIGINT) AS start, CAST(w AS BIGINT) AS w,
+       CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node
+FROM walk
+"""

@@ -68,3 +68,53 @@ def test_gate_parity(ray_session):
     assert norm(df) == norm(odf)
     # the filter really fired: fewer rows than raw candidates
     assert len(df) < 2 * 2 * 500 + 1
+
+
+# --------------------------------------------------------- random walks
+
+def test_random_walks_hand_case(ray_session):
+    from kgforge.ops.kgtrain import M1, M2, M3, _MOD, random_walks
+    # 0 -> {1, 2}; 1 -> {2}; 2 has no out-edges (dead end truncates)
+    got = _rows(random_walks(_edges([(0, 1), (0, 2), (1, 2)]),
+                             length=3, walks_per_node=1))
+    # hand-walk: neighbors sorted; r = hash(node, w=0, step) % deg
+    def nxt(node, step, neigh):
+        return neigh[((node * M1 + 0 * M2 + step * M3) % _MOD)
+                     % len(neigh)]
+    n0 = nxt(0, 0, [1, 2])
+    want = [(0, 0, 0, 0), (1, 0, 0, 1), (1, 0, 1, 2)]
+    want.append((0, 0, 1, n0))
+    if n0 == 1:
+        want.append((0, 0, 2, 2))
+    assert got == sorted(want)
+
+
+def test_random_walks_paths_equal_and_deterministic(ray_session):
+    from kgforge.ops.kgtrain import random_walks
+    pairs = [(i, (i * 5 + 2) % 9) for i in range(9)] + [(3, 7), (8, 0)]
+    base = _rows(random_walks(_edges(pairs), length=4, walks_per_node=2))
+    assert base == _rows(random_walks(_edges(pairs), length=4,
+                                      walks_per_node=2))
+    assert base == _rows(random_walks(_edges(pairs), length=4,
+                                      walks_per_node=2, force_join=True))
+    # every walk starts at its start node
+    assert all(r[3] == r[0] for r in base if r[2] == 0)
+
+
+def test_random_walks_gate_parity(ray_session):
+    import hashlib
+
+    from kgforge.ops.kgtrain import kg_random_walks, kg_random_walks_sql
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    df = kg_random_walks(SF).to_pandas()
+    odf = con.sql(kg_random_walks_sql()).df()
+    assert len(df) == len(odf) > 0
+    assert norm(df) == norm(odf)
