@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgforge.ops import kgtrain
     q["kg_negative_samples"] = kgtrain.kg_negative_samples
     q["kg_random_walks"] = kgtrain.kg_random_walks
+    q["kg_skipgram_pairs"] = kgtrain.kg_skipgram_pairs
     q["lang_length_quantiles"] = quantile.lang_length_quantiles
     q["lang_length_quantiles_hdr"] = quantile.lang_length_quantiles_hdr
     # non-equi join family Ray Data lacks: broadcast+searchsorted range
@@ -371,6 +372,7 @@ def oracle_sql() -> dict[str, str]:
     from kgforge.ops import kgtrain as _kgtrain
     o["kg_negative_samples"] = _kgtrain.kg_negative_samples_sql()
     o["kg_random_walks"] = _kgtrain.kg_random_walks_sql()
+    o["kg_skipgram_pairs"] = _kgtrain.kg_skipgram_pairs_sql()
     o["lang_length_quantiles"] = quantile.lang_length_quantiles_sql()
     o["order_price_tiers"] = relational.order_price_tiers_sql()
     o["customers_without_big_orders"] = (

@@ -452,3 +452,65 @@ SELECT CAST(start AS BIGINT) AS start, CAST(w AS BIGINT) AS w,
        CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node
 FROM walk
 """
+
+
+_PAIRS = pa.schema([("center", pa.int64()), ("context", pa.int64()),
+                    ("dist", pa.int64())])
+
+
+def skipgram_pairs(walks: "ray.data.Dataset", window: int = 2
+                   ) -> "ray.data.Dataset":
+    """(center, context, dist) skip-gram pairs from a walk corpus —
+    the word2vec-style consumer of ``random_walks``: every ordered pair
+    of nodes within ``window`` steps of each other on the SAME walk
+    (dist = context_step - center_step, never 0).
+
+    Shape: walks of one (start, w) are tiny (≤ length+1 rows), so the
+    pairing is ONE hash(start, w) bucket shuffle and a per-bucket
+    polars self-join on the walk key with the |step diff| ≤ window
+    filter — the corpus-sized output streams out of the buckets; no
+    per-walk Python."""
+    import polars as pl
+    from ..stages.dedup import default_num_buckets
+    num_buckets = default_num_buckets()
+
+    def tag(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.with_columns(
+            ((pl.col("start").hash(seed=0) + pl.col("w").hash(seed=1))
+             % num_buckets).cast(pl.Int32).alias("_gb")).to_arrow()
+
+    def pair(group: pa.Table, _w=window) -> pa.Table:
+        df = pl.from_arrow(group).select(["start", "w", "step", "node"])
+        j = df.join(df, on=["start", "w"], suffix="_c")
+        j = j.filter((pl.col("step") != pl.col("step_c"))
+                     & ((pl.col("step_c") - pl.col("step")).abs() <= _w))
+        out = j.select([
+            pl.col("node").alias("center"),
+            pl.col("node_c").alias("context"),
+            (pl.col("step_c") - pl.col("step")).alias("dist")])
+        return out.to_arrow().cast(_PAIRS)
+
+    from . import ensure_schema
+    return ensure_schema(
+        walks.map_batches(tag, batch_format="pyarrow")
+        .groupby("_gb").map_groups(pair, batch_format="pyarrow"), _PAIRS)
+
+
+def kg_skipgram_pairs(sf_dir: str, window: int = 2) -> "ray.data.Dataset":
+    """Gate: the full DeepWalk front half — deterministic walks over
+    the link graph, then windowed skip-gram pairs."""
+    return skipgram_pairs(kg_random_walks(sf_dir), window=window)
+
+
+def kg_skipgram_pairs_sql(length: int = 3, walks_per_node: int = 2,
+                          window: int = 2) -> str:
+    walks = kg_random_walks_sql(length, walks_per_node)
+    return f"""
+WITH wk AS ({walks})
+SELECT a.node AS center, b.node AS context,
+       CAST(b.step - a.step AS BIGINT) AS dist
+FROM wk a JOIN wk b
+  ON a.start = b.start AND a.w = b.w AND a.step != b.step
+ AND abs(b.step - a.step) <= {window}
+"""

@@ -118,3 +118,44 @@ def test_random_walks_gate_parity(ray_session):
     odf = con.sql(kg_random_walks_sql()).df()
     assert len(df) == len(odf) > 0
     assert norm(df) == norm(odf)
+
+
+# ------------------------------------------------------ skip-gram pairs
+
+def test_skipgram_pairs_hand_case(ray_session):
+    import ray.data
+    from kgforge.ops.kgtrain import skipgram_pairs
+    walk = pa.table({
+        "start": pa.array([9, 9, 9, 9], pa.int64()),
+        "w": pa.array([0, 0, 0, 0], pa.int64()),
+        "step": pa.array([0, 1, 2, 3], pa.int64()),
+        "node": pa.array([10, 11, 12, 13], pa.int64()),
+    })
+    got = _rows(skipgram_pairs(ray.data.from_arrow(walk), window=1))
+    assert got == sorted([
+        (10, 11, 1), (11, 10, -1), (11, 12, 1), (12, 11, -1),
+        (12, 13, 1), (13, 12, -1)])
+    # window=2 adds the dist-2 pairs, never dist 0
+    got2 = _rows(skipgram_pairs(ray.data.from_arrow(walk), window=2))
+    assert len(got2) == len(got) + 4
+    assert all(d != 0 for _, _, d in got2)
+
+
+def test_skipgram_gate_parity(ray_session):
+    import hashlib
+
+    from kgforge.ops.kgtrain import (kg_skipgram_pairs,
+                                     kg_skipgram_pairs_sql)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    df = kg_skipgram_pairs(SF).to_pandas()
+    odf = con.sql(kg_skipgram_pairs_sql()).df()
+    assert len(df) == len(odf) > 0
+    assert norm(df) == norm(odf)
