@@ -64,25 +64,31 @@ def _limit() -> int:
 
 def _asserted_types(store_dir: str) -> "ray.data.Dataset":
     """(e, c) pairs: asserted rdf:type closed under subClassOf — the
-    closure map is ontology-sized and folded per batch."""
+    closure ships once as an ontology-sized (c, sup) table and each
+    batch expands via ONE vectorized polars join (no per-row loop:
+    the type partition is corpus-sized at scale)."""
+    import polars as pl
+
     from ..ntriples import RDF_TYPE
     from ..sinks.store_query import query_triples
     clo = transitive_closure(_schema_edges(store_dir, RDFS_SUBCLASSOF))
-    clo_ref = ray.put({k: sorted(v) for k, v in clo.items()})
+    clo_tbl = pl.DataFrame({
+        "c": [c for c, sups in sorted(clo.items()) for _ in sups],
+        "sup": [s for _, sups in sorted(clo.items())
+                for s in sorted(sups)],
+    }, schema={"c": pl.Utf8, "sup": pl.Utf8})
+    clo_ref = ray.put(clo_tbl)
 
     def expand(b: pa.Table) -> pa.Table:
-        cmap = ray.get(clo_ref)
-        e = b["s"].combine_chunks().cast(pa.string()).to_pylist()
-        c = [v[1:-1] if v.startswith("<") and v.endswith(">") else v
-             for v in b["o"].combine_chunks().cast(pa.string())
-             .to_pylist()]
-        es, cs = list(e), list(c)
-        for ent, cls in zip(e, c):
-            for sup in cmap.get(cls, ()):
-                es.append(ent)
-                cs.append(sup)
-        return pa.table({"e": pa.array(es, pa.string()),
-                         "c": pa.array(cs, pa.string())})
+        ctab = ray.get(clo_ref)
+        o = b["o"].combine_chunks().cast(pa.string())
+        raw = pc.replace_substring_regex(o, r"^<(.*)>$", r"\1")
+        base = pl.from_arrow(pa.table(
+            {"e": b["s"].combine_chunks().cast(pa.string()), "c": raw}))
+        derived = (base.join(ctab, on="c", how="inner")
+                   .select([pl.col("e"), pl.col("sup").alias("c")]))
+        return pl.concat([base, derived]).to_arrow().cast(
+            pa.schema([("e", pa.string()), ("c", pa.string())]))
 
     sch = pa.schema([("e", pa.string()), ("c", pa.string())])
     ds = query_triples(store_dir, p=RDF_TYPE).map_batches(
@@ -137,13 +143,17 @@ def conformance_report(store_dir: str, num_buckets: int | None = None,
     rows = []
     small = not force_join and etypes.count() <= _limit()
     if small:
-        # per-class sorted entity arrays, broadcast once
-        byc: dict[str, list[str]] = {}
-        for t in etypes.iter_batches(batch_format="pyarrow"):
-            for ent, cls in zip(t["e"].to_pylist(), t["c"].to_pylist()):
-                byc.setdefault(cls, []).append(ent)
-        byc_ref = ray.put({k: np.sort(np.array(v, dtype=object))
-                           for k, v in byc.items()})
+        # per-class sorted entity arrays, broadcast once (vectorized
+        # partition — one C-level groupby, no per-row driver loop)
+        tbls = [t for t in etypes.iter_batches(batch_format="pyarrow")
+                if t.num_rows]
+        all_t = (pl.from_arrow(pa.concat_tables(tbls)) if tbls
+                 else pl.DataFrame({"e": [], "c": []},
+                                   schema={"e": pl.Utf8, "c": pl.Utf8}))
+        byc_ref = ray.put({
+            key[0]: np.sort(part["e"].to_numpy().astype(object))
+            for key, part in all_t.partition_by(
+                "c", as_dict=True).items()})
 
     for pred, kind, cls in decls:
         eps = _endpoints(store_dir, pred, kind)
