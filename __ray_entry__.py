@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["entity_cooccurrence"] = graph.entity_cooccurrence
     # k-hop BFS reachability (crawl-frontier expansion, min depth)
     q["crawl_frontier"] = graph.crawl_frontier
+    # synchronous label-propagation communities (K rounds, unrolled CTE)
+    q["link_communities"] = graph.link_communities
     # KG-embedding training data: filtered deterministic negatives
     from kgforge.ops import kgtrain
     q["kg_negative_samples"] = kgtrain.kg_negative_samples
@@ -369,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
     o["entity_ppr"] = graph.entity_ppr_sql()
     o["entity_cooccurrence"] = graph.entity_cooccurrence_sql()
     o["crawl_frontier"] = graph.crawl_frontier_sql()
+    o["link_communities"] = graph.link_communities_sql()
     from kgforge.ops import kgtrain as _kgtrain
     o["kg_negative_samples"] = _kgtrain.kg_negative_samples_sql()
     o["kg_random_walks"] = _kgtrain.kg_random_walks_sql()

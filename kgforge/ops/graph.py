@@ -874,3 +874,180 @@ def transitive_pairs(edges: "ray.data.Dataset", src: str = "src",
 
     from . import ensure_schema
     return ensure_schema(closure, out_schema)
+
+
+# ------------------------------------------------- label propagation
+
+_LP = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def label_propagation(edges: "ray.data.Dataset", rounds: int = 3,
+                      num_buckets: int | None = None,
+                      force_join: bool = False) -> "ray.data.Dataset":
+    """SYNCHRONOUS label-propagation communities over an UNDIRECTED
+    int64 graph (pass directed edges; both directions are unioned
+    here): label_0(v) = v; each round every node takes the most
+    frequent label among its neighbors' previous labels, ties broken
+    by the SMALLEST label — fully deterministic, so a fixed-round
+    unrolled SQL mirror is bit-exact (the classic async/random-order
+    LPA is irreproducible by construction; K synchronous rounds is the
+    form a distributed engine and an oracle can agree on).
+
+    Per round: attach prev labels to edge destinations (broadcast dict
+    below KGFORGE_GRAPH_BROADCAST_LIMIT nodes, else ONE tagged-union
+    hash(dst) bucket merge), per-batch (src, label) count combiners,
+    ONE hash(src) bucket shuffle of histogram-sized partials, per-
+    bucket vectorized argmax. Label state is node-sized and
+    materialized between rounds — same iteration discipline as
+    pagerank."""
+    import numpy as np
+    import polars as pl
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b["src"].combine_chunks().cast(pa.int64())
+        d = b["dst"].combine_chunks().cast(pa.int64())
+        return pa.table({"src": pa.concat_arrays([s, d]),
+                         "dst": pa.concat_arrays([d, s])})
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).unique()
+        return df.with_columns(
+            (pl.col("src").hash(seed=0) % num_buckets)
+            .cast(pl.Int32).alias("_gb")).to_arrow()
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        return (pl.from_arrow(g.select(["src", "dst"])).unique()
+                .to_arrow().cast(pa.schema([("src", pa.int64()),
+                                            ("dst", pa.int64())])))
+
+    und = (edges.map_batches(sym, batch_format="pyarrow")
+           .map_batches(dedup_batch, batch_format="pyarrow")
+           .groupby("_gb").map_groups(dedup_bucket,
+                                      batch_format="pyarrow")
+           ).materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        n = np.unique(b["src"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "label": pa.array(n, pa.int64())})
+
+    from ..stages.dedup import distinct
+    # label_0 = node, so pair-distinct == node-distinct
+    labels = distinct(und.map_batches(init_labels,
+                                      batch_format="pyarrow"),
+                      ["node", "label"]).materialize()
+    n_nodes = labels.count()
+    small = not force_join and n_nodes <= _broadcast_limit()
+
+    def vote_partial(b: pa.Table) -> pa.Table:
+        # b: (src, label) neighbor-label rows -> per-batch counts
+        df = (pl.from_arrow(b).group_by(["src", "label"])
+              .agg(pl.len().alias("c")))
+        return df.with_columns(
+            (pl.col("src").hash(seed=0) % num_buckets)
+            .cast(pl.Int32).alias("_gb")).to_arrow()
+
+    def vote_reduce(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g).group_by(["src", "label"])
+              .agg(pl.col("c").sum()))
+        top = (df.sort(["src", "c", "label"],
+                       descending=[False, True, False])
+               .group_by("src", maintain_order=True).first())
+        return (top.select([pl.col("src").alias("node"),
+                            pl.col("label")])
+                .to_arrow().cast(_LP))
+
+    for _ in range(rounds):
+        if small:
+            lmap = {}
+            for t in labels.iter_batches(batch_format="pyarrow"):
+                lt = pl.from_arrow(t)
+                lmap.update(zip(lt["node"].to_list(),
+                                lt["label"].to_list()))
+            keys = np.array(sorted(lmap), dtype=np.int64)
+            vals = np.array([lmap[k] for k in sorted(lmap)],
+                            dtype=np.int64)
+            ref = ray.put((keys, vals))
+
+            def attach(b: pa.Table) -> pa.Table:
+                k_, v_ = ray.get(ref)
+                dst = b["dst"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(k_, dst)
+                return pa.table({
+                    "src": b["src"],
+                    "label": pa.array(v_[pos], pa.int64())})
+
+            nbr = und.map_batches(attach, batch_format="pyarrow")
+        else:
+            def tag_e(b: pa.Table) -> pa.Table:
+                df = pl.from_arrow(b)
+                return df.with_columns(
+                    pl.lit(None, pl.Int64).alias("label"),
+                    pl.lit(0, pl.Int8).alias("_t"),
+                    (pl.col("dst").hash(seed=0) % num_buckets)
+                    .cast(pl.Int32).alias("_gb")).select(
+                    ["src", "dst", "label", "_t", "_gb"]).to_arrow()
+
+            def tag_l(b: pa.Table) -> pa.Table:
+                df = pl.from_arrow(b).rename({"node": "dst"})
+                return df.with_columns(
+                    pl.lit(None, pl.Int64).alias("src"),
+                    pl.lit(1, pl.Int8).alias("_t"),
+                    (pl.col("dst").hash(seed=0) % num_buckets)
+                    .cast(pl.Int32).alias("_gb")).select(
+                    ["src", "dst", "label", "_t", "_gb"]).to_arrow()
+
+            def join_lbl(g: pa.Table) -> pa.Table:
+                df = pl.from_arrow(g)
+                e = df.filter(pl.col("_t") == 0).select(["src", "dst"])
+                l_ = df.filter(pl.col("_t") == 1).select(
+                    ["dst", "label"])
+                return (e.join(l_, on="dst", how="inner")
+                        .select(["src", "label"]).to_arrow()
+                        .cast(pa.schema([("src", pa.int64()),
+                                         ("label", pa.int64())])))
+
+            nbr = (und.map_batches(tag_e, batch_format="pyarrow")
+                   .union(labels.map_batches(tag_l,
+                                             batch_format="pyarrow"))
+                   .groupby("_gb").map_groups(join_lbl,
+                                              batch_format="pyarrow"))
+
+        labels = (nbr.map_batches(vote_partial, batch_format="pyarrow")
+                  .groupby("_gb").map_groups(vote_reduce,
+                                             batch_format="pyarrow")
+                  ).materialize()
+
+    from . import ensure_schema
+    return ensure_schema(labels, _LP)
+
+
+def link_communities(sf_dir: str, rounds: int = 3,
+                     force_join: bool = False) -> "ray.data.Dataset":
+    """Gate: K-round synchronous LPA over the (symmetrized) synthetic
+    link graph — (node, label) community assignment."""
+    from .linkgraph import build_links
+    return label_propagation(build_links(sf_dir), rounds=rounds,
+                             force_join=force_join)
+
+
+def link_communities_sql(rounds: int = 3) -> str:
+    from .linkgraph import _links_sql
+    ctes = [f"""{_links_sql()},
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM links UNION ALL SELECT dst, src FROM links)),
+l0 AS (SELECT DISTINCT src AS node, src AS l FROM und)"""]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""c{t} AS (
+  SELECT e.src AS node, l{t-1}.l AS lbl, count(*) AS c
+  FROM und e JOIN l{t-1} ON l{t-1}.node = e.dst GROUP BY 1, 2),
+l{t} AS (
+  SELECT node, lbl AS l FROM (
+    SELECT node, lbl, row_number() OVER (
+      PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn FROM c{t})
+  WHERE rn = 1)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT CAST(node AS BIGINT) AS node, "
+              f"CAST(l AS BIGINT) AS label FROM l{rounds}")

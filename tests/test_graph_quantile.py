@@ -326,3 +326,71 @@ def test_transitive_pairs_diamond_dedup(ray_session):
                      .to_pandas().itertuples(index=False)))
     assert got == [("a", "b"), ("a", "c"), ("a", "d"),
                    ("b", "d"), ("c", "d")]
+
+
+# --------------------------------------------------- label propagation
+
+def _naive_lpa(pairs, rounds):
+    """Scalar reference: synchronous LPA, most-frequent neighbor label,
+    ties -> smallest label."""
+    from collections import Counter, defaultdict
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n in adj:
+            cnt = Counter(lab[m] for m in adj[n])
+            best = max(cnt.values())
+            nxt[n] = min(l for l, c in cnt.items() if c == best)
+        lab = nxt
+    return lab
+
+
+def test_label_propagation_matches_naive(ray_session):
+    """Two triangles + a bridge, checked against a scalar reference
+    (the bridge PULLS the min label across under sync min-tie LPA —
+    subtle enough that the expectation must be computed, not guessed);
+    both engine paths identical."""
+    import ray.data
+    from kgforge.ops.graph import label_propagation
+    pairs = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12),
+             (2, 10)]
+    e = ray.data.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.int64()),
+        "dst": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+    for rounds in (1, 3):
+        want = _naive_lpa(pairs, rounds)
+        got = {r.node: r.label
+               for r in label_propagation(e, rounds=rounds).to_pandas()
+               .itertuples(index=False)}
+        assert got == want
+        fj = {r.node: r.label
+              for r in label_propagation(e, rounds=rounds,
+                                         force_join=True)
+              .to_pandas().itertuples(index=False)}
+        assert fj == want
+
+
+def test_link_communities_gate_parity(ray_session):
+    import hashlib
+    from kgforge.ops.graph import link_communities, link_communities_sql
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = (df[cols].astype(str).sort_values(cols)
+              .reset_index(drop=True))
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    df = link_communities(SF).to_pandas()
+    odf = con.sql(link_communities_sql()).df()
+    assert len(df) == len(odf) > 0
+    assert norm(df) == norm(odf)
+    # labels coarsen: strictly fewer communities than nodes
+    assert df.label.nunique() < len(df)
