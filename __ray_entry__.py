@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["crawl_frontier"] = graph.crawl_frontier
     # synchronous label-propagation communities (K rounds, unrolled CTE)
     q["link_communities"] = graph.link_communities
+    # integer-exact HITS (hubs & authorities)
+    q["link_hits"] = graph.link_hits
     # KG-embedding training data: filtered deterministic negatives
     from kgforge.ops import kgtrain
     q["kg_negative_samples"] = kgtrain.kg_negative_samples
@@ -372,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
     o["entity_cooccurrence"] = graph.entity_cooccurrence_sql()
     o["crawl_frontier"] = graph.crawl_frontier_sql()
     o["link_communities"] = graph.link_communities_sql()
+    o["link_hits"] = graph.link_hits_sql()
     from kgforge.ops import kgtrain as _kgtrain
     o["kg_negative_samples"] = _kgtrain.kg_negative_samples_sql()
     o["kg_random_walks"] = _kgtrain.kg_random_walks_sql()

@@ -1051,3 +1051,150 @@ l{t} AS (
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT CAST(node AS BIGINT) AS node, "
               f"CAST(l AS BIGINT) AS label FROM l{rounds}")
+
+
+# ------------------------------------------------------------- HITS
+
+_HITS = pa.schema([("node", pa.int64()), ("hub", pa.int64()),
+                   ("auth", pa.int64())])
+
+
+def hits(edges: "ray.data.Dataset", rounds: int = 2,
+         num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Integer-exact HITS (hubs & authorities) over a directed int64
+    edge Dataset — the other classic link-analysis ranking next to
+    PageRank, and like it gate-hashable only because the arithmetic is
+    pure int64: each round
+
+        auth_t(v) = SUM over u->v of hub_{t-1}(u)
+        hub_t(u)  = SUM over u->v of auth_t(v)
+
+    each followed by max-normalization ``x * SCALE // max(x)`` — the
+    integer division every engine and the unrolled-CTE DuckDB mirror
+    compute identically (float L2 normalization would flake on
+    summation order). hub_0 = SCALE for every node.
+
+    Scale shape: per half-round ONE value attach onto the distinct
+    edge set (broadcast sorted-array searchsorted below
+    KGFORGE_GRAPH_BROADCAST_LIMIT nodes — the state is node-sized —
+    same contract as pagerank's contrib map) + per-batch (key, sum)
+    combiners + ONE hash(key) bucket shuffle of histogram partials;
+    the normalizing max is a driver-side scalar over the node-sized
+    state. Nodes with hub or auth 0 keep 0 (no incoming/outgoing)."""
+    import numpy as np
+    import polars as pl
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["src", "dst"])).unique()
+        return df.with_columns(
+            (pl.col("src").hash(seed=0) % num_buckets)
+            .cast(pl.Int32).alias("_gb")).to_arrow()
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        return (pl.from_arrow(g.select(["src", "dst"])).unique()
+                .to_arrow().cast(pa.schema([("src", pa.int64()),
+                                            ("dst", pa.int64())])))
+
+    e = (edges.map_batches(dedup_batch, batch_format="pyarrow")
+         .groupby("_gb").map_groups(dedup_bucket,
+                                    batch_format="pyarrow")
+         ).materialize()
+
+    def node_arr(col: str) -> np.ndarray:
+        parts = [t[col].to_numpy(zero_copy_only=False)
+                 for t in e.iter_batches(batch_format="pyarrow")
+                 if t.num_rows]
+        return (np.concatenate(parts) if parts
+                else np.array([], dtype=np.int64))
+
+    nodes = np.unique(np.concatenate([node_arr("src"), node_arr("dst")]))
+    if nodes.size == 0:
+        return ray.data.from_arrow(_HITS.empty_table())
+    if nodes.size > _broadcast_limit():
+        raise ValueError(
+            "hits(): node state exceeds KGFORGE_GRAPH_BROADCAST_LIMIT; "
+            "use the salted-join pattern of pagerank for larger graphs")
+
+    def _propagate(state: np.ndarray, from_col: str, to_col: str
+                   ) -> np.ndarray:
+        """SUM state(from) grouped by to — one streamed pass over the
+        edge set with per-batch combiners, reduced driver-side onto the
+        node-sized vector."""
+        ref = ray.put(state)
+
+        def partial(b: pa.Table, _f=from_col, _t=to_col) -> pa.Table:
+            st = ray.get(ref)
+            f = b[_f].to_numpy(zero_copy_only=False)
+            t = b[_t].to_numpy(zero_copy_only=False)
+            vals = st[np.searchsorted(nodes, f)]
+            keys, inv = np.unique(t, return_inverse=True)
+            sums = np.zeros(keys.size, dtype=np.int64)
+            np.add.at(sums, inv, vals)
+            return pa.table({"k": pa.array(keys, pa.int64()),
+                             "v": pa.array(sums, pa.int64())})
+
+        out = np.zeros(nodes.size, dtype=np.int64)
+        for t in e.map_batches(partial, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+            if t.num_rows:
+                pos = np.searchsorted(nodes,
+                                      t["k"].to_numpy(zero_copy_only=False))
+                np.add.at(out, pos,
+                          t["v"].to_numpy(zero_copy_only=False))
+        return out
+
+    def norm(x: np.ndarray) -> np.ndarray:
+        m = int(x.max()) if x.size else 0
+        return (x * SCALE // m if m > 0 else x)
+
+    hub = np.full(nodes.size, SCALE, dtype=np.int64)
+    auth = np.zeros(nodes.size, dtype=np.int64)
+    for _ in range(rounds):
+        auth = norm(_propagate(hub, "src", "dst"))
+        hub = norm(_propagate(auth, "dst", "src"))
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "hub": pa.array(hub, pa.int64()),
+        "auth": pa.array(auth, pa.int64())}).cast(_HITS))
+
+
+def link_hits(sf_dir: str, rounds: int = 2) -> "ray.data.Dataset":
+    """Gate: integer-exact HITS over the synthetic link graph."""
+    from .linkgraph import build_links
+    return hits(build_links(sf_dir), rounds=rounds)
+
+
+def link_hits_sql(rounds: int = 2) -> str:
+    from .linkgraph import _links_sql
+    ctes = [f"""{_links_sql()},
+e AS (SELECT DISTINCT src, dst FROM links),
+nd AS (SELECT DISTINCT x AS node FROM (
+  SELECT src AS x FROM e UNION SELECT dst FROM e)),
+h0 AS (SELECT node, CAST({SCALE} AS BIGINT) AS v FROM nd)"""]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""ar{t} AS (
+  SELECT nd.node, COALESCE(s.v, 0) AS v FROM nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(h{t-1}.v) AS v
+    FROM e JOIN h{t-1} ON h{t-1}.node = e.src GROUP BY 1) s
+  USING (node)),
+a{t} AS (
+  SELECT node, CASE WHEN (SELECT MAX(v) FROM ar{t}) > 0
+    THEN CAST(v AS HUGEINT) * {SCALE} // (SELECT MAX(v) FROM ar{t})
+    ELSE v END AS v FROM ar{t}),
+hr{t} AS (
+  SELECT nd.node, COALESCE(s.v, 0) AS v FROM nd LEFT JOIN (
+    SELECT e.src AS node, SUM(a{t}.v) AS v
+    FROM e JOIN a{t} ON a{t}.node = e.dst GROUP BY 1) s
+  USING (node)),
+h{t} AS (
+  SELECT node, CASE WHEN (SELECT MAX(v) FROM hr{t}) > 0
+    THEN CAST(v AS HUGEINT) * {SCALE} // (SELECT MAX(v) FROM hr{t})
+    ELSE v END AS v FROM hr{t})""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(nd.node AS BIGINT) AS node,
+       CAST(h{rounds}.v AS BIGINT) AS hub,
+       CAST(a{rounds}.v AS BIGINT) AS auth
+FROM nd JOIN h{rounds} USING (node) JOIN a{rounds} USING (node)""")

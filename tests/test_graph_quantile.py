@@ -394,3 +394,54 @@ def test_link_communities_gate_parity(ray_session):
     assert norm(df) == norm(odf)
     # labels coarsen: strictly fewer communities than nodes
     assert df.label.nunique() < len(df)
+
+
+# --------------------------------------------------------------- HITS
+
+def test_hits_matches_scalar_reference(ray_session):
+    import ray.data
+    from kgforge.ops.graph import SCALE, hits
+    pairs = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 4)]
+    e = ray.data.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.int64()),
+        "dst": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+    nodes = sorted({x for p in pairs for x in p})
+    hub = {n: SCALE for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(2):
+        auth = {n: sum(hub[u] for u, v in pairs if v == n)
+                for n in nodes}
+        m = max(auth.values())
+        auth = {n: (v * SCALE // m if m else v)
+                for n, v in auth.items()}
+        hub = {n: sum(auth[v] for u, v in pairs if u == n)
+               for n in nodes}
+        m = max(hub.values())
+        hub = {n: (v * SCALE // m if m else v) for n, v in hub.items()}
+    got = {r.node: (r.hub, r.auth)
+           for r in hits(e, rounds=2).to_pandas().itertuples(index=False)}
+    assert got == {n: (hub[n], auth[n]) for n in nodes}
+    # node 2 is the authority (3 in-links); node 0 the top hub
+    assert got[2][1] == SCALE and got[0][0] == SCALE
+    # sink node 4 hubs nothing
+    assert got[4][0] == 0
+
+
+def test_link_hits_gate_parity(ray_session):
+    import hashlib
+    from kgforge.ops.graph import link_hits, link_hits_sql
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = (df[cols].astype(str).sort_values(cols)
+              .reset_index(drop=True))
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    df = link_hits(SF).to_pandas()
+    odf = con.sql(link_hits_sql()).df()
+    assert len(df) == len(odf) > 0
+    assert norm(df) == norm(odf)
