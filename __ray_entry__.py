@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["webkg_triples"] = lambda sf: webkg.webkg_terms(sf)
     # per-host web-corpus accounting (URL parse + pre-agg rollup)
     q["host_doc_stats"] = webkg.host_doc_stats
+    # end-to-end: pages -> KG -> partitioned store -> SPARQL aggregate
+    q["sparql_webkg_predicates"] = webkg.sparql_webkg_predicates
 
     # --- grammar-driven table KG (S4,M1-M10,M12,A1)
     for t in ("region", "nation", "customer", "part", "supplier",
@@ -314,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
 
     o: dict[str, str] = {}
     o["webkg_triples"] = webkg.webkg_oracle_sql()
+    o["sparql_webkg_predicates"] = webkg.sparql_webkg_predicates_sql()
     o["host_doc_stats"] = webkg.HOST_DOC_STATS_SQL
     for t in ("region", "nation", "customer", "part", "supplier",
               "lineitem"):

@@ -536,3 +536,57 @@ SELECT {sql_quote(colt)} AS s, {sql_quote("http://www.w3.org/2000/01/rdf-schema#
     )
     return (f"SELECT DISTINCT s, p, o FROM (\n({rewritten})\nUNION ALL\n"
             f"{mention_sql}\nUNION ALL\n{sameas_sql}\n)")
+
+
+def webkg_store(sf_dir: str) -> str:
+    """Idempotent predicate-partitioned store of the FLAGSHIP web-KG
+    output (webkg_terms) under /tmp — content-keyed on the documents
+    table, atomic build. Ties the two flagship surfaces together:
+    pages → KG construction → SPARQL over the constructed store."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    src = sorted(glob.glob(os.path.join(sf_dir, "documents*.parquet")))
+    stamp = ";".join(f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p):.6f}"
+                     for p in src)
+    key = hashlib.md5(f"webkgstore:{os.path.abspath(sf_dir)}:{stamp}"
+                      .encode()).hexdigest()[:12]
+    store = f"/tmp/kgforge_webkgstore_{key}"
+    marker = os.path.join(store, "_SUCCESS")
+    if os.path.exists(marker):
+        return store
+    shutil.rmtree(store, ignore_errors=True)
+    tmp = store + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    from ..sinks.ntriples_sink import write_graph_partitioned
+    os.makedirs(tmp, exist_ok=True)
+    write_graph_partitioned(webkg_terms(sf_dir), tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    os.replace(tmp, store)
+    return store
+
+
+WEBKG_SPARQL_TEXT = """
+SELECT ?p (COUNT(*) AS ?n) WHERE { ?x ?p ?y }
+GROUP BY ?p ORDER BY DESC(?n) ?p
+"""
+
+
+def sparql_webkg_predicates(sf_dir: str) -> "ray.data.Dataset":
+    """Gate: the END-TO-END story in one query — synthesize web pages,
+    construct the KG (webkg_terms), publish it as a partitioned store,
+    and answer a SPARQL aggregate (predicate histogram) over it. The
+    oracle recomputes the same histogram from the independent SQL
+    derivation of the flagship pipeline."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(WEBKG_SPARQL_TEXT)[0]
+    assert q.aggs and q.group_by == ["p"]
+    return execute_sparql(webkg_store(sf_dir), q)
+
+
+def sparql_webkg_predicates_sql() -> str:
+    return (f"SELECT p, CAST(count(*) AS BIGINT) AS n "
+            f"FROM ({webkg_oracle_sql()}) "
+            f"GROUP BY p ORDER BY n DESC, p ASC")

@@ -832,3 +832,23 @@ def test_seq_path_equals_explicit_chain(ray_session):
     a = _rows(execute_sparql(store, parse_sparql(PATH_QUERY_TEXT)[0]))
     b = _rows(execute_sparql(store, parse_sparql(SEQ_PATH_QUERY_TEXT)[0]))
     assert a == b and len(a) > 0
+
+
+def test_sparql_over_webkg_store(ray_session):
+    """End to end: flagship web-KG output published as a partitioned
+    store and queried through the SPARQL front-end; histogram equals
+    the independent SQL derivation."""
+    import duckdb
+    from kgforge.pipelines.webkg import (sparql_webkg_predicates,
+                                         sparql_webkg_predicates_sql)
+    df = sparql_webkg_predicates(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    odf = con.sql(sparql_webkg_predicates_sql()).df()
+    a = df.sort_values(["n", "p"]).reset_index(drop=True)
+    b = odf.sort_values(["n", "p"]).reset_index(drop=True)
+    assert a["p"].tolist() == b["p"].tolist()
+    assert a["n"].astype("int64").tolist() == \
+        b["n"].astype("int64").tolist()
+    assert len(a) > 3
