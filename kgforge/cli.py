@@ -3,6 +3,7 @@
     python -m kgforge.cli -c CONFIG.ini [-o OUT_DIR] [--union]
     python -m kgforge.cli --sparql QUERIES.sparql --store STORE_DIR
                           [-o OUT_DIR]
+    python -m kgforge.cli --query 'SELECT ...' --store STORE_DIR
 
 CONFIG.ini is a reference-style options file (per-source file / domain /
 delimiter / semantics / active — csv2rdf-v5/csv2rdf-v5.py:109-141); each
@@ -29,8 +30,11 @@ import time
 
 def _run_sparql(args) -> int:
     from .sparql import execute_sparql, parse_sparql
-    with open(args.sparql) as f:
-        text = f.read()
+    if args.query:
+        text = args.query
+    else:
+        with open(args.sparql) as f:
+            text = f.read()
     queries = parse_sparql(text)
     os.makedirs(args.out, exist_ok=True)
     for i, q in enumerate(queries, 1):
@@ -56,14 +60,20 @@ def main(argv: list[str] | None = None) -> int:
                          "the reference's artifact format")
     ap.add_argument("--sparql",
                     help=".sparql query file to run against --store")
+    ap.add_argument("--query",
+                    help="inline SPARQL text to run against --store "
+                         "(alternative to --sparql FILE)")
     ap.add_argument("--store",
                     help="predicate-partitioned store dir (for --sparql)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
-    if bool(args.sparql) != bool(args.store):
-        ap.error("--sparql and --store must be given together")
-    if not args.sparql and not args.conf:
-        ap.error("either -c/--conf or --sparql/--store is required")
+    if args.sparql and args.query:
+        ap.error("--sparql and --query are mutually exclusive")
+    if bool(args.sparql or args.query) != bool(args.store):
+        ap.error("--sparql/--query and --store must be given together")
+    if not (args.sparql or args.query) and not args.conf:
+        ap.error("either -c/--conf or --sparql/--query + --store "
+                 "is required")
 
     import ray
     owns_session = not ray.is_initialized()
@@ -75,7 +85,7 @@ def main(argv: list[str] | None = None) -> int:
     ctx.enable_progress_bars = False
 
     t0 = time.time()
-    if args.sparql:
+    if args.sparql or args.query:
         rc = _run_sparql(args)
         print(f"done in {time.time() - t0:.1f}s")
         if owns_session:

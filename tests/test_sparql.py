@@ -852,3 +852,18 @@ def test_sparql_over_webkg_store(ray_session):
     assert a["n"].astype("int64").tolist() == \
         b["n"].astype("int64").tolist()
     assert len(a) > 3
+
+
+def test_cli_inline_query(ray_session, tmp_path):
+    import pandas as pd
+    from kgforge.cli import main
+    from kgforge.pipelines.tabular import _v4_part_store
+    store = _v4_part_store(SF)
+    out = tmp_path / "q"
+    rc = main(["--query",
+               "SELECT ?y (COUNT(*) AS ?n) WHERE { ?x ?y ?z } "
+               "GROUP BY ?y ORDER BY DESC(?n) ?y LIMIT 3",
+               "--store", store, "-o", str(out)])
+    assert rc == 0
+    df = pd.read_csv(out / "statement1_select.csv")
+    assert list(df.columns) == ["y", "n"] and len(df) == 3
