@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_negative_samples"] = kgtrain.kg_negative_samples
     q["kg_random_walks"] = kgtrain.kg_random_walks
     q["kg_skipgram_pairs"] = kgtrain.kg_skipgram_pairs
+    # tensorization: dense id maps + integer-encoded triples
+    q["kg_id_maps"] = kgtrain.kg_id_maps
+    q["kg_triples_encoded"] = kgtrain.kg_triples_encoded
     q["lang_length_quantiles"] = quantile.lang_length_quantiles
     q["lang_length_quantiles_hdr"] = quantile.lang_length_quantiles_hdr
     # non-equi join family Ray Data lacks: broadcast+searchsorted range
@@ -382,6 +385,8 @@ def oracle_sql() -> dict[str, str]:
     o["kg_negative_samples"] = _kgtrain.kg_negative_samples_sql()
     o["kg_random_walks"] = _kgtrain.kg_random_walks_sql()
     o["kg_skipgram_pairs"] = _kgtrain.kg_skipgram_pairs_sql()
+    o["kg_id_maps"] = _kgtrain.kg_id_maps_sql()
+    o["kg_triples_encoded"] = _kgtrain.kg_triples_encoded_sql()
     o["lang_length_quantiles"] = quantile.lang_length_quantiles_sql()
     o["order_price_tiers"] = relational.order_price_tiers_sql()
     o["customers_without_big_orders"] = (

@@ -514,3 +514,198 @@ FROM wk a JOIN wk b
   ON a.start = b.start AND a.w = b.w AND a.step != b.step
  AND abs(b.step - a.step) <= {window}
 """
+
+
+_IDMAP = pa.schema([("term", pa.string()), ("kind", pa.string()),
+                    ("id", pa.int64())])
+_ENC = pa.schema([("h_id", pa.int64()), ("r_id", pa.int64()),
+                  ("t_id", pa.int64())])
+
+
+def kg_id_maps(sf_dir: str) -> "ray.data.Dataset":
+    """Gate: dense id maps for the v4 part store — the tensorization
+    dictionaries of a KG-embedding pipeline: entities = distinct
+    subjects ∪ objects (object terms kept in term form — literals get
+    ids too, TransE-style training treats them as opaque symbols),
+    relations = distinct predicates; ids dense 0-based in
+    lexicographic order per kind (ops/rank.global_sorted_rank —
+    distributed dictionary encoding, no driver value list)."""
+    from ..pipelines.tabular import _v4_part_store
+    from ..sinks.store_query import query_triples
+    from .rank import global_sorted_rank
+    store = _v4_part_store(sf_dir)
+    trips = query_triples(store)
+
+    def ents(b: pa.Table) -> pa.Table:
+        s = b["s"].combine_chunks().cast(pa.string())
+        o = b["o"].combine_chunks().cast(pa.string())
+        return pa.table({"term": pa.concat_arrays([s, o])})
+
+    def rels(b: pa.Table) -> pa.Table:
+        return pa.table({"term": b["p"].combine_chunks()
+                         .cast(pa.string())})
+
+    emap = global_sorted_rank(
+        trips.map_batches(ents, batch_format="pyarrow"), "term")
+    rmap = global_sorted_rank(
+        trips.map_batches(rels, batch_format="pyarrow"), "term")
+
+    def tag(kind: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "term": b["term"],
+                "kind": pa.array([kind] * b.num_rows, pa.string()),
+                "id": b["id"]})
+        return fn
+
+    from . import ensure_schema
+    return ensure_schema(
+        emap.map_batches(tag("entity"), batch_format="pyarrow")
+        .union(rmap.map_batches(tag("relation"), batch_format="pyarrow")),
+        _IDMAP)
+
+
+def kg_id_maps_sql() -> str:
+    from ..pipelines.tabular import v4_kg_part_sql
+    v4 = v4_kg_part_sql()
+    return f"""
+WITH v4 AS ({v4}),
+ents AS (SELECT DISTINCT t FROM (
+  SELECT s AS t FROM v4 UNION SELECT o FROM v4)),
+rels AS (SELECT DISTINCT p AS t FROM v4)
+SELECT t AS term, 'entity' AS kind,
+       CAST(row_number() OVER (ORDER BY t) - 1 AS BIGINT) AS id
+FROM ents
+UNION ALL
+SELECT t, 'relation',
+       CAST(row_number() OVER (ORDER BY t) - 1 AS BIGINT) FROM rels
+"""
+
+
+def kg_triples_encoded(sf_dir: str, force_join: bool = False
+                       ) -> "ray.data.Dataset":
+    """Gate: the v4 store as integer triplets (h_id, r_id, t_id) —
+    model-ready tensor rows. The id maps attach via broadcast sorted
+    arrays + searchsorted below KGFORGE_GRAPH_BROADCAST_LIMIT entries
+    (the relation map is always ontology-sized; the entity map is
+    node-sized); above it (or ``force_join``) each column attaches
+    with ONE tagged-union hash(term) bucket merge."""
+    import polars as pl
+    from ..pipelines.tabular import _v4_part_store
+    from ..sinks.store_query import query_triples
+    from ..stages.dedup import default_num_buckets
+    num_buckets = default_num_buckets()
+    store = _v4_part_store(sf_dir)
+    trips = query_triples(store)
+    maps = kg_id_maps(sf_dir).materialize()
+
+    def side(kind: str) -> "ray.data.Dataset":
+        return maps.filter(lambda r, _k=kind: r["kind"] == _k)
+
+    small = not force_join and maps.count() <= _limit()
+    if small:
+        def arrs(kind: str):
+            parts = [t for t in side(kind)
+                     .iter_batches(batch_format="pyarrow") if t.num_rows]
+            tb = pa.concat_tables(parts).sort_by("term")
+            return (tb["term"].to_numpy(zero_copy_only=False),
+                    tb["id"].to_numpy(zero_copy_only=False))
+
+        e_ref = ray.put(arrs("entity"))
+        r_ref = ray.put(arrs("relation"))
+
+        def enc(b: pa.Table) -> pa.Table:
+            ek, ev = ray.get(e_ref)
+            rk, rv = ray.get(r_ref)
+
+            def look(col, k, v):
+                x = col.to_numpy(zero_copy_only=False)
+                return v[np.searchsorted(k, x)]
+
+            return pa.table({
+                "h_id": pa.array(look(b["s"], ek, ev), pa.int64()),
+                "r_id": pa.array(look(b["p"], rk, rv), pa.int64()),
+                "t_id": pa.array(look(b["o"], ek, ev), pa.int64())})
+
+        from . import ensure_schema
+        return ensure_schema(
+            trips.map_batches(enc, batch_format="pyarrow"), _ENC)
+
+    # scale path: one bucket merge per column, row identity carried by
+    # a deterministic row key (s,p,o are unique in a store)
+    cur = trips.map_batches(
+        lambda b: pa.table({"s": b["s"].combine_chunks().cast(pa.string()),
+                            "p": b["p"].combine_chunks().cast(pa.string()),
+                            "o": b["o"].combine_chunks().cast(pa.string())}),
+        batch_format="pyarrow")
+    for col, kind, out in (("s", "entity", "h_id"),
+                           ("p", "relation", "r_id"),
+                           ("o", "entity", "t_id")):
+        def tag_rows(b: pa.Table, _c=col) -> pa.Table:
+            df = pl.from_arrow(b)
+            return df.with_columns(
+                pl.lit(None, pl.Int64).alias("_id"),
+                pl.lit(0, pl.Int8).alias("_t"),
+                (pl.col(_c).hash(seed=0) % num_buckets)
+                .cast(pl.Int32).alias("_gb")).to_arrow()
+
+        def tag_map(b: pa.Table, _c=col) -> pa.Table:
+            df = (pl.from_arrow(b.select(["term", "id"]))
+                  .rename({"term": _c, "id": "_id"}))
+            cols = {c: pl.lit(None, pl.Utf8).alias(c)
+                    for c in ("s", "p", "o") if c != _c}
+            prev = {c: pl.lit(None, pl.Int64).alias(c)
+                    for c in ("h_id", "r_id", "t_id")}
+            df = df.with_columns(list(cols.values()) + list(prev.values())
+                                 + [pl.lit(1, pl.Int8).alias("_t"),
+                                    (pl.col(_c).hash(seed=0) % num_buckets)
+                                    .cast(pl.Int32).alias("_gb")])
+            return df.to_arrow()
+
+        def merge(g: pa.Table, _c=col, _o=out) -> pa.Table:
+            df = pl.from_arrow(g)
+            rows = df.filter(pl.col("_t") == 0).drop(["_id", "_t", "_gb"])
+            mp = (df.filter(pl.col("_t") == 1)
+                  .select([_c, "_id"]).unique())
+            j = rows.join(mp, on=_c, how="inner")
+            return (j.with_columns(pl.col("_id").alias(_o))
+                    .drop("_id").to_arrow())
+
+        # align schemas: ensure id columns exist on the row side
+        def seed_ids(b: pa.Table) -> pa.Table:
+            df = pl.from_arrow(b)
+            for c in ("h_id", "r_id", "t_id"):
+                if c not in df.columns:
+                    df = df.with_columns(pl.lit(None, pl.Int64).alias(c))
+            return df.to_arrow()
+
+        cur = (cur.map_batches(seed_ids, batch_format="pyarrow")
+               .map_batches(tag_rows, batch_format="pyarrow")
+               .union(maps.filter(lambda r, _k=kind: r["kind"] == _k)
+                      .map_batches(tag_map, batch_format="pyarrow"))
+               .groupby("_gb").map_groups(merge, batch_format="pyarrow")
+               ).materialize()
+
+    def fin(b: pa.Table) -> pa.Table:
+        return b.select(["h_id", "r_id", "t_id"])
+
+    from . import ensure_schema
+    return ensure_schema(cur.map_batches(fin, batch_format="pyarrow"),
+                         _ENC)
+
+
+def kg_triples_encoded_sql() -> str:
+    from ..pipelines.tabular import v4_kg_part_sql
+    v4 = v4_kg_part_sql()
+    return f"""
+WITH v4 AS ({v4}),
+emap AS (SELECT t, row_number() OVER (ORDER BY t) - 1 AS id FROM (
+  SELECT DISTINCT t FROM (SELECT s AS t FROM v4 UNION SELECT o FROM v4))),
+rmap AS (SELECT t, row_number() OVER (ORDER BY t) - 1 AS id FROM (
+  SELECT DISTINCT p AS t FROM v4))
+SELECT CAST(e1.id AS BIGINT) AS h_id, CAST(r.id AS BIGINT) AS r_id,
+       CAST(e2.id AS BIGINT) AS t_id
+FROM v4 JOIN emap e1 ON e1.t = v4.s
+JOIN rmap r ON r.t = v4.p
+JOIN emap e2 ON e2.t = v4.o
+"""

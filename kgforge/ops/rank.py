@@ -252,3 +252,71 @@ SELECT doc_id, pos, tok_offset,
        CAST(tok_offset // {budget} AS BIGINT) AS shard
 FROM pref
 """
+
+
+def global_sorted_rank(ds: "ray.data.Dataset", col: str,
+                       num_buckets: int | None = None
+                       ) -> "ray.data.Dataset":
+    """Distributed DICTIONARY ENCODING: (value, id) with dense 0-based
+    ids in LEXICOGRAPHIC order of the DISTINCT string values of
+    ``col`` — the tensorization primitive (term → contiguous id) of a
+    KG-embedding or vocabulary pipeline, mirrored in SQL by
+    ``row_number() OVER (ORDER BY value) - 1``.
+
+    Same two-pass shape as ``global_row_number`` but with RANGE buckets
+    over strings: content-keyed boundaries (rangesort KMV sketch —
+    block-layout-independent), per-block bincount combiners → driver
+    prefix sums (B ints), then ONE range shuffle with a C-level local
+    sort + offset per bucket. No global sort, no driver value list."""
+    import polars as pl
+
+    import ray as _ray
+
+    from ..stages.dedup import default_num_buckets, distinct
+    from ..stages.rangesort import content_boundaries
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    vals = distinct(ds, [col]).materialize()
+    bnds = content_boundaries(vals, col, num_buckets)
+    nb = len(bnds) + 1
+    bnd_arr = np.array(bnds, dtype=object)
+    out_schema = pa.schema([(col, pa.string()), ("id", pa.int64())])
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False)
+        bk = (np.searchsorted(bnd_arr, v, side="right").astype(np.int32)
+              if bnd_arr.size else np.zeros(len(v), np.int32))
+        return pa.table({col: b[col].combine_chunks().cast(pa.string()),
+                         "_bucket": pa.array(bk, pa.int32())})
+
+    keyed = vals.map_batches(bucketed,
+                             batch_format="pyarrow").materialize()
+
+    def counts(b: pa.Table) -> pa.Table:
+        c = np.bincount(b["_bucket"].to_numpy(zero_copy_only=False),
+                        minlength=nb)
+        return pa.table({"b": pa.array(np.arange(nb), pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    tot = np.zeros(nb, np.int64)
+    for t in keyed.map_batches(counts, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        if t.num_rows:
+            np.add.at(tot, t["b"].to_numpy(zero_copy_only=False),
+                      t["n"].to_numpy(zero_copy_only=False))
+    offsets = np.concatenate([[0], np.cumsum(tot)[:-1]]).astype(np.int64)
+    off_ref = _ray.put(offsets)
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        off = _ray.get(off_ref)
+        df = pl.from_arrow(g.select([col, "_bucket"])).sort(col)
+        bk = int(df["_bucket"][0])
+        ids = np.arange(df.height, dtype=np.int64) + off[bk]
+        return pa.table({col: df[col].to_arrow().cast(pa.string()),
+                         "id": pa.array(ids, pa.int64())})
+
+    from . import ensure_schema
+    return ensure_schema(
+        keyed.groupby("_bucket").map_groups(rank_bucket,
+                                            batch_format="pyarrow"),
+        out_schema)

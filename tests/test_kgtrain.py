@@ -159,3 +159,45 @@ def test_skipgram_gate_parity(ray_session):
     odf = con.sql(kg_skipgram_pairs_sql()).df()
     assert len(df) == len(odf) > 0
     assert norm(df) == norm(odf)
+
+
+# ------------------------------------------------------- tensorization
+
+def test_global_sorted_rank_dense_and_layout_independent(ray_session):
+    import ray.data
+    from kgforge.ops.rank import global_sorted_rank
+    words = [f"w{i:03d}" for i in range(257)] * 3
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(pa.table({"t": words})).repartition(parts)
+        df = (global_sorted_rank(ds, "t").to_pandas()
+              .sort_values("id").reset_index(drop=True))
+        assert df["t"].tolist() == sorted(set(words))
+        assert df["id"].tolist() == list(range(257))
+
+
+def test_id_maps_and_encoding_gate_parity(ray_session):
+    import hashlib
+
+    from kgforge.ops.kgtrain import (kg_id_maps, kg_id_maps_sql,
+                                     kg_triples_encoded,
+                                     kg_triples_encoded_sql)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{SF}/part.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    maps = kg_id_maps(SF).to_pandas()
+    assert norm(maps) == norm(con.sql(kg_id_maps_sql()).df())
+    # ids dense per kind
+    for kind, grp in maps.groupby("kind"):
+        assert sorted(grp["id"]) == list(range(len(grp)))
+    enc = kg_triples_encoded(SF).to_pandas()
+    oenc = con.sql(kg_triples_encoded_sql()).df()
+    assert len(enc) == len(oenc) > 0
+    assert norm(enc) == norm(oenc)
+    fj = kg_triples_encoded(SF, force_join=True).to_pandas()
+    assert norm(fj) == norm(oenc)
