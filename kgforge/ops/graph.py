@@ -1147,7 +1147,15 @@ def hits(edges: "ray.data.Dataset", rounds: int = 2,
 
     def norm(x: np.ndarray) -> np.ndarray:
         m = int(x.max()) if x.size else 0
-        return (x * SCALE // m if m > 0 else x)
+        if m <= 0:
+            return x
+        # unbounded Python ints: the int64 product x*SCALE wraps once
+        # x >= 2^63/SCALE (an in-degree of 10 after a SCALE-normalized
+        # round), silently diverging from the HUGEINT oracle. The node
+        # state is driver-sized (broadcast-limit-bounded), so the
+        # Python loop is cheap and exact.
+        return np.array([int(v) * SCALE // m for v in x.tolist()],
+                        dtype=np.int64)
 
     hub = np.full(nodes.size, SCALE, dtype=np.int64)
     auth = np.zeros(nodes.size, dtype=np.int64)

@@ -750,9 +750,14 @@ def _eval_schema_pattern(store_dir: str, pat: Pattern,
             mask = m if mask is None else pc.and_(mask, m)
     if mask is not None:
         tbl = tbl.filter(mask)
+    if (isinstance(pat.s, Var) and isinstance(pat.o, Var)
+            and pat.s.name == pat.o.name):
+        # repeated variable == equality between the positions (the
+        # closure is non-reflexive, so this is normally empty)
+        tbl = tbl.filter(pc.equal(tbl["sub"], tbl["sup"]))
     names, arrays = [], []
     for col, t in (("sub", pat.s), ("sup", pat.o)):
-        if isinstance(t, Var):
+        if isinstance(t, Var) and t.name not in names:
             arr = tbl[col]
             if cls.get(t.name) == "term":
                 arr = _wrap_iri(arr)   # closure stores raw IRIs
@@ -792,18 +797,38 @@ def _eval_store_pattern(store_dir: str, pat: Pattern,
     ren = _pattern_cols(pat)
     wrap = {c for c, v in ren.items()
             if c in ("s", "p") and cls.get(v) == "term"}
+    out_vars = list(dict.fromkeys(ren.values()))
 
     def project(b: pa.Table, _ren=dict(ren), _wrap=frozenset(wrap)
                 ) -> pa.Table:
-        cols = [(_wrap_iri(b[c]) if c in _wrap else b[c]) for c in _ren]
-        return pa.table(dict(zip(_ren.values(), cols)))
+        arrs = {c: (_wrap_iri(b[c]) if c in _wrap
+                    else b[c].combine_chunks().cast(pa.string()))
+                for c in _ren}
+        first: dict[str, str] = {}
+        mask = None
+        for c, v in _ren.items():
+            if v in first:
+                # a variable repeated within ONE pattern (e.g.
+                # {?x p ?x}, self-loops) is an equality constraint
+                # between its positions, compared in the variable's
+                # canonical representation
+                m = pc.equal(arrs[first[v]], arrs[c])
+                mask = m if mask is None else pc.and_(mask, m)
+            else:
+                first[v] = c
+        if mask is not None:
+            keep = pc.fill_null(
+                mask.combine_chunks() if isinstance(mask, pa.ChunkedArray)
+                else mask, False)
+            arrs = {c: arrs[c].filter(keep) for c in arrs}
+        return pa.table({v: arrs[first[v]] for v in first})
 
     out = ds.map_batches(project, batch_format="pyarrow")
     if ren:
         # a pattern over a missing partition yields a block-less Dataset
         # with no schema; union a typed empty table so downstream plan
         # steps (cols(), joins) always see the variable columns
-        sch = pa.schema([(v, pa.string()) for v in ren.values()])
+        sch = pa.schema([(v, pa.string()) for v in out_vars])
         out = ray.data.from_arrow(sch.empty_table()).union(out)
     return out
 
@@ -969,8 +994,18 @@ def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
     return _CMP_KERNELS[f.op](col, want)
 
 
+def _filter_vars(f: Filter) -> set[str]:
+    """Every variable a filter references (left side, plus the right
+    side when the comparison is var-vs-var)."""
+    out = {f.var}
+    if isinstance(f.term, Var):
+        out.add(f.term.name)
+    return out
+
+
 def _apply_filters(bind: _Bind, filters: list[Filter]) -> _Bind:
-    pend = [f for f in filters if f.var in bind.cols()]
+    pend = [f for f in filters
+            if _filter_vars(f) <= set(bind.cols())]
     if not pend:
         return bind
 
@@ -1067,21 +1102,30 @@ def _eval_path_pattern(store_dir: str, pat: Pattern,
     if isinstance(pat.o, Var):
         names["_o"] = pat.o.name
 
+    same_var = (isinstance(pat.s, Var) and isinstance(pat.o, Var)
+                and pat.s.name == pat.o.name)
+
     def finish(b: pa.Table, _n=dict(names), _w=wrap_s, _sc=s_const,
-               _oc=o_const) -> pa.Table:
+               _oc=o_const, _same=same_var) -> pa.Table:
         if _sc is not None:
             b = b.filter(pc.equal(b["_s"], _sc))
         if _oc is not None:
             b = b.filter(pc.equal(b["_o"], _oc))
-        cols = {}
-        for c, v in _n.items():
-            arr = b[c]
+        arrs = {}
+        for c in _n:
+            arr = b[c].combine_chunks()
             if c == "_s" and _w:
                 arr = _wrap_iri(arr)
-            cols[v] = arr
-        return pa.table(cols)
+            arrs[c] = arr
+        if _same:
+            # {?x p+ ?x}: cycles through p — equality between the
+            # endpoints in the canonical representation
+            keep = pc.fill_null(pc.equal(arrs["_s"], arrs["_o"]), False)
+            return pa.table({_n["_s"]: arrs["_s"].filter(keep)})
+        return pa.table({v: arrs[c] for c, v in _n.items()})
 
-    sch = pa.schema([(v, pa.string()) for v in names.values()])
+    sch = pa.schema([(v, pa.string())
+                     for v in dict.fromkeys(names.values())])
     return ray.data.from_arrow(sch.empty_table()).union(
         pairs.map_batches(finish, batch_format="pyarrow"))
 
@@ -1184,7 +1228,7 @@ def _eval_group(store_dir: str, g: Group,
             new = _Bind(tbl, cls)
         elif pat.path == "+":
             new = _Bind(_eval_path_pattern(store_dir, pat, cls), cls,
-                        list(_pattern_cols(pat).values()))
+                        list(dict.fromkeys(_pattern_cols(pat).values())))
         else:
             p_values = None
             if (isinstance(pat.p, Var) and bind is not None and bind.small
@@ -1195,7 +1239,7 @@ def _eval_group(store_dir: str, g: Group,
                     for v in vals.to_pylist() if v is not None))
             new = _Bind(
                 _eval_store_pattern(store_dir, pat, p_values, cls), cls,
-                list(_pattern_cols(pat).values()))
+                list(dict.fromkeys(_pattern_cols(pat).values())))
         bind = (new if bind is None
                 else _join_binds(bind, new, cls))
         bind = _apply_filters(bind, g.filters)
@@ -1251,6 +1295,19 @@ def _eval_group(store_dir: str, g: Group,
                             opt.filters)
         on = sorted(set(bind.cols()) & set(ob.cols()))
         bind = _left_join(bind, ob, on)
+    if g.optionals:
+        # group filters whose var is bound ONLY inside an OPTIONAL
+        # become applicable after the left joins; re-apply (idempotent
+        # for the already-applied ones). A null (unbound) value makes
+        # the comparison a type error -> the row is eliminated, the
+        # SPARQL semantics.
+        bind = _apply_filters(bind, g.filters)
+    dangling = [f for f in g.filters
+                if not _filter_vars(f) <= set(bind.cols())]
+    if dangling:
+        raise SparqlError(
+            "FILTER references variable(s) never bound in the group: "
+            f"{sorted(set().union(*(_filter_vars(f) - set(bind.cols()) for f in dangling)))}")
     return bind
 
 
@@ -1425,11 +1482,14 @@ def _order_limit(ds: "ray.data.Dataset", q: Query) -> "ray.data.Dataset":
 
 
 def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
-    """GROUP BY + COUNT/MIN/MAX planning. Group keys are the GROUP BY
-    vars (or the plain projected vars when GROUP BY is implicit); the
-    output projects the SELECT list: plain vars first, then aggregate
-    aliases, counts as int64. COUNT(?v) == COUNT(*) here because the
-    planner only produces inner joins — no binding is ever null.
+    """GROUP BY + COUNT/MIN/MAX/SUM/AVG planning. Group keys are the
+    GROUP BY vars (or the plain projected vars when GROUP BY is
+    implicit); the output projects the SELECT list: plain vars first,
+    then aggregate aliases — counts as int64, SUM/AVG as float64 over
+    the NUMERIC lexical values of the bound terms (non-numeric terms
+    contribute nothing, SPARQL type-error semantics). COUNT(?v) skips
+    unbound values (OPTIONAL-bound vars can be null); COUNT(*) counts
+    every solution.
 
     Driver-sized bindings aggregate in one polars pass; Dataset-sized
     bindings use Ray's groupby aggregate (group-key-sized output), then
@@ -1478,7 +1538,14 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
     specs = []
     for a in q.aggs:
         if a.func == "count":
-            specs.append(Count(a.var or probe, alias_name=a.alias))
+            # COUNT(?v) skips unbound (null) values — OPTIONAL-bound
+            # vars can be null — while the COUNT(*) probe column is a
+            # group key / always-bound var and counts every row; both
+            # paths (this and the polars pl.col(v).count() small path)
+            # now agree on null handling
+            specs.append(Count(a.var or probe,
+                               ignore_nulls=a.var is not None,
+                               alias_name=a.alias))
         elif a.func == "min":
             specs.append(Min(a.var, alias_name=a.alias))
         else:

@@ -445,3 +445,34 @@ def test_link_hits_gate_parity(ray_session):
     odf = con.sql(link_hits_sql()).df()
     assert len(df) == len(odf) > 0
     assert norm(df) == norm(odf)
+
+
+def test_hits_high_indegree_no_int64_overflow(ray_session):
+    """ADVICE r4: with in-degree >= 10 the round-1 auth sum is
+    in_deg*SCALE and the old int64 normalization (x*SCALE//m) wrapped
+    silently (negative scores). Star graph, 12 leaves -> one hub."""
+    import ray.data
+    from kgforge.ops.graph import SCALE, hits
+    pairs = [(i, 100) for i in range(1, 13)] + [(100, 200)]
+    e = ray.data.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.int64()),
+        "dst": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+    nodes = sorted({x for p in pairs for x in p})
+    hub = {n: SCALE for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(2):
+        auth = {n: sum(hub[u] for u, v in pairs if v == n)
+                for n in nodes}
+        m = max(auth.values())
+        auth = {n: (v * SCALE // m if m else v)   # unbounded ints
+                for n, v in auth.items()}
+        hub = {n: sum(auth[v] for u, v in pairs if u == n)
+               for n in nodes}
+        m = max(hub.values())
+        hub = {n: (v * SCALE // m if m else v) for n, v in hub.items()}
+    got = {r.node: (r.hub, r.auth)
+           for r in hits(e, rounds=2).to_pandas().itertuples(index=False)}
+    assert got == {n: (hub[n], auth[n]) for n in nodes}
+    assert all(h >= 0 and a >= 0 for h, a in got.values())
+    assert got[100][1] == SCALE   # the 12-in-degree authority

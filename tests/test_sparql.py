@@ -867,3 +867,82 @@ def test_cli_inline_query(ray_session, tmp_path):
     assert rc == 0
     df = pd.read_csv(out / "statement1_select.csv")
     assert list(df.columns) == ["y", "n"] and len(df) == 3
+
+
+# ------------------------------------------- round-5 ADVICE regressions
+
+@pytest.fixture()
+def opt_filter_store(ray_session, tmp_path):
+    """s1 has a p2 witness "5", s2 has none — exercises filters whose
+    var binds only inside an OPTIONAL."""
+    import ray.data
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    rows = pa.table({
+        "s": ["http://e/s1", "http://e/s2", "http://e/s1"],
+        "p": ["http://e/p1", "http://e/p1", "http://e/p2"],
+        "o": ['<http://e/o1>', '<http://e/o2>', '"5"'],
+    })
+    store = str(tmp_path / "optflt")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(rows), store)
+    return store
+
+
+def test_filter_on_optional_bound_var(ray_session, opt_filter_store):
+    """ADVICE r4: a group FILTER whose var binds only in an OPTIONAL
+    must be applied AFTER the left join — unbound (null) rows are
+    eliminated (type-error semantics), not silently kept."""
+    q = parse_sparql(
+        "SELECT ?x ?w WHERE { ?x <http://e/p1> ?y . "
+        "OPTIONAL { ?x <http://e/p2> ?w } FILTER(?w > 4) }")[0]
+    df = execute_sparql(opt_filter_store, q).to_pandas()
+    assert df.to_dict("records") == [
+        {"x": "http://e/s1", "w": '"5"'}]
+    # tighter bound: the bound witness fails the comparison too
+    q2 = parse_sparql(
+        "SELECT ?x ?w WHERE { ?x <http://e/p1> ?y . "
+        "OPTIONAL { ?x <http://e/p2> ?w } FILTER(?w > 10) }")[0]
+    assert len(execute_sparql(opt_filter_store, q2).to_pandas()) == 0
+
+
+def test_filter_never_bound_var_raises(ray_session, opt_filter_store):
+    """ADVICE r4: a FILTER referencing a variable absent from the
+    group's final column set raises instead of being dropped."""
+    q = parse_sparql(
+        "SELECT ?x WHERE { ?x <http://e/p1> ?y . FILTER(?nosuch > 1) }"
+    )[0]
+    with pytest.raises(SparqlError, match="never bound"):
+        execute_sparql(opt_filter_store, q).to_pandas()
+
+
+def test_repeated_var_in_pattern_self_loops(ray_session, tmp_path):
+    """ADVICE r4: {?x p ?x} crashed with a duplicate-schema KeyError;
+    now it is an equality constraint between the positions."""
+    import ray.data
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    rows = pa.table({
+        "s": ["http://e/a", "http://e/b"],
+        "p": ["http://e/p", "http://e/p"],
+        "o": ['<http://e/a>', '<http://e/c>'],
+    })
+    store = str(tmp_path / "selfloop")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(rows), store)
+    q = parse_sparql("SELECT ?x WHERE { ?x <http://e/p> ?x }")[0]
+    df = execute_sparql(store, q).to_pandas()
+    # ?x appears in an o-position -> term-form canonical representation
+    assert df["x"].tolist() == ["<http://e/a>"]
+    # Kleene-plus cycles: a -> a via p+, b reaches only c
+    q2 = parse_sparql("SELECT ?x WHERE { ?x <http://e/p>+ ?x }")[0]
+    df2 = execute_sparql(store, q2).to_pandas()
+    assert df2["x"].tolist() == ["<http://e/a>"]
+
+
+def test_count_var_skips_unbound(ray_session, opt_filter_store):
+    """ADVICE r4: COUNT(?v) must skip unbound (null) OPTIONAL bindings
+    on BOTH aggregate paths; COUNT(*) still counts every solution."""
+    q = parse_sparql(
+        "SELECT (COUNT(?w) AS ?n) (COUNT(*) AS ?all) WHERE "
+        "{ ?x <http://e/p1> ?y . OPTIONAL { ?x <http://e/p2> ?w } }")[0]
+    df = execute_sparql(opt_filter_store, q).to_pandas()
+    assert df["n"].tolist() == [1] and df["all"].tolist() == [2]
