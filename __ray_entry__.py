@@ -109,6 +109,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # property-path syntax: sequence (/), inverse (^), alternation (|)
     q["sparql_seq_path"] = versioning.sparql_seq_path
     q["sparql_inv_alt_path"] = versioning.sparql_inv_alt_path
+    # zero-or-more property path (Kleene-plus closure + reflexive
+    # node-domain pairs)
+    q["sparql_star_path"] = versioning.sparql_star_path
+    # SELECT DISTINCT solution modifier
+    q["sparql_distinct_types"] = versioning.sparql_distinct_types
+    # SUM/AVG aggregates over numeric literal objects
+    q["sparql_sum_avg"] = versioning.sparql_sum_avg
+    # OFFSET paging over the ordered stream
+    q["sparql_offset_page"] = versioning.sparql_offset_page
+    # BIND computed column (CONCAT/STR expression subset)
+    q["sparql_bind_concat"] = versioning.sparql_bind_concat
+    # FILTER comparing two variables (numeric ordering semantics)
+    q["sparql_filter_varvar"] = versioning.sparql_filter_varvar
+    # COUNT(?v) vs COUNT(*) null semantics under OPTIONAL
+    q["sparql_count_optional"] = versioning.sparql_count_optional
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -353,6 +368,13 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_not_exists"] = versioning.sparql_not_exists_sql()
     o["sparql_seq_path"] = versioning.sparql_path_ancestors_sql()
     o["sparql_inv_alt_path"] = versioning.sparql_inv_alt_path_sql()
+    o["sparql_star_path"] = versioning.sparql_star_path_sql()
+    o["sparql_distinct_types"] = versioning.sparql_distinct_types_sql()
+    o["sparql_sum_avg"] = versioning.sparql_sum_avg_sql()
+    o["sparql_offset_page"] = versioning.sparql_offset_page_sql()
+    o["sparql_bind_concat"] = versioning.sparql_bind_concat_sql()
+    o["sparql_filter_varvar"] = versioning.sparql_filter_varvar_sql()
+    o["sparql_count_optional"] = versioning.sparql_count_optional_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

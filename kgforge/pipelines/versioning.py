@@ -277,9 +277,13 @@ N_CATS = 120   # cat2..cat121, parent = cat(k//2), root = cat1
 
 def category_triples(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic category-taxonomy fixture: a binary-tree hierarchy
-    ``cat_k subCategoryOf cat_{k//2}`` (k in 2..121) plus one
-    ``part_i typed_in cat_{(i % 120) + 2}`` instance triple per part —
-    multi-hop ancestor chains for the ``p+`` property-path gate."""
+    ``cat_k subCategoryOf cat_{k//2}`` (k in 2..121) plus, per part i:
+    one ``part_i typed_in cat_{(i % 120) + 2}`` instance triple
+    (multi-hop ancestor chains for the property-path gates), INTEGER
+    literal measures ``weight = (i*31) % 97`` and ``cap = (i*17) % 89``
+    (integer-valued doubles sum exactly in any order, so SUM/AVG gates
+    hash-match the SQL oracle bit-for-bit), and a sparse ``bonus``
+    triple for i % 3 == 0 (COUNT-over-OPTIONAL null semantics)."""
     from ..sources.readers import read_table
 
     ds = read_table(sf_dir, "part", columns=["p_partkey"])
@@ -290,10 +294,29 @@ def category_triples(sf_dir: str) -> "ray.data.Dataset":
         s = pa.array([f"{NSC}part{k}" for k in keys], pa.string())
         o = pa.array([f"<{NSC}cat{(k % N_CATS) + 2}>" for k in keys],
                      pa.string())
-        return pa.table({
-            "s": s,
-            "p": pa.array([NSC + "typed_in"] * len(keys), pa.string()),
-            "o": o})
+        n = len(keys)
+
+        def lit(vals):
+            return pa.array([f'"{v}"' for v in vals], pa.string())
+
+        def pred(name):
+            return pa.array([NSC + name] * n, pa.string())
+
+        parts = [
+            pa.table({"s": s, "p": pred("typed_in"), "o": o}),
+            pa.table({"s": s, "p": pred("weight"),
+                      "o": lit((keys * 31) % 97)}),
+            pa.table({"s": s, "p": pred("cap"),
+                      "o": lit((keys * 17) % 89)}),
+        ]
+        m = keys % 3 == 0
+        if m.any():
+            sb = pa.array([f"{NSC}part{k}" for k in keys[m]], pa.string())
+            parts.append(pa.table({
+                "s": sb,
+                "p": pa.array([NSC + "bonus"] * len(keys[m]), pa.string()),
+                "o": lit((keys[m] * 7) % 13)}))
+        return pa.concat_tables(parts)
 
     inst = ds.map_batches(build, batch_format="pyarrow")
     ks = list(range(2, N_CATS + 2))
@@ -315,7 +338,9 @@ def category_store(sf_dir: str) -> str:
     src = sorted(glob.glob(os.path.join(sf_dir, "part*.parquet")))
     stamp = ";".join(f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p):.6f}"
                      for p in src)
-    key = hashlib.md5(f"catstore:{os.path.abspath(sf_dir)}:{stamp}"
+    # "catstore2": fixture v2 (weight/cap/bonus measures) — a new key
+    # prefix invalidates cached v1 stores
+    key = hashlib.md5(f"catstore2:{os.path.abspath(sf_dir)}:{stamp}"
                       .encode()).hexdigest()[:12]
     store = f"/tmp/kgforge_catstore_{key}"
     marker = os.path.join(store, "_SUCCESS")
@@ -564,6 +589,207 @@ SELECT 'absent' AS which,
 UNION ALL
 SELECT 'present',
        EXISTS(SELECT 1 FROM ({v4}) WHERE p = '{pred}')
+"""
+
+
+# --------------------------------------- round-5 SPARQL feature gates
+
+STAR_PATH_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT DISTINCT ?p ?a WHERE { ?p c:typed_in/c:subCategoryOf* ?a }
+"""
+
+
+def sparql_star_path(sf_dir: str) -> "ray.data.Dataset":
+    """Zero-or-more property path gate: ``typed_in/subCategoryOf*`` —
+    vs the ``+`` ancestors gate every part ALSO pairs with its direct
+    category (the zero-length path), planned as the Kleene-plus
+    closure unioned with the store's reflexive IRI node domain."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(STAR_PATH_QUERY)[0]
+    assert q.where.patterns[1].path == "*"
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_star_path_sql() -> str:
+    return f"""
+WITH RECURSIVE
+inst AS (SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+                CAST(p_partkey % {N_CATS} + 2 AS BIGINT) AS ck FROM part),
+walk(node, anc) AS (
+  SELECT CAST(range AS BIGINT), CAST(range // 2 AS BIGINT)
+  FROM range(2, {N_CATS + 2})
+  UNION ALL
+  SELECT w.node, w.anc // 2 FROM walk w WHERE w.anc >= 2
+),
+pairs AS (
+  SELECT DISTINCT node, anc FROM walk
+  UNION
+  SELECT CAST(range AS BIGINT), CAST(range AS BIGINT)
+  FROM range(2, {N_CATS + 2})
+)
+SELECT DISTINCT inst.p AS p,
+       '<{NSC}cat' || CAST(pairs.anc AS VARCHAR) || '>' AS a
+FROM inst JOIN pairs ON pairs.node = inst.ck
+"""
+
+
+DISTINCT_TYPES_QUERY = """
+PREFIX tpch: <https://kgforge.example.org/tpch/>
+SELECT DISTINCT ?t WHERE { ?x tpch:typed_as ?t }
+"""
+
+
+def sparql_distinct_types(sf_dir: str) -> "ray.data.Dataset":
+    """SELECT DISTINCT gate: the distinct type-code objects of the v4
+    part store — the projection feeds the two-phase bucket distinct."""
+    from ..sparql import execute_sparql, parse_sparql
+    from .tabular import _v4_part_store
+    q = parse_sparql(DISTINCT_TYPES_QUERY)[0]
+    assert q.distinct
+    return execute_sparql(_v4_part_store(sf_dir), q)
+
+
+def sparql_distinct_types_sql() -> str:
+    from .tabular import v4_kg_part_sql
+    return (f"SELECT DISTINCT o AS t FROM ({v4_kg_part_sql()}) "
+            f"WHERE p = 'https://kgforge.example.org/tpch/typed_as'")
+
+
+SUM_AVG_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?c (SUM(?w) AS ?total) (AVG(?w) AS ?mean) (COUNT(?w) AS ?n)
+WHERE { ?p c:typed_in ?c . ?p c:weight ?w }
+GROUP BY ?c
+"""
+
+
+def sparql_sum_avg(sf_dir: str) -> "ray.data.Dataset":
+    """SUM/AVG aggregate gate over integer-valued literals (exact in
+    float64 regardless of combine order, so the grouped sums
+    hash-match DuckDB bit-for-bit); COUNT rides along as int64."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(SUM_AVG_QUERY)[0]
+    assert sorted(a.func for a in q.aggs) == ["avg", "count", "sum"]
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_sum_avg_sql() -> str:
+    w = "CAST((p_partkey * 31) % 97 AS DOUBLE)"
+    return f"""
+SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>' AS c,
+       SUM({w}) AS total, AVG({w}) AS mean,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM part GROUP BY 1
+"""
+
+
+OFFSET_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?c WHERE { ?p c:typed_in ?c }
+ORDER BY ?p ?c LIMIT 25 OFFSET 50
+"""
+
+
+def sparql_offset_page(sf_dir: str) -> "ray.data.Dataset":
+    """OFFSET paging gate: page 3 of the ordered typed_in pairs — the
+    plan takes offset+limit rows off the sorted stream and slices
+    driver-side (bounded by the page, never the result size)."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(OFFSET_QUERY)[0]
+    assert q.limit == 25 and q.offset == 50
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_offset_page_sql() -> str:
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>' AS c
+FROM part ORDER BY p, c LIMIT 25 OFFSET 50
+"""
+
+
+BIND_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?tag WHERE {
+  ?p c:typed_in ?c .
+  BIND(CONCAT(STR(?p), "@", STR(?c)) AS ?tag)
+}
+"""
+
+
+def sparql_bind_concat(sf_dir: str) -> "ray.data.Dataset":
+    """BIND gate: a computed column from CONCAT/STR over both
+    canonical representations (?p raw IRI, ?c term form — STR strips
+    the decoration), appended vectorized per batch."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(BIND_QUERY)[0]
+    assert q.where.binds and q.where.binds[0].alias == "tag"
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_bind_concat_sql() -> str:
+    p = f"'{NSC}part' || CAST(p_partkey AS VARCHAR)"
+    c = f"'{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR)"
+    return f"SELECT {p} AS p, {p} || '@' || {c} AS tag FROM part"
+
+
+VARVAR_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?w ?m WHERE {
+  ?p c:weight ?w . ?p c:cap ?m . FILTER(?w > ?m)
+}
+"""
+
+
+def sparql_filter_varvar(sf_dir: str) -> "ray.data.Dataset":
+    """FILTER var-vs-var gate: an ordering comparison between two
+    bound literals' NUMERIC lexical values, evaluated as Arrow
+    kernels after the subject-correlated join."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(VARVAR_QUERY)[0]
+    f = q.where.filters[0]
+    assert f.op == ">" and type(f.term).__name__ == "Var"
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_filter_varvar_sql() -> str:
+    w = "(p_partkey * 31) % 97"
+    m = "(p_partkey * 17) % 89"
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '"' || CAST({w} AS VARCHAR) || '"' AS w,
+       '"' || CAST({m} AS VARCHAR) || '"' AS m
+FROM part WHERE {w} > {m}
+"""
+
+
+OPT_COUNT_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?c (COUNT(?b) AS ?n) (COUNT(*) AS ?total) WHERE {
+  ?p c:typed_in ?c .
+  OPTIONAL { ?p c:bonus ?b }
+} GROUP BY ?c
+"""
+
+
+def sparql_count_optional(sf_dir: str) -> "ray.data.Dataset":
+    """COUNT-over-OPTIONAL gate: ``bonus`` exists only for every third
+    part, so COUNT(?b) must skip the unbound (null) left-join rows
+    while COUNT(*) counts every solution — pinning the
+    ignore-nulls semantics on the Dataset aggregate path."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(OPT_COUNT_QUERY)[0]
+    assert q.where.optionals and len(q.aggs) == 2
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_count_optional_sql() -> str:
+    return f"""
+SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>' AS c,
+       CAST(COUNT(CASE WHEN p_partkey % 3 = 0 THEN 1 END) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM part GROUP BY 1
 """
 
 

@@ -109,7 +109,9 @@ class Pattern:
     s: object
     p: object
     o: object
-    path: str | None = None   # '+' == Kleene-plus property path
+    # property-path modifier: '+' (one-or-more), '*' (zero-or-more),
+    # '?' (zero-or-one); None == plain predicate
+    path: str | None = None
 
     def vars(self) -> list[str]:
         return [t.name for t in (self.s, self.p, self.o)
@@ -121,6 +123,21 @@ class Filter:
     var: str
     op: str        # '=' '!=' '<' '>' '<=' '>=' | 'regex' 'strstarts'
     term: object   # | 'contains' (term = Lit pattern/fragment)
+
+
+@dataclass(frozen=True)
+class Func:
+    """BIND expression call node: ``concat`` (n-ary) or ``str``
+    (unary); leaves are Var / Iri / Lit / Num terms."""
+    name: str
+    args: tuple
+
+
+@dataclass(frozen=True)
+class BindExpr:
+    """One ``BIND(expr AS ?alias)`` in a group."""
+    expr: object
+    alias: str
 
 
 @dataclass
@@ -135,11 +152,12 @@ class Group:
         field(default_factory=list)
     exists: list["Group"] = field(default_factory=list)
     not_exists: list["Group"] = field(default_factory=list)
+    binds: list[BindExpr] = field(default_factory=list)
 
 
 @dataclass(frozen=True)
 class Agg:
-    func: str                # 'count' | 'min' | 'max'
+    func: str                # 'count' | 'min' | 'max' | 'sum' | 'avg'
     var: str | None          # None == COUNT(*)
     alias: str
 
@@ -157,6 +175,7 @@ class Query:
     group_by: list[str] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
+    offset: int | None = None
     # DESCRIBE resource terms (Iri constants and/or Vars)
     describe_terms: list[object] = field(default_factory=list)
 
@@ -175,7 +194,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|:[A-Za-z0-9_.\-]+)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>!=|<=|>=|=|<|>|\{|\}|\(|\)|\.|;|,|\*|\+|\^|/|\|)
+  | (?P<punct>!=|<=|>=|=|<|>|\{|\}|\(|\)|\.|;|,|\*|\+|\^|/|\||\?)
   | (?P<ws>\s+)
 """, re.X)
 
@@ -284,9 +303,43 @@ class _P:
             raise SparqlError(f"FILTER op {op!r} unsupported "
                               f"(subset: {sorted(_CMP_OPS)})")
         t = self.term()
-        if op not in ("=", "!=") and not isinstance(t, Num):
-            raise SparqlError("ordering FILTER needs a numeric constant")
+        if op not in ("=", "!=") and not isinstance(t, (Num, Var)):
+            raise SparqlError(
+                "ordering FILTER needs a numeric constant or a ?var")
         return Filter(v.name, op, t)
+
+    def bind_expr(self):
+        """BIND expression subset: term | STR(expr) |
+        CONCAT(expr, expr, ...)."""
+        tok = self.peek()
+        if tok is not None and _is_kw(tok, "concat"):
+            self.next()
+            self.expect("(")
+            args = [self.bind_expr()]
+            while self.peek() == ",":
+                self.next()
+                args.append(self.bind_expr())
+            self.expect(")")
+            return Func("concat", tuple(args))
+        if tok is not None and _is_kw(tok, "str"):
+            self.next()
+            self.expect("(")
+            a = self.bind_expr()
+            self.expect(")")
+            return Func("str", (a,))
+        return self.term()
+
+    def bind_clause(self) -> BindExpr:
+        """``BIND ( expr AS ?alias )``"""
+        self.expect("(")
+        e = self.bind_expr()
+        if not _is_kw(self.next(), "as"):
+            raise SparqlError("BIND needs AS ?alias")
+        v = self.term()
+        if not isinstance(v, Var):
+            raise SparqlError("BIND alias must be a ?var")
+        self.expect(")")
+        return BindExpr(e, v.name)
 
     def str_arg(self) -> Var:
         tok = self.peek()
@@ -345,25 +398,24 @@ class _P:
             raise SparqlError("VALUES rows take IRI/literal constants")
         return t
 
-    def path_spec(self) -> list[list[tuple[bool, object, bool]]]:
+    def path_spec(self) -> list[list[tuple[bool, object, object]]]:
         """Property-path subset as alternatives of element sequences:
-        ``elt := ['^'] term ['+']``; ``seq := elt ('/' elt)*``;
+        ``elt := ['^'] term ['+'|'*'|'?']``; ``seq := elt ('/' elt)*``;
         ``path := seq ('|' seq)*``. A plain ``?var`` predicate is the
         single-element degenerate case."""
-        def elt() -> tuple[bool, object, bool]:
+        def elt() -> tuple[bool, object, object]:
             inv = False
             if self.peek() == "^":
                 self.next()
                 inv = True
             t = self.term()
-            plus = False
-            if self.peek() == "+":
-                self.next()
-                plus = True
-            if (inv or plus) and not isinstance(t, Iri):
+            mod = None
+            if self.peek() in ("+", "*", "?"):
+                mod = self.next()
+            if (inv or mod) and not isinstance(t, Iri):
                 raise SparqlError(
                     "property-path operators need a constant predicate")
-            return (inv, t, plus)
+            return (inv, t, mod)
 
         seqs = [[elt()]]
         while self.peek() in ("/", "|"):
@@ -382,13 +434,12 @@ class _P:
         """One element sequence: chain with fresh intermediate vars;
         inverse elements swap subject/object at emit time."""
         cur = s
-        for i, (inv, t, plus) in enumerate(seq):
+        for i, (inv, t, mod) in enumerate(seq):
             nxt = o if i == len(seq) - 1 else self._fresh_var()
-            path = "+" if plus else None
             if inv:
-                out.append(Pattern(nxt, t, cur, path))
+                out.append(Pattern(nxt, t, cur, mod))
             else:
-                out.append(Pattern(cur, t, nxt, path))
+                out.append(Pattern(cur, t, nxt, mod))
             cur = nxt
 
     def emit_path(self, out: list[Pattern], group: "Group | None",
@@ -464,6 +515,7 @@ class _P:
                 g.filters.extend(sub.filters)
                 g.optionals.extend(sub.optionals)
                 g.unions.extend(sub.unions)
+                g.binds.extend(sub.binds)
                 if self.peek() == ".":
                     self.next()
                 continue
@@ -493,6 +545,12 @@ class _P:
             if _is_kw(tok, "values"):
                 self.next()
                 g.values.append(self.values_block())
+                continue
+            if _is_kw(tok, "bind"):
+                self.next()
+                g.binds.append(self.bind_clause())
+                if self.peek() == ".":
+                    self.next()
                 continue
             self.triples_block(g.patterns, {"}"}, group=g)
         # unreachable
@@ -543,7 +601,7 @@ def parse_sparql(text: str) -> list[Query]:
                     continue
                 p.expect("(")
                 fn = p.next().lower()
-                if fn not in ("count", "min", "max"):
+                if fn not in ("count", "min", "max", "sum", "avg"):
                     raise SparqlError(f"unsupported aggregate {fn!r}")
                 p.expect("(")
                 tok = p.next()
@@ -593,12 +651,22 @@ def parse_sparql(text: str) -> list[Query]:
                             raise SparqlError("ORDER BY needs a ?var")
                         p.expect(")")
                         order_by.append((v[1:], desc))
-            if p.peek() and _is_kw(p.peek(), "limit"):
-                p.next()
+            offset: int | None = None
+            while p.peek() and (_is_kw(p.peek(), "limit")
+                                or _is_kw(p.peek(), "offset")):
+                kw = p.next().lower()
                 n = p.next()
                 if not n.isdigit():
-                    raise SparqlError(f"LIMIT needs an integer, got {n!r}")
-                limit = int(n)
+                    raise SparqlError(
+                        f"{kw.upper()} needs an integer, got {n!r}")
+                if kw == "limit":
+                    if limit is not None:
+                        raise SparqlError("duplicate LIMIT")
+                    limit = int(n)
+                else:
+                    if offset is not None:
+                        raise SparqlError("duplicate OFFSET")
+                    offset = int(n)
             if aggs:
                 keys = group_by or sel
                 bad = [v for v in sel if v not in keys]
@@ -609,7 +677,7 @@ def parse_sparql(text: str) -> list[Query]:
             queries.append(Query("select", distinct, sel, [], where,
                                  dict(prefixes), aggs=aggs,
                                  group_by=group_by, order_by=order_by,
-                                 limit=limit))
+                                 limit=limit, offset=offset))
         elif low == "ask":
             # ASK { ... } | ASK WHERE { ... }
             if p.peek() and _is_kw(p.peek(), "where"):
@@ -742,6 +810,24 @@ def _wrap_iri(arr) -> pa.Array:
 def _eval_schema_pattern(store_dir: str, pat: Pattern,
                          cls: dict[str, str]) -> pa.Table:
     tbl = _closure_table(store_dir, pat.p.value)
+    if pat.path in ("*", "?"):
+        # the closure view already entails `p` == `p+` here, so both
+        # zero-X modifiers only ADD the reflexive pairs: a constant
+        # endpoint pairs with itself; with two variables the domain is
+        # the closed class/property hierarchy (subset: schema nodes,
+        # not every graph term)
+        if isinstance(pat.s, Iri):
+            dom = [pat.s.value]
+        elif isinstance(pat.o, Iri):
+            dom = [pat.o.value]
+        else:
+            dom = sorted(set(tbl["sub"].to_pylist())
+                         | set(tbl["sup"].to_pylist()))
+        refl = pa.table({"sub": pa.array(dom, pa.string()),
+                         "sup": pa.array(dom, pa.string())})
+        # distinct: a cyclic hierarchy's closure already holds (x, x)
+        tbl = (pa.concat_tables([tbl, refl])
+               .group_by(["sub", "sup"]).aggregate([]))
     mask = None
     for col, t in (("sub", pat.s), ("sup", pat.o)):
         if not isinstance(t, Var):
@@ -985,6 +1071,22 @@ def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
         if f.op == "strstarts":
             return pc.starts_with(s, f.term.value)
         return pc.match_substring(s, f.term.value)
+    if isinstance(f.term, Var):
+        # var-vs-var: ordering ops compare the NUMERIC lexical values
+        # (non-numeric -> null -> row eliminated, type-error
+        # semantics); = / != compare term identity — when the two
+        # variables live in different canonical representations the
+        # raw-IRI side is wrapped to term form (lossless)
+        rcol = b[f.term.name]
+        rpos = cls.get(f.term.name, "iri")
+        if f.op in ("=", "!="):
+            l, r = col.combine_chunks(), rcol.combine_chunks()
+            if pos != rpos:
+                l = _wrap_iri(l) if pos == "iri" else l
+                r = _wrap_iri(r) if rpos == "iri" else r
+            return _CMP_KERNELS[f.op](l, r)
+        return _CMP_KERNELS[f.op](_numeric_form(col, pos),
+                                  _numeric_form(rcol, rpos))
     if isinstance(f.term, Num):
         return _CMP_KERNELS[f.op](_numeric_form(col, pos),
                                   float(f.term.value))
@@ -1022,11 +1124,60 @@ def _apply_filters(bind: _Bind, filters: list[Filter]) -> _Bind:
                  bind.cls, bind.cols())
 
 
+def _zero_length_pairs(store_dir: str, pat: Pattern
+                       ) -> "ray.data.Dataset":
+    """Self-pairs for the zero-length path of ``p*`` / ``p?`` in the
+    pairs representation (``_s`` raw IRI, ``_o`` term form). A
+    constant IRI endpoint pairs with itself (per spec, whether or not
+    it occurs in the graph); with two variable endpoints the domain is
+    every IRI term in the store (subjects plus IRI objects), ONE
+    streamed distinct pass. Subset deviation (documented): literal
+    terms contribute no zero-length pair."""
+    from .sinks.store_query import query_triples
+    from .stages.dedup import distinct
+    sch = pa.schema([("_s", pa.string()), ("_o", pa.string())])
+    if isinstance(pat.s, Iri) or isinstance(pat.o, Iri):
+        v = pat.s.value if isinstance(pat.s, Iri) else pat.o.value
+        return ray.data.from_arrow(pa.table({
+            "_s": pa.array([v], pa.string()),
+            "_o": pa.array([f"<{v}>"], pa.string())}))
+    if not (isinstance(pat.s, Var) and isinstance(pat.o, Var)):
+        raise SparqlError("zero-length path at a literal endpoint is "
+                          "out of the supported subset")
+
+    def nodes(b: pa.Table) -> pa.Table:
+        s = b["s"].combine_chunks().cast(pa.string())
+        o = b["o"].combine_chunks().cast(pa.string())
+        m = pc.and_(pc.starts_with(o, "<"), pc.ends_with(o, ">"))
+        raw_o = pc.replace_substring_regex(o.filter(m),
+                                           _STR_IRI_RE, r"\1")
+        parts = []
+        for x in (s, raw_o):
+            parts.extend(x.chunks if isinstance(x, pa.ChunkedArray)
+                         else [x])
+        return pa.table({"_n": (pa.concat_arrays(parts) if parts
+                                else pa.array([], pa.string()))})
+
+    nsch = pa.schema([("_n", pa.string())])
+    nd = distinct(
+        ray.data.from_arrow(nsch.empty_table()).union(
+            query_triples(store_dir).map_batches(
+                nodes, batch_format="pyarrow")), ["_n"])
+
+    def selfpair(b: pa.Table) -> pa.Table:
+        n = b["_n"].combine_chunks().cast(pa.string())
+        return pa.table({"_s": n, "_o": _wrap_iri(n)})
+
+    return ray.data.from_arrow(sch.empty_table()).union(
+        nd.map_batches(selfpair, batch_format="pyarrow"))
+
+
 def _eval_path_pattern(store_dir: str, pat: Pattern,
                        cls: dict[str, str]) -> "ray.data.Dataset":
-    """``s p+ o`` (SPARQL 1.1 Kleene-plus property path) over ONE
+    """``s p{+,*,?} o`` (SPARQL 1.1 property-path modifiers) over ONE
     instance predicate: the set of pairs connected by a directed path
-    of length >= 1 through ``p`` edges.
+    through ``p`` edges — length >= 1 for ``+``, >= 0 for ``*``,
+    0 or 1 for ``?``.
 
     Plan: the partition-pruned ``p`` read feeds
     ``ops.graph.transitive_pairs`` (driver BFS when the predicate's
@@ -1061,36 +1212,43 @@ def _eval_path_pattern(store_dir: str, pat: Pattern,
             _STR_IRI_RE, r"\1")
         return pa.table({"src": t["_s"], "dst": raw})
 
-    e_i = e_t.map_batches(ei, batch_format="pyarrow")
-    clo = transitive_pairs(e_i).materialize()
+    mod = pat.path
+    if mod == "?":
+        base = e_t                     # zero-or-one: length-1 paths
+    else:                              # '+' / '*': full closure
+        e_i = e_t.map_batches(ei, batch_format="pyarrow")
+        clo = transitive_pairs(e_i).materialize()
 
-    def c2(b: pa.Table) -> pa.Table:
-        return pa.table({"_ps": b["start"], "_m": b["reach"]})
+        def c2(b: pa.Table) -> pa.Table:
+            return pa.table({"_ps": b["start"], "_m": b["reach"]})
 
-    clo_m = clo.map_batches(c2, batch_format="pyarrow")
-    sch_c = pa.schema([("_ps", pa.string()), ("_m", pa.string())])
-    if clo.count() <= _broadcast_limit():
-        tbls = [t for t in clo_m.iter_batches(batch_format="pyarrow")
-                if t.num_rows]
-        a = _Bind(pa.concat_tables(tbls) if tbls else sch_c.empty_table(),
-                  {}, ["_ps", "_m"])
-    else:
-        a = _Bind(ray.data.from_arrow(sch_c.empty_table()).union(clo_m),
-                  {}, ["_ps", "_m"])
+        clo_m = clo.map_batches(c2, batch_format="pyarrow")
+        sch_c = pa.schema([("_ps", pa.string()), ("_m", pa.string())])
+        if clo.count() <= _broadcast_limit():
+            tbls = [t for t in clo_m.iter_batches(batch_format="pyarrow")
+                    if t.num_rows]
+            a = _Bind(pa.concat_tables(tbls) if tbls
+                      else sch_c.empty_table(), {}, ["_ps", "_m"])
+        else:
+            a = _Bind(ray.data.from_arrow(sch_c.empty_table())
+                      .union(clo_m), {}, ["_ps", "_m"])
 
-    def m2(b: pa.Table) -> pa.Table:
-        return pa.table({"_m": b["_s"], "_o": b["_o"]})
+        def m2(b: pa.Table) -> pa.Table:
+            return pa.table({"_m": b["_s"], "_o": b["_o"]})
 
-    b2 = _Bind(e_t.map_batches(m2, batch_format="pyarrow"), {},
-               ["_m", "_o"])
-    j = _join_binds(a, b2, {})        # depth >= 2 pairs (any endpoint)
+        b2 = _Bind(e_t.map_batches(m2, batch_format="pyarrow"), {},
+                   ["_m", "_o"])
+        j = _join_binds(a, b2, {})    # depth >= 2 pairs (any endpoint)
 
-    def jsel(b: pa.Table) -> pa.Table:
-        return pa.table({"_s": b["_ps"], "_o": b["_o"]})
+        def jsel(b: pa.Table) -> pa.Table:
+            return pa.table({"_s": b["_ps"], "_o": b["_o"]})
 
-    ext = (ray.data.from_arrow(jsel(j.data)) if j.small
-           else j.data.map_batches(jsel, batch_format="pyarrow"))
-    pairs = distinct(e_t.union(ext), ["_s", "_o"])
+        ext = (ray.data.from_arrow(jsel(j.data)) if j.small
+               else j.data.map_batches(jsel, batch_format="pyarrow"))
+        base = e_t.union(ext)
+    if mod in ("*", "?"):
+        base = base.union(_zero_length_pairs(store_dir, pat))
+    pairs = distinct(base, ["_s", "_o"])
 
     wrap_s = isinstance(pat.s, Var) and cls.get(pat.s.name) == "term"
     s_const = pat.s.value if isinstance(pat.s, Iri) else None
@@ -1169,15 +1327,124 @@ def _collect_cls(g: Group, cls: dict[str, str] | None = None
             _collect_cls(a, cls)
     for sub in g.minus + g.optionals + g.exists + g.not_exists:
         _collect_cls(sub, cls)
+    for be in g.binds:
+        if isinstance(be.expr, Var):
+            cls[be.alias] = cls.get(be.expr.name, "iri")
+        elif isinstance(be.expr, Iri):
+            cls[be.alias] = "iri"
+        else:
+            # literals/numbers/STR/CONCAT results are term-space
+            # strings (STR/CONCAT yield PLAIN strings — decoration
+            # already stripped, so _str_form is a no-op on them)
+            cls[be.alias] = "term"
     return cls
+
+
+def _eval_bind_expr(b: pa.Table, expr, cls: dict[str, str]):
+    """Vectorized BIND expression over one batch -> a string column of
+    ``b.num_rows`` values in the alias's canonical representation."""
+    if isinstance(expr, Var):
+        if expr.name not in b.column_names:
+            raise SparqlError(f"BIND references unbound ?{expr.name}")
+        return b[expr.name].combine_chunks().cast(pa.string())
+    if isinstance(expr, (Iri, Lit, Num)):
+        if isinstance(expr, Iri):
+            val = expr.value          # iri-cls: raw IRI space
+        elif isinstance(expr, Lit):
+            val = f'"{expr.value}"'   # term-cls: rendered literal
+        else:
+            val = expr.value          # numeric lexical form
+        return pa.array([val] * b.num_rows, pa.string())
+    if expr.name == "str":
+        a = _eval_bind_expr(b, expr.args[0], cls)
+        pos = (cls.get(expr.args[0].name, "iri")
+               if isinstance(expr.args[0], Var) else "term")
+        if pos == "iri":
+            return a                  # raw IRIs ARE their str form
+        return _str_form(a, "term")
+    if expr.name == "concat":
+        parts = []
+        for arg in expr.args:
+            a = _eval_bind_expr(b, arg, cls)
+            pos = (cls.get(arg.name, "iri")
+                   if isinstance(arg, Var) else "term")
+            parts.append(a if pos == "iri" else _str_form(a, "term"))
+        return pc.binary_join_element_wise(*parts, "")
+    raise SparqlError(f"unsupported BIND function {expr.name!r}")
+
+
+def _apply_binds(bind: _Bind, binds: list[BindExpr],
+                 cls: dict[str, str]) -> _Bind:
+    """Append one computed column per BIND (vectorized per batch)."""
+    for be in binds:
+        if be.alias in bind.cols():
+            raise SparqlError(
+                f"BIND alias ?{be.alias} is already bound")
+
+    def add(b: pa.Table, _bs=list(binds), _cls=dict(cls)) -> pa.Table:
+        for be in _bs:
+            b = b.append_column(
+                be.alias, _eval_bind_expr(b, be.expr, _cls))
+        return b
+
+    out_cols = bind.cols() + [be.alias for be in binds]
+    if bind.small:
+        return _Bind(add(bind.data), cls, out_cols)
+    return _Bind(bind.data.map_batches(add, batch_format="pyarrow"),
+                 cls, out_cols)
+
+
+def _full_small(b: _Bind) -> pa.Table | None:
+    """The binding set's FULL rows driver-side when it is below the
+    broadcast limit, else None."""
+    if b.small:
+        return b.data
+    data = _batch_guard(b.data)
+    if data.limit(_broadcast_limit() + 1).count() > _broadcast_limit():
+        return None
+    tbls = [t for t in data.iter_batches(batch_format="pyarrow")
+            if t.num_rows]
+    return (pa.concat_tables(tbls) if tbls
+            else pa.schema([(c, pa.string())
+                            for c in b.cols()]).empty_table())
+
+
+def _cross_tables(a: pa.Table, b: pa.Table) -> pa.Table:
+    """Cartesian product of two driver-sized tables."""
+    import numpy as np
+    n, m = a.num_rows, b.num_rows
+    ai = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
+    bi = pa.array(np.tile(np.arange(m, dtype=np.int64), n))
+    cols = {c: a[c].combine_chunks().take(ai) for c in a.column_names}
+    cols.update({c: b[c].combine_chunks().take(bi)
+                 for c in b.column_names})
+    return pa.table(cols)
 
 
 def _join_binds(bind: _Bind, new: _Bind, cls: dict[str, str]) -> _Bind:
     """Inner join two binding sets on their shared variables, with the
-    same size-adaptive path choice as pattern chaining."""
+    same size-adaptive path choice as pattern chaining. Two sets with
+    NO shared variable are a Cartesian product — supported when at
+    least one side fits the broadcast limit (the small side ships once
+    and multiplies each batch of the other)."""
     on = sorted(set(bind.cols()) & set(new.cols()))
     joined = bind.cols() + [c for c in new.cols()
                             if c not in bind.cols()]
+    if not on:
+        sm = _full_small(new)
+        big = bind
+        if sm is None:
+            sm, big = _full_small(bind), new
+        if sm is None:
+            raise SparqlError(
+                "Cartesian product of two binding sets both above the "
+                "broadcast limit — correlate the groups with a shared "
+                "variable")
+        if big.small:
+            return _Bind(_cross_tables(big.data, sm), cls, joined)
+        return _Bind(big.data.map_batches(
+            lambda b, _t=sm: _cross_tables(b, _t),
+            batch_format="pyarrow"), cls, joined)
     if bind.small and new.small:
         return _Bind(_join_small(bind.data, new.data, on), cls, joined)
     if bind.small:
@@ -1226,7 +1493,7 @@ def _eval_group(store_dir: str, g: Group,
             # schema closure is already transitive: `p+` == `p` here
             tbl = _eval_schema_pattern(store_dir, pat, cls)
             new = _Bind(tbl, cls)
-        elif pat.path == "+":
+        elif pat.path in ("+", "*", "?"):
             new = _Bind(_eval_path_pattern(store_dir, pat, cls), cls,
                         list(dict.fromkeys(_pattern_cols(pat).values())))
         else:
@@ -1295,6 +1562,12 @@ def _eval_group(store_dir: str, g: Group,
                             opt.filters)
         on = sorted(set(bind.cols()) & set(ob.cols()))
         bind = _left_join(bind, ob, on)
+    if g.binds:
+        # BIND computed columns (evaluated once the pattern/OPTIONAL
+        # bindings they reference exist); group filters over the new
+        # vars become applicable below
+        bind = _apply_binds(bind, g.binds, cls)
+        bind = _apply_filters(bind, g.filters)
     if g.optionals:
         # group filters whose var is bound ONLY inside an OPTIONAL
         # become applicable after the left joins; re-apply (idempotent
@@ -1476,6 +1749,22 @@ def _order_limit(ds: "ray.data.Dataset", q: Query) -> "ray.data.Dataset":
     if q.order_by:
         ds = ds.sort([v for v, _ in q.order_by],
                      descending=[d for _, d in q.order_by])
+    if q.offset:
+        # OFFSET: take the first offset+limit rows of the (ordered)
+        # stream, slice driver-side — bounded by the user's own page
+        # size, never the result cardinality
+        if q.limit is None:
+            raise SparqlError(
+                "OFFSET without LIMIT is out of the supported subset")
+        head = ds.limit(q.offset + q.limit)
+        tbls = [t for t in head.iter_batches(batch_format="pyarrow")
+                if t.num_rows]
+        if tbls:
+            tbl = pa.concat_tables(tbls).slice(q.offset, q.limit)
+        else:
+            tbl = pa.schema([(c, pa.string())
+                             for c in ds.columns()]).empty_table()
+        return ray.data.from_arrow(tbl)
     if q.limit is not None:
         ds = ds.limit(q.limit)
     return ds
@@ -1502,9 +1791,27 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
     if missing:
         raise SparqlError(f"aggregate vars not bound: {missing}")
     out_cols = list(q.select_vars) + [a.alias for a in q.aggs]
+    num_vars = sorted({a.var for a in q.aggs
+                       if a.func in ("sum", "avg")})
+
+    def with_num(b: pa.Table, _nv=list(num_vars), _cls=dict(bind.cls)
+                 ) -> pa.Table:
+        for v in _nv:
+            b = b.append_column(f"__num_{v}", _numeric_form(
+                b[v].combine_chunks(), _cls.get(v, "iri")))
+        return b
+
+    def alias_type(c: str):
+        for a in q.aggs:
+            if a.alias == c:
+                return (pa.int64() if a.func == "count"
+                        else pa.float64() if a.func in ("sum", "avg")
+                        else pa.string())
+        return pa.string()
 
     if bind.small:
-        df = pl.from_arrow(bind.data)
+        df = pl.from_arrow(with_num(bind.data) if num_vars
+                           else bind.data)
         exprs = []
         for a in q.aggs:
             if a.func == "count":
@@ -1512,8 +1819,15 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
                      else pl.col(a.var).count()).cast(pl.Int64)
             elif a.func == "min":
                 e = pl.col(a.var).min()
-            else:
+            elif a.func == "max":
                 e = pl.col(a.var).max()
+            else:
+                nc = pl.col(f"__num_{a.var}")
+                # all-null -> null (matches the Dataset path's
+                # ignore_nulls aggregation, not polars' sum()==0)
+                agg_e = nc.sum() if a.func == "sum" else nc.mean()
+                e = (pl.when(nc.is_not_null().any()).then(agg_e)
+                     .otherwise(None).cast(pl.Float64))
             exprs.append(e.alias(a.alias))
         agg = (df.group_by(keys).agg(exprs) if keys
                else df.select(exprs))
@@ -1521,16 +1835,14 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
         if q.order_by:
             agg = agg.sort([v for v, _ in q.order_by],
                            descending=[d for _, d in q.order_by])
-        if q.limit is not None:
-            agg = agg.head(q.limit)
         tbl = agg.to_arrow()
-        tbl = tbl.cast(pa.schema([
-            (c, pa.int64() if any(a.alias == c and a.func == "count"
-                                  for a in q.aggs) else pa.string())
-            for c in tbl.column_names]))
-        return ray.data.from_arrow(tbl)
+        tbl = tbl.cast(pa.schema([(c, alias_type(c))
+                                  for c in tbl.column_names]))
+        return _order_limit(ray.data.from_arrow(tbl),
+                            Query(q.form, q.distinct, [], [], q.where,
+                                  {}, limit=q.limit, offset=q.offset))
 
-    from ray.data.aggregate import Count, Max, Min
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
     # COUNT(*) probes an arbitrary bound column: bindings are never
     # null (inner-join planner), and bare Count() miscounts on this Ray
     # version when the dataset carries a schema-seed block
@@ -1548,9 +1860,17 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
                                alias_name=a.alias))
         elif a.func == "min":
             specs.append(Min(a.var, alias_name=a.alias))
-        else:
+        elif a.func == "max":
             specs.append(Max(a.var, alias_name=a.alias))
+        elif a.func == "sum":
+            specs.append(Sum(f"__num_{a.var}", ignore_nulls=True,
+                             alias_name=a.alias))
+        else:
+            specs.append(Mean(f"__num_{a.var}", ignore_nulls=True,
+                              alias_name=a.alias))
     data = _batch_guard(bind.data)
+    if num_vars:
+        data = data.map_batches(with_num, batch_format="pyarrow")
     if keys:
         agg_ds = data.groupby(keys).aggregate(*specs)
     else:
@@ -1558,13 +1878,12 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
         tbl = pa.table({a.alias: [row[a.alias]] for a in q.aggs})
         agg_ds = ray.data.from_arrow(tbl)
 
-    def finish(b: pa.Table, _out=list(out_cols),
-               _counts=[a.alias for a in q.aggs if a.func == "count"]
+    types = {c: alias_type(c) for c in out_cols}
+
+    def finish(b: pa.Table, _out=list(out_cols), _ty=dict(types)
                ) -> pa.Table:
         b = b.select(_out)
-        return b.cast(pa.schema([
-            (c, pa.int64() if c in _counts else pa.string())
-            for c in b.column_names]))
+        return b.cast(pa.schema([(c, _ty[c]) for c in b.column_names]))
 
     return _order_limit(
         agg_ds.map_batches(finish, batch_format="pyarrow"), q)

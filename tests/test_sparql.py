@@ -185,7 +185,7 @@ def test_parse_aggregate_errors():
     import pytest as _pt
     from kgforge.sparql import SparqlError, parse_sparql
     with _pt.raises(SparqlError):
-        parse_sparql("SELECT (SUM(?x) AS ?s) WHERE { ?x ?y ?z }")
+        parse_sparql("SELECT (MEDIAN(?x) AS ?s) WHERE { ?x ?y ?z }")
     with _pt.raises(SparqlError):
         parse_sparql("SELECT (MIN(*) AS ?m) WHERE { ?x ?y ?z }")
     with _pt.raises(SparqlError):  # ?z not in GROUP BY
