@@ -57,6 +57,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_requirements_part"] = lambda sf: tabular.table_requirements(sf, "part")
     # --- multi-source union store (A4, v1 orchestrator semantics)
     q["kg_union_nation_supplier"] = tabular.union_kg_terms
+    # --- bulk RDF ingestion: emitted graph -> distributed reader ->
+    #     identical term set (sources/rdfsource.py)
+    q["rdf_ingest_turtle"] = (
+        lambda sf: tabular.rdf_ingest_roundtrip(sf, "nation", "ttl"))
+    q["rdf_ingest_ntriples"] = (
+        lambda sf: tabular.rdf_ingest_roundtrip(sf, "region", "nt"))
 
     # --- grammar-less default mode (M13) + null-value filter (M5)
     q["kg_default_events"] = tabular.default_kg_events
@@ -341,6 +347,8 @@ def oracle_sql() -> dict[str, str]:
         o[f"kg_{t}"] = tabular.table_kg_sql(t)
     o["kg_requirements_part"] = tabular.table_requirements_sql("part")
     o["kg_union_nation_supplier"] = tabular.union_kg_sql()
+    o["rdf_ingest_turtle"] = tabular.table_kg_sql("nation")
+    o["rdf_ingest_ntriples"] = tabular.table_kg_sql("region")
     o["kg_default_events"] = tabular.default_kg_events_sql()
     o["kg_part_v3chains"] = tabular.v3_chain_kg_part_sql()
     o["kg_orders_v1"] = tabular.v1_kg_orders_sql()

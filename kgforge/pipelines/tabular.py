@@ -216,9 +216,10 @@ def _colmap(rs: RuleSet, specs: dict[str, ColumnSpec]) -> dict[str, str]:
             for sec, rule in rs.rules.items()}
 
 
-def table_kg_terms(sf_dir: str, table: str,
-                   domain: str = KG_DOMAIN) -> "ray.data.Dataset":
-    """read_parquet(table) → stringify → triples → dedup → (s,p,o)."""
+def table_kg_triples(sf_dir: str, table: str,
+                     domain: str = KG_DOMAIN) -> "ray.data.Dataset":
+    """read_parquet(table) → stringify → deduped COLUMNAR triples
+    (TRIPLE_SCHEMA) — the pre-rendering form the graph sinks consume."""
     grammar, specs = TABLE_KG[table]
     rs = compile_grammar(grammar, domain)
     needed = sorted({r.source_column for r in rs.rules.values()})
@@ -226,8 +227,14 @@ def table_kg_terms(sf_dir: str, table: str,
     ds = ds.map_batches(stringify({c: specs[c] for c in needed}),
                         batch_format="pyarrow")
     ds = ds.map_batches(TripleGenerator(rs), batch_format="pyarrow")
-    return dedup_triples(ds).map_batches(triples_to_terms,
-                                         batch_format="pyarrow")
+    return dedup_triples(ds)
+
+
+def table_kg_terms(sf_dir: str, table: str,
+                   domain: str = KG_DOMAIN) -> "ray.data.Dataset":
+    """read_parquet(table) → stringify → triples → dedup → (s,p,o)."""
+    return table_kg_triples(sf_dir, table, domain).map_batches(
+        triples_to_terms, batch_format="pyarrow")
 
 
 def table_kg_sql(table: str, domain: str = KG_DOMAIN) -> str:
@@ -273,6 +280,32 @@ def union_kg_terms(sf_dir: str, tables: tuple[str, ...] = ("nation", "supplier")
         ds = ds.map_batches(_TG(rs), batch_format="pyarrow")
         union = ds if union is None else union.union(ds)
     return _dedup(union).map_batches(triples_to_terms, batch_format="pyarrow")
+
+
+def rdf_ingest_roundtrip(sf_dir: str, table: str = "nation",
+                         fmt: str = "ttl") -> "ray.data.Dataset":
+    """Bulk-RDF-loader gate: emit the table's KG as Turtle/N-Triples
+    shards, then re-read them with the DISTRIBUTED reader
+    (sources/rdfsource.py) — the returned term set must equal the
+    direct pipeline's, so the existing ``table_kg_sql`` oracle applies
+    verbatim. Exercises writer → real files on disk → parser."""
+    import os
+    import shutil
+
+    tmp = os.path.join("/tmp/kgforge_ingest",
+                       os.path.basename(os.path.normpath(sf_dir)),
+                       f"{table}_{fmt}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tri = table_kg_triples(sf_dir, table)
+    if fmt == "ttl":
+        from ..sinks.turtle_sink import write_graph_turtle
+        from ..sources.rdfsource import read_turtle
+        write_graph_turtle(tri, tmp, domain=KG_DOMAIN)
+        return read_turtle(os.path.join(tmp, "graph.ttl"))
+    from ..sinks.ntriples_sink import write_graph
+    from ..sources.rdfsource import read_ntriples
+    write_graph(tri, tmp)
+    return read_ntriples(os.path.join(tmp, "graph.nt"))
 
 
 def union_kg_sql(tables: tuple[str, ...] = ("nation", "supplier"),

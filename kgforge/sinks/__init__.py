@@ -38,8 +38,13 @@ def _ttl(triples, out_dir: str, domain: str) -> None:
     write_graph_turtle(triples, out_dir, domain)
 
 
+def _jsonld(triples, out_dir: str, domain: str) -> None:
+    from .jsonld_sink import write_graph_jsonld
+    write_graph_jsonld(triples, out_dir, domain)
+
+
 def sink_format(name: str) -> _SinkWriter:
-    builtin = {"nt": _nt, "ttl": _ttl}
+    builtin = {"nt": _nt, "ttl": _ttl, "jsonld": _jsonld}
     if name in _FORMATS:
         return _FORMATS[name]
     if name in builtin:

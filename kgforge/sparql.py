@@ -1666,14 +1666,18 @@ def _render_template(bind: _Bind, template: list[Pattern]
 def _eval_describe(store_dir: str, q: Query) -> "ray.data.Dataset":
     """DESCRIBE: the outgoing triples of each matched resource (concise
     'asserted description' — subject-rooted, the common implementation
-    choice). Resource ids resolve driver-side (constants, plus the
-    DISTINCT bindings of each ?var from the WHERE group — bounded by
-    KGFORGE_BROADCAST_LIMIT, DESCRIBE is an inspection form); the store
-    is then ONE streamed scan with a broadcast membership filter."""
+    choice). Size-adaptive: resource ids at or below
+    KGFORGE_BROADCAST_LIMIT resolve driver-side and the store is ONE
+    streamed scan with a broadcast membership filter; a larger ?var
+    binding set stays distributed and the store is semi-joined on s
+    (hash join, same partitioning as query_minus) — both paths return
+    the identical triple set (pinned in tests/test_sparql.py)."""
     from .sinks.store_query import query_triples
+    from .stages.canonicalize import default_shuffle_partitions
     from .stages.dedup import distinct
     raws = {t.value for t in q.describe_terms if isinstance(t, Iri)}
     var_names = [t.name for t in q.describe_terms if isinstance(t, Var)]
+    big: list["ray.data.Dataset"] = []     # (_rs) raw-IRI resource sets
     if var_names:
         bind = _eval_group(store_dir, q.where)
         missing = [v for v in var_names if v not in bind.cols()]
@@ -1685,9 +1689,18 @@ def _eval_describe(store_dir: str, q: Query) -> "ray.data.Dataset":
             else:
                 dd = distinct(bind.data, [v])
                 if dd.count() > _broadcast_limit():
-                    raise SparqlError(
-                        "DESCRIBE resource set exceeds the broadcast "
-                        "limit — narrow the WHERE group")
+                    # scale path: keep the resource set distributed and
+                    # semi-join the store on s instead of broadcasting
+                    def to_raw(b: pa.Table, _v=v) -> pa.Table:
+                        col = b[_v].combine_chunks().cast(pa.string())
+                        col = col.filter(pc.and_(
+                            col.is_valid(),
+                            pc.invert(pc.starts_with(col, '"'))))
+                        return pa.table({"_rs": pc.replace_substring_regex(
+                            col, pattern="^<|>$", replacement="")})
+                    big.append(dd.map_batches(
+                        to_raw, batch_format="pyarrow"))
+                    continue
                 vals = [r[v] for r in dd.take_all()]
             for val in vals:
                 if val is None:
@@ -1696,14 +1709,31 @@ def _eval_describe(store_dir: str, q: Query) -> "ray.data.Dataset":
                     raws.add(val[1:-1])
                 elif not val.startswith('"'):
                     raws.add(val)        # raw IRI; literals are skipped
+    spo = pa.schema([("s", pa.string()), ("p", pa.string()),
+                     ("o", pa.string())])
+
+    if big:
+        # join fallback: constants + small sides fold into the same
+        # distributed resource set; ONE hash semi-join on s
+        res = ray.data.from_arrow(pa.table(
+            {"_rs": pa.array(sorted(raws), pa.string())}))
+        for part in big:
+            res = res.union(part)
+        res = _batch_guard(distinct(res, ["_rs"]))
+        got = _batch_guard(query_triples(store_dir)).join(
+            res, join_type="inner",
+            num_partitions=default_shuffle_partitions(),
+            on=("s",), right_on=("_rs",))
+        got = got.map_batches(lambda b: b.select(["s", "p", "o"]),
+                              batch_format="pyarrow")
+        return ray.data.from_arrow(spo.empty_table()).union(got)
+
     want = pa.array(sorted(raws), pa.string())
 
     def keep(b: pa.Table, _w=want) -> pa.Table:
         return b.filter(pc.is_in(b["s"].combine_chunks()
                                  .cast(pa.string()), value_set=_w))
 
-    spo = pa.schema([("s", pa.string()), ("p", pa.string()),
-                     ("o", pa.string())])
     got = query_triples(store_dir).map_batches(
         keep, batch_format="pyarrow").map_batches(
         lambda b: b.select(["s", "p", "o"]), batch_format="pyarrow")

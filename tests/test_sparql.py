@@ -714,6 +714,25 @@ def test_describe_gate_parity(ray_session):
     assert norm(df) == norm(odf)
 
 
+def test_describe_join_fallback_equals_broadcast(ray_session, monkeypatch):
+    """KGFORGE_BROADCAST_LIMIT=0 forces the distributed semi-join path
+    for the DESCRIBE resource set — identical triple set to the
+    broadcast membership path (no more cliff above the limit)."""
+    import hashlib
+    from kgforge.pipelines import versioning as V
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    base = V.sparql_describe_brands(SF).to_pandas()
+    monkeypatch.setenv("KGFORGE_BROADCAST_LIMIT", "0")
+    joined = V.sparql_describe_brands(SF).to_pandas()
+    assert len(joined) == len(base) > 0
+    assert norm(joined) == norm(base)
+
+
 # ------------------------------------------------- FILTER [NOT] EXISTS
 
 @pytest.fixture()
