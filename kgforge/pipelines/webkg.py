@@ -237,6 +237,49 @@ def exact_dup_mapping(hashed: "ray.data.Dataset",
                                            batch_format="pyarrow"))
 
 
+def exact_dup_mapping_adaptive(hashed: "ray.data.Dataset"
+                               ) -> "ray.data.Dataset":
+    """Size-adaptive wrapper: below KGFORGE_DUPMAP_DRIVER_LIMIT rows
+    (default 2M — (h, uri) rows are ~70 B, so the pull is bounded at
+    ~140 MB) the (member, canon) mapping is computed DRIVER-side in one
+    polars pass, eliminating a whole distributed execution (shuffle +
+    materialize barrier, the dominant FIXED term of the canonicalize
+    step at sub-cluster scale — see BASELINE.md fixed-cost breakdown).
+    Above the limit: the hash-partitioned ``exact_dup_mapping``
+    shuffle, correct at any dup mass (100 TB path). Both paths emit the
+    identical mapping set (pinned in tests/test_extensions.py).
+
+    Returns a MATERIALIZED Dataset either way (the mapping fans out to
+    three consumers)."""
+    import os as _os
+
+    limit = int(_os.environ.get("KGFORGE_DUPMAP_DRIVER_LIMIT", "2000000"))
+    parts: list[pa.Table] = []
+    n = 0
+    if limit > 0:
+        for b in hashed.iter_batches(batch_format="pyarrow"):
+            parts.append(b)
+            n += b.num_rows
+            if n > limit:
+                break
+    if limit <= 0 or n > limit:
+        return exact_dup_mapping(hashed).materialize()
+    import polars as pl
+    mapping_schema = pa.schema([("member", pa.string()),
+                                ("canon", pa.string())])
+    if n == 0:
+        return ray.data.from_arrow(mapping_schema.empty_table())
+    t = pl.from_arrow(pa.concat_tables(parts))
+    agg = t.group_by("h").agg(pl.col("uri").min().alias("canon"),
+                              pl.len().alias("_n"))
+    dup = agg.filter(pl.col("_n") > 1).select(["h", "canon"])
+    j = (t.join(dup, on="h", how="inner")
+         .filter(pl.col("uri") != pl.col("canon")))
+    out = pa.table({"member": j["uri"].to_arrow().cast(pa.string()),
+                    "canon": j["canon"].to_arrow().cast(pa.string())})
+    return ray.data.from_arrow(out.cast(mapping_schema))
+
+
 # -------------------------------------------------------------- pipeline
 def build_prepared_pages(sf_dir: str,
                          extractor_concurrency: int = 2,
@@ -384,7 +427,7 @@ def webkg_triples_from_pages(pages: "ray.data.Dataset",
         # emission) — materialize it once; it is (member, canon) pairs
         # over duplicate pages only, distributed in the object store
         mapping = drop_empty_blocks(
-            exact_dup_mapping(hashed).materialize(),
+            exact_dup_mapping_adaptive(hashed),
             pa.schema([("member", pa.string()), ("canon", pa.string())]))
         if mapping.count() > 0:   # no dup pages -> skip both rewrites
             triples = apply_canonical_mapping(triples, mapping)

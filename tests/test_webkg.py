@@ -213,6 +213,57 @@ def test_flagship_canonicalizes_duplicate_pages(ray_session, tmp_path,
                    for s, p, o in triples)
 
 
+def test_dup_mapping_driver_path_equals_distributed(ray_session,
+                                                    monkeypatch):
+    """exact_dup_mapping_adaptive: the driver-side polars fast path
+    (default at sub-cluster scale) and the hash-partitioned distributed
+    path (KGFORGE_DUPMAP_DRIVER_LIMIT=0 forces it) emit the identical
+    (member, canon) set, and the flagship output is identical through
+    both."""
+    from kgforge.pipelines.webkg import webkg_terms
+
+    a = webkg_terms(SF).to_pandas()
+    monkeypatch.setenv("KGFORGE_DUPMAP_DRIVER_LIMIT", "0")
+    b = webkg_terms(SF).to_pandas()
+    ta = set(map(tuple, a[["s", "p", "o"]].itertuples(index=False)))
+    tb = set(map(tuple, b[["s", "p", "o"]].itertuples(index=False)))
+    assert ta == tb and len(ta) > 0
+
+
+def test_dup_mapping_adaptive_planted(ray_session, tmp_path, monkeypatch):
+    """Planted duplicates through BOTH adaptive paths: identical
+    mapping rows (member -> lexicographic-min canon)."""
+    import pandas as pd
+    from kgforge.pipelines.webkg import (build_prepared_pages,
+                                         exact_dup_mapping_adaptive,
+                                         page_ruleset, CombinedEmit,
+                                         DOMAIN, _tagged)
+
+    df = pd.DataFrame({
+        "doc_id": [3, 1, 2, 4],
+        "text": ["same words here", "same words here", "other text",
+                 "same words here"],
+        "lang": ["en", "en", "de", "en"],
+        "source": ["s1", "s2", "s3", "s4"],
+        "n_chars": [15, 15, 10, 15],
+    })
+    df.to_parquet(tmp_path / "documents.parquet")
+    rs = page_ruleset(DOMAIN)
+    combined = build_prepared_pages(str(tmp_path)).map_batches(
+        CombinedEmit(rs, DOMAIN), batch_format="pyarrow").materialize()
+    hashed = _tagged(combined, "h", ["h", "s"], ["h", "uri"])
+    drv = sorted(map(tuple, exact_dup_mapping_adaptive(hashed)
+                     .to_pandas().itertuples(index=False)))
+    monkeypatch.setenv("KGFORGE_DUPMAP_DRIVER_LIMIT", "0")
+    dist = sorted(map(tuple, exact_dup_mapping_adaptive(hashed)
+                      .to_pandas().itertuples(index=False)))
+    assert drv == dist
+    assert len(drv) == 2            # docs {1,3,4} merge -> 2 members
+    canons = {c for _, c in drv}
+    assert len(canons) == 1
+    assert all(c < m for m, c in drv)
+
+
 def test_linker_pool_path_equals_fused_path(ray_session):
     """The actor-pool linker branch (explicit linker_concurrency) and
     the default task-fused branch must produce the same triples."""
