@@ -130,6 +130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_filter_varvar"] = versioning.sparql_filter_varvar
     # COUNT(?v) vs COUNT(*) null semantics under OPTIONAL
     q["sparql_count_optional"] = versioning.sparql_count_optional
+    # GROUP_CONCAT (sorted, deterministic) + SAMPLE (min term)
+    q["sparql_group_concat"] = versioning.sparql_group_concat
+    # HAVING over a hidden synthesized aggregate (AVG not selected)
+    q["sparql_having"] = versioning.sparql_having
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -383,6 +387,8 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_bind_concat"] = versioning.sparql_bind_concat_sql()
     o["sparql_filter_varvar"] = versioning.sparql_filter_varvar_sql()
     o["sparql_count_optional"] = versioning.sparql_count_optional_sql()
+    o["sparql_group_concat"] = versioning.sparql_group_concat_sql()
+    o["sparql_having"] = versioning.sparql_having_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

@@ -793,6 +793,69 @@ FROM part GROUP BY 1
 """
 
 
+GROUP_CONCAT_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?c (GROUP_CONCAT(?p; SEPARATOR=",") AS ?members)
+       (SAMPLE(?p) AS ?first)
+WHERE { ?p c:typed_in ?c }
+GROUP BY ?c
+"""
+
+
+def sparql_group_concat(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP_CONCAT/SAMPLE aggregate gate: per category, the
+    comma-joined SORTED member IRIs (deterministic under any block
+    layout — the engine sorts inside the group before joining) and the
+    deterministic SAMPLE (minimum term). Mirrored by DuckDB
+    ``string_agg(... ORDER BY ...)`` / ``min``."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(GROUP_CONCAT_QUERY)[0]
+    assert [a.func for a in q.aggs] == ["group_concat", "sample"]
+    assert q.aggs[0].sep == ","
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_group_concat_sql() -> str:
+    part_iri = f"'{NSC}part' || CAST(p_partkey AS VARCHAR)"
+    return f"""
+SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>' AS c,
+       string_agg({part_iri}, ',' ORDER BY {part_iri}) AS members,
+       MIN({part_iri}) AS first
+FROM part GROUP BY 1
+"""
+
+
+HAVING_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?c (COUNT(?p) AS ?n) (SUM(?w) AS ?total)
+WHERE { ?p c:typed_in ?c . ?p c:weight ?w }
+GROUP BY ?c
+HAVING (AVG(?w) > 48)
+"""
+
+
+def sparql_having(sf_dir: str) -> "ray.data.Dataset":
+    """HAVING gate over a HIDDEN synthesized aggregate: the constraint
+    AVG(?w) > 48 is not in the SELECT list, so the planner computes it
+    alongside the visible aggregates and drops it after the filter.
+    Integer-valued weights make the float64 averages bit-identical to
+    DuckDB's at any combine order, so the strict > splits groups
+    identically at every scale."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(HAVING_QUERY)[0]
+    assert q.having and q.aggs[-1].hidden
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_having_sql() -> str:
+    w = "CAST((p_partkey * 31) % 97 AS DOUBLE)"
+    return f"""
+SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>' AS c,
+       CAST(COUNT(*) AS BIGINT) AS n, SUM({w}) AS total
+FROM part GROUP BY 1 HAVING AVG({w}) > 48
+"""
+
+
 def _version_pairs(sf_dir: str, version: int) -> "ray.data.Dataset":
     """(x, z) instance pairs of one version of the scaled fixture —
     x raw IRI, z term form, same shapes as the MINUS gate."""

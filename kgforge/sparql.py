@@ -33,8 +33,10 @@ Beyond the reference file's four shapes, the subset also covers:
 
 - ``OPTIONAL`` (size-adaptive left join, unbound = null) and ``{A}
   UNION {B}`` (bag semantics over an identical variable set);
-- SPARQL 1.1 aggregates ``COUNT/MIN/MAX`` with ``GROUP BY`` /
-  ``ORDER BY`` / ``LIMIT``;
+- SPARQL 1.1 aggregates ``COUNT/MIN/MAX/SUM/AVG/SAMPLE/GROUP_CONCAT``
+  with ``GROUP BY`` / ``HAVING`` / ``ORDER BY`` / ``LIMIT`` /
+  ``OFFSET`` (SAMPLE is the deterministic minimum term; GROUP_CONCAT
+  joins sorted terms, so both are stable under any partitioning);
 - a FILTER expression subset: ``=``/``!=`` on term form,
   ``<``/``>``/``<=``/``>=`` against a numeric constant (compared
   NUMERICALLY on the bound term's lexical value; non-numeric terms
@@ -157,9 +159,13 @@ class Group:
 
 @dataclass(frozen=True)
 class Agg:
-    func: str                # 'count' | 'min' | 'max' | 'sum' | 'avg'
+    func: str                # 'count'|'min'|'max'|'sum'|'avg'
+    #                          |'sample'|'group_concat'
     var: str | None          # None == COUNT(*)
     alias: str
+    sep: str | None = None   # GROUP_CONCAT(...; SEPARATOR="x")
+    hidden: bool = False     # synthesized for a HAVING constraint —
+    #                          computed but dropped from the output
 
 
 @dataclass
@@ -176,6 +182,9 @@ class Query:
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
+    # HAVING constraints: (agg alias, op, numeric constant) — applied
+    # to the aggregated (group-key-sized) result
+    having: list[tuple[str, str, float]] = field(default_factory=list)
     # DESCRIBE resource terms (Iri constants and/or Vars)
     describe_terms: list[object] = field(default_factory=list)
 
@@ -220,6 +229,45 @@ _CMP_OPS = {"=", "!=", "<", ">", "<=", ">="}
 
 def _is_kw(tok: str, kw: str) -> bool:
     return tok.lower() == kw and ":" not in tok
+
+
+_AGG_FNS = ("count", "min", "max", "sum", "avg", "sample",
+            "group_concat")
+
+
+def _parse_agg_call(p: "_P") -> tuple[str, str | None, str | None]:
+    """Parse ``FN ( ?var | * [; SEPARATOR="s"] )`` — the token stream
+    positioned AT the function name — and return (fn, var, sep).
+    SAMPLE is evaluated deterministically (the minimum term — a legal
+    choice under the spec's 'any value from the group')."""
+    fn = p.next().lower()
+    if fn not in _AGG_FNS:
+        raise SparqlError(f"unsupported aggregate {fn!r}")
+    p.expect("(")
+    tok = p.next()
+    if tok == "*":
+        if fn != "count":
+            raise SparqlError(f"{fn}(*) is not valid")
+        var = None
+    else:
+        if not tok.startswith("?"):
+            raise SparqlError(
+                f"aggregate arg must be ?var or *, got {tok!r}")
+        var = tok[1:]
+    sep = None
+    if p.peek() == ";":
+        if fn != "group_concat":
+            raise SparqlError(f"{fn}() takes no SEPARATOR")
+        p.next()
+        if not _is_kw(p.next(), "separator"):
+            raise SparqlError("expected SEPARATOR after ';'")
+        p.expect("=")
+        s = p.next()
+        if not (s.startswith('"') and s.endswith('"')):
+            raise SparqlError("SEPARATOR needs a string constant")
+        sep = s[1:-1]
+    p.expect(")")
+    return fn, var, sep
 
 
 class _P:
@@ -600,27 +648,13 @@ def parse_sparql(text: str) -> list[Query]:
                     sel.append(p.next()[1:])
                     continue
                 p.expect("(")
-                fn = p.next().lower()
-                if fn not in ("count", "min", "max", "sum", "avg"):
-                    raise SparqlError(f"unsupported aggregate {fn!r}")
-                p.expect("(")
-                tok = p.next()
-                if tok == "*":
-                    if fn != "count":
-                        raise SparqlError(f"{fn}(*) is not valid")
-                    var = None
-                else:
-                    if not tok.startswith("?"):
-                        raise SparqlError(
-                            f"aggregate arg must be ?var or *, got {tok!r}")
-                    var = tok[1:]
-                p.expect(")")
+                fn, var, sep = _parse_agg_call(p)
                 if not _is_kw(p.next(), "as"):
                     raise SparqlError("aggregate needs AS ?alias")
                 alias = p.next()
                 if not alias.startswith("?"):
                     raise SparqlError("aggregate alias must be a ?var")
-                aggs.append(Agg(fn, var, alias[1:]))
+                aggs.append(Agg(fn, var, alias[1:], sep=sep))
                 p.expect(")")
             p.expect("where")
             where = p.group()
@@ -633,6 +667,42 @@ def parse_sparql(text: str) -> list[Query]:
                     raise SparqlError("GROUP must be followed by BY")
                 while p.peek() and p.peek().startswith("?"):
                     group_by.append(p.next()[1:])
+            having: list[tuple[str, str, float]] = []
+            if p.peek() and _is_kw(p.peek(), "having"):
+                p.next()
+                if p.peek() != "(":
+                    raise SparqlError("HAVING needs (constraint)")
+                while p.peek() == "(":
+                    p.expect("(")
+                    tok = p.next()
+                    if tok.startswith("?"):
+                        # constraint over a SELECT aggregate alias
+                        alias = tok[1:]
+                        if not any(a.alias == alias for a in aggs):
+                            raise SparqlError(
+                                f"HAVING ?{alias}: not an aggregate "
+                                f"alias")
+                    else:
+                        # inline aggregate expression -> synthesize a
+                        # hidden agg computed alongside the visible ones
+                        p.i -= 1  # push the fn token back
+                        fn, var, sep = _parse_agg_call(p)
+                        alias = f"_having{len(having)}"
+                        aggs.append(Agg(fn, var, alias, sep=sep,
+                                        hidden=True))
+                    op = p.next()
+                    if op not in ("=", "!=", "<", ">", "<=", ">="):
+                        raise SparqlError(
+                            f"HAVING op {op!r} unsupported")
+                    rhs = p.next()
+                    try:
+                        val = float(rhs)
+                    except ValueError:
+                        raise SparqlError(
+                            "HAVING compares against a numeric "
+                            f"constant, got {rhs!r}") from None
+                    having.append((alias, op, val))
+                    p.expect(")")
             if p.peek() and _is_kw(p.peek(), "order"):
                 p.next()
                 if not _is_kw(p.next(), "by"):
@@ -674,10 +744,13 @@ def parse_sparql(text: str) -> list[Query]:
                     raise SparqlError(
                         f"non-aggregated vars {bad} must appear in "
                         f"GROUP BY")
+            if having and not aggs:
+                raise SparqlError("HAVING needs an aggregate query")
             queries.append(Query("select", distinct, sel, [], where,
                                  dict(prefixes), aggs=aggs,
                                  group_by=group_by, order_by=order_by,
-                                 limit=limit, offset=offset))
+                                 limit=limit, offset=offset,
+                                 having=having))
         elif low == "ask":
             # ASK { ... } | ASK WHERE { ... }
             if p.peek() and _is_kw(p.peek(), "where"):
@@ -1801,18 +1874,26 @@ def _order_limit(ds: "ray.data.Dataset", q: Query) -> "ray.data.Dataset":
 
 
 def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
-    """GROUP BY + COUNT/MIN/MAX/SUM/AVG planning. Group keys are the
-    GROUP BY vars (or the plain projected vars when GROUP BY is
-    implicit); the output projects the SELECT list: plain vars first,
-    then aggregate aliases — counts as int64, SUM/AVG as float64 over
-    the NUMERIC lexical values of the bound terms (non-numeric terms
-    contribute nothing, SPARQL type-error semantics). COUNT(?v) skips
-    unbound values (OPTIONAL-bound vars can be null); COUNT(*) counts
-    every solution.
+    """GROUP BY + COUNT/MIN/MAX/SUM/AVG/SAMPLE/GROUP_CONCAT planning.
+    Group keys are the GROUP BY vars (or the plain projected vars when
+    GROUP BY is implicit); the output projects the SELECT list: plain
+    vars first, then visible aggregate aliases — counts as int64,
+    SUM/AVG as float64 over the NUMERIC lexical values of the bound
+    terms (non-numeric terms contribute nothing, SPARQL type-error
+    semantics). COUNT(?v) skips unbound values (OPTIONAL-bound vars
+    can be null); COUNT(*) counts every solution. SAMPLE returns the
+    MINIMUM term of the group (deterministic, a legal 'any value');
+    GROUP_CONCAT joins the group's terms in SORTED order (default
+    separator " ") — deterministic under any partitioning.
+
+    HAVING constraints — possibly over hidden synthesized aggregates —
+    filter the aggregated (group-key-sized) result before projection.
 
     Driver-sized bindings aggregate in one polars pass; Dataset-sized
-    bindings use Ray's groupby aggregate (group-key-sized output), then
-    ORDER BY / LIMIT run on the (small) aggregated result."""
+    bindings use Ray's groupby aggregate (group-key-sized output) —
+    or, when SAMPLE/GROUP_CONCAT are requested, one vectorized
+    ``map_groups`` pass over the key-shuffled groups — then ORDER BY /
+    LIMIT run on the (small) aggregated result."""
     import polars as pl
     keys = q.group_by or list(q.select_vars)
     needed = sorted(set(keys) | {a.var for a in q.aggs if a.var})
@@ -1820,7 +1901,8 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
     missing = [v for v in needed if v not in avail]
     if missing:
         raise SparqlError(f"aggregate vars not bound: {missing}")
-    out_cols = list(q.select_vars) + [a.alias for a in q.aggs]
+    out_cols = list(q.select_vars) + [a.alias for a in q.aggs
+                                      if not a.hidden]
     num_vars = sorted({a.var for a in q.aggs
                        if a.func in ("sum", "avg")})
 
@@ -1839,9 +1921,7 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
                         else pa.string())
         return pa.string()
 
-    if bind.small:
-        df = pl.from_arrow(with_num(bind.data) if num_vars
-                           else bind.data)
+    def pl_exprs() -> list:
         exprs = []
         for a in q.aggs:
             if a.func == "count":
@@ -1851,6 +1931,12 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
                 e = pl.col(a.var).min()
             elif a.func == "max":
                 e = pl.col(a.var).max()
+            elif a.func == "sample":
+                # deterministic 'any value': the minimum term
+                e = pl.col(a.var).drop_nulls().min()
+            elif a.func == "group_concat":
+                e = (pl.col(a.var).drop_nulls().sort()
+                     .str.join(a.sep if a.sep is not None else " "))
             else:
                 nc = pl.col(f"__num_{a.var}")
                 # all-null -> null (matches the Dataset path's
@@ -1859,9 +1945,24 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
                 e = (pl.when(nc.is_not_null().any()).then(agg_e)
                      .otherwise(None).cast(pl.Float64))
             exprs.append(e.alias(a.alias))
-        agg = (df.group_by(keys).agg(exprs) if keys
-               else df.select(exprs))
-        agg = agg.select(out_cols)
+        return exprs
+
+    def pl_having(agg: "pl.DataFrame") -> "pl.DataFrame":
+        for alias, op, val in q.having:
+            c = pl.col(alias).cast(pl.Float64)
+            cond = {"=": c == val, "!=": c != val, "<": c < val,
+                    ">": c > val, "<=": c <= val, ">=": c >= val}[op]
+            # null aggregate (e.g. SUM over all-non-numeric) -> drop,
+            # SPARQL type-error semantics
+            agg = agg.filter(cond.fill_null(False))
+        return agg
+
+    if bind.small:
+        df = pl.from_arrow(with_num(bind.data) if num_vars
+                           else bind.data)
+        agg = (df.group_by(keys).agg(pl_exprs()) if keys
+               else df.select(pl_exprs()))
+        agg = pl_having(agg).select(out_cols)
         if q.order_by:
             agg = agg.sort([v for v, _ in q.order_by],
                            descending=[d for _, d in q.order_by])
@@ -1892,6 +1993,9 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
             specs.append(Min(a.var, alias_name=a.alias))
         elif a.func == "max":
             specs.append(Max(a.var, alias_name=a.alias))
+        elif a.func == "sample":
+            # deterministic 'any value' == the minimum term
+            specs.append(Min(a.var, alias_name=a.alias))
         elif a.func == "sum":
             specs.append(Sum(f"__num_{a.var}", ignore_nulls=True,
                              alias_name=a.alias))
@@ -1901,7 +2005,25 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
     data = _batch_guard(bind.data)
     if num_vars:
         data = data.map_batches(with_num, batch_format="pyarrow")
-    if keys:
+    if any(a.func == "group_concat" for a in q.aggs):
+        # GROUP_CONCAT needs the group's full value list in one place:
+        # ONE key-shuffle, then one vectorized polars pass per group
+        # computes EVERY aggregate (sorted-join for the concat —
+        # deterministic under any block layout). Output stays
+        # group-key-sized.
+        if not keys:
+            raise SparqlError(
+                "GROUP_CONCAT without GROUP BY is out of the "
+                "supported subset on large binding sets (the result "
+                "row scales with the input)")
+
+        def per_group(g: pa.Table) -> pa.Table:
+            return pl.from_arrow(g).group_by(keys).agg(
+                pl_exprs()).to_arrow()
+
+        agg_ds = data.groupby(keys).map_groups(
+            per_group, batch_format="pyarrow")
+    elif keys:
         agg_ds = data.groupby(keys).aggregate(*specs)
     else:
         row = data.aggregate(*specs)
@@ -1910,8 +2032,16 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
 
     types = {c: alias_type(c) for c in out_cols}
 
-    def finish(b: pa.Table, _out=list(out_cols), _ty=dict(types)
-               ) -> pa.Table:
+    def finish(b: pa.Table, _out=list(out_cols), _ty=dict(types),
+               _hav=list(q.having)) -> pa.Table:
+        for alias, op, val in _hav:
+            col = pc.cast(b[alias], pa.float64())
+            fn = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                  ">": pc.greater, "<=": pc.less_equal,
+                  ">=": pc.greater_equal}[op]
+            # null mask entries (null aggregates) drop the row —
+            # SPARQL type-error semantics
+            b = b.filter(fn(col, pa.scalar(float(val), pa.float64())))
         b = b.select(_out)
         return b.cast(pa.schema([(c, _ty[c]) for c in b.column_names]))
 

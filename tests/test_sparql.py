@@ -965,3 +965,88 @@ def test_count_var_skips_unbound(ray_session, opt_filter_store):
         "{ ?x <http://e/p1> ?y . OPTIONAL { ?x <http://e/p2> ?w } }")[0]
     df = execute_sparql(opt_filter_store, q).to_pandas()
     assert df["n"].tolist() == [1] and df["all"].tolist() == [2]
+
+
+def test_parse_group_concat_sample_having():
+    """Parser: GROUP_CONCAT with SEPARATOR, SAMPLE, and HAVING in both
+    forms — an alias reference and an inline aggregate expression that
+    synthesizes a hidden agg."""
+    q = parse_sparql(
+        'SELECT ?g (GROUP_CONCAT(?t; SEPARATOR="|") AS ?ts) '
+        "(SAMPLE(?t) AS ?one) (COUNT(?t) AS ?n) WHERE "
+        "{ ?x <http://e/t> ?t . ?x <http://e/g> ?g } "
+        "GROUP BY ?g HAVING (?n > 2) (AVG(?t) <= 9) ORDER BY ?g")[0]
+    assert [a.func for a in q.aggs] == [
+        "group_concat", "sample", "count", "avg"]
+    assert q.aggs[0].sep == "|" and not q.aggs[0].hidden
+    assert q.aggs[3].hidden and q.aggs[3].alias == "_having1"
+    assert q.having == [("n", ">", 2.0), ("_having1", "<=", 9.0)]
+
+
+def test_parse_having_errors():
+    with pytest.raises(SparqlError, match="not an aggregate alias"):
+        parse_sparql("SELECT ?g (COUNT(?t) AS ?n) WHERE "
+                     "{ ?x <http://e/t> ?t } GROUP BY ?g "
+                     "HAVING (?zz > 2)")
+    with pytest.raises(SparqlError, match="numeric constant"):
+        parse_sparql("SELECT ?g (COUNT(?t) AS ?n) WHERE "
+                     "{ ?x <http://e/t> ?t } GROUP BY ?g "
+                     'HAVING (?n > "x")')
+    with pytest.raises(SparqlError, match="takes no SEPARATOR"):
+        parse_sparql('SELECT (SAMPLE(?t; SEPARATOR=",") AS ?s) '
+                     "WHERE { ?x <http://e/t> ?t }")
+
+
+@pytest.fixture()
+def agg_store(ray_session, tmp_path):
+    """4 parts in g0 (tags b,a,c,a), 2 in g1 (tags c,b)."""
+    import ray.data
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    tags = ["b", "a", "c", "a", "c", "b"]
+    grps = ["g0", "g0", "g0", "g0", "g1", "g1"]
+    rows = pa.table({
+        "s": [f"http://e/s{i}" for i in range(6)] * 2,
+        "p": ["http://e/tag"] * 6 + ["http://e/grp"] * 6,
+        "o": [f'"{t}"' for t in tags] + [f'"{g}"' for g in grps],
+    })
+    store = str(tmp_path / "aggstore")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(rows), store)
+    return store
+
+
+def test_group_concat_sample_having_semantics(ray_session, agg_store):
+    """GROUP_CONCAT joins the group's terms SORTED (deterministic
+    under any partitioning); SAMPLE is the minimum term; HAVING over a
+    hidden COUNT drops g1."""
+    q = parse_sparql(
+        'SELECT ?g (GROUP_CONCAT(?t; SEPARATOR=",") AS ?ts) '
+        "(SAMPLE(?t) AS ?one) WHERE "
+        "{ ?x <http://e/tag> ?t . ?x <http://e/grp> ?g } "
+        "GROUP BY ?g HAVING (COUNT(?t) > 2)")[0]
+    df = execute_sparql(agg_store, q).to_pandas()
+    assert df.to_dict("records") == [
+        {"g": '"g0"', "ts": '"a","a","b","c"', "one": '"a"'}]
+    # hidden alias never reaches the output schema
+    assert list(df.columns) == ["g", "ts", "one"]
+
+
+def test_group_concat_default_separator(ray_session, agg_store):
+    """No SEPARATOR -> the SPARQL default, a single space."""
+    q = parse_sparql(
+        "SELECT ?g (GROUP_CONCAT(?t) AS ?ts) WHERE "
+        "{ ?x <http://e/tag> ?t . ?x <http://e/grp> ?g } "
+        "GROUP BY ?g")[0]
+    df = (execute_sparql(agg_store, q).to_pandas()
+          .sort_values("g").reset_index(drop=True))
+    assert df["ts"].tolist() == ['"a" "a" "b" "c"', '"b" "c"']
+
+
+def test_having_on_selected_alias(ray_session, agg_store):
+    """HAVING may reference a SELECT aggregate alias directly."""
+    q = parse_sparql(
+        "SELECT ?g (COUNT(?t) AS ?n) WHERE "
+        "{ ?x <http://e/tag> ?t . ?x <http://e/grp> ?g } "
+        "GROUP BY ?g HAVING (?n = 2)")[0]
+    df = execute_sparql(agg_store, q).to_pandas()
+    assert df.to_dict("records") == [{"g": '"g1"', "n": 2}]
