@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_group_concat"] = versioning.sparql_group_concat
     # HAVING over a hidden synthesized aggregate (AVG not selected)
     q["sparql_having"] = versioning.sparql_having
+    # { SELECT ... } subquery: attribute of the per-group maximum
+    q["sparql_subquery_max"] = versioning.sparql_subquery_max
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -389,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_count_optional"] = versioning.sparql_count_optional_sql()
     o["sparql_group_concat"] = versioning.sparql_group_concat_sql()
     o["sparql_having"] = versioning.sparql_having_sql()
+    o["sparql_subquery_max"] = versioning.sparql_subquery_max_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

@@ -856,6 +856,42 @@ FROM part GROUP BY 1 HAVING AVG({w}) > 48
 """
 
 
+SUBQUERY_MAX_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?c ?m ?w WHERE {
+  { SELECT ?c (MAX(?q) AS ?m) WHERE { ?q c:typed_in ?c } GROUP BY ?c }
+  ?m c:weight ?w .
+}
+"""
+
+
+def sparql_subquery_max(sf_dir: str) -> "ray.data.Dataset":
+    """{ SELECT ... } subquery gate: the classic attribute-of-the-
+    group-max shape — an inner GROUP BY computes each category's
+    maximum member IRI (codepoint order, the SPARQL semantics for
+    plain terms), and the OUTER pattern reads that member's weight,
+    exercising an aggregate alias flowing into an s-position join."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(SUBQUERY_MAX_QUERY)[0]
+    assert len(q.where.subqueries) == 1
+    assert q.where.subqueries[0].aggs[0].func == "max"
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_subquery_max_sql() -> str:
+    part_iri = f"'{NSC}part' || CAST(p_partkey AS VARCHAR)"
+    return f"""
+WITH mx AS (
+  SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>' AS c,
+         MAX({part_iri}) AS m
+  FROM part GROUP BY 1
+)
+SELECT mx.c AS c, mx.m AS m,
+       '"' || CAST((p.p_partkey * 31) % 97 AS VARCHAR) || '"' AS w
+FROM mx JOIN part p ON {part_iri.replace("p_partkey", "p.p_partkey")} = mx.m
+"""
+
+
 def _version_pairs(sf_dir: str, version: int) -> "ray.data.Dataset":
     """(x, z) instance pairs of one version of the scaled fixture —
     x raw IRI, z term form, same shapes as the MINUS gate."""

@@ -37,6 +37,10 @@ Beyond the reference file's four shapes, the subset also covers:
   with ``GROUP BY`` / ``HAVING`` / ``ORDER BY`` / ``LIMIT`` /
   ``OFFSET`` (SAMPLE is the deterministic minimum term; GROUP_CONCAT
   joins sorted terms, so both are stable under any partitioning);
+- ``{ SELECT ... }`` subqueries (evaluated bottom-up, joined on the
+  projected vars; inner vars are scoped by projection; aggregate
+  aliases surface as term-form literals, except value-preserving
+  MIN/MAX/SAMPLE which keep their source representation);
 - a FILTER expression subset: ``=``/``!=`` on term form,
   ``<``/``>``/``<=``/``>=`` against a numeric constant (compared
   NUMERICALLY on the bound term's lexical value; non-numeric terms
@@ -155,6 +159,10 @@ class Group:
     exists: list["Group"] = field(default_factory=list)
     not_exists: list["Group"] = field(default_factory=list)
     binds: list[BindExpr] = field(default_factory=list)
+    # nested { SELECT ... } subqueries — evaluated bottom-up, joined
+    # with the enclosing group on the PROJECTED variables only (inner
+    # non-projected vars never leak: projection scopes them)
+    subqueries: list["Query"] = field(default_factory=list)
 
 
 @dataclass(frozen=True)
@@ -543,6 +551,18 @@ class _P:
                 self.next()
                 return g
             if tok == "{":
+                nxt2 = (self.t[self.i + 1]
+                        if self.i + 1 < len(self.t) else None)
+                if nxt2 is not None and _is_kw(nxt2, "select"):
+                    # { SELECT ... } subquery
+                    self.next()   # {
+                    self.next()   # select
+                    g.subqueries.append(
+                        _parse_select_tail(self, self.prefixes))
+                    self.expect("}")
+                    if self.peek() == ".":
+                        self.next()
+                    continue
                 sub = self.group()
                 if self.peek() is not None and _is_kw(self.peek(),
                                                       "union"):
@@ -564,6 +584,7 @@ class _P:
                 g.optionals.extend(sub.optionals)
                 g.unions.extend(sub.unions)
                 g.binds.extend(sub.binds)
+                g.subqueries.extend(sub.subqueries)
                 if self.peek() == ".":
                     self.next()
                 continue
@@ -612,6 +633,127 @@ class _P:
         return out
 
 
+def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
+    """Parse one SELECT query with the stream positioned just AFTER
+    the ``SELECT`` keyword — shared by top-level statements and
+    ``{ SELECT ... }`` subqueries (the modifier loops stop naturally
+    at the enclosing group's ``}``)."""
+    distinct = False
+    if p.peek() and _is_kw(p.peek(), "distinct"):
+        p.next()
+        distinct = True
+    sel: list[str] = []
+    aggs: list[Agg] = []
+    while p.peek() and (p.peek().startswith("?")
+                        or p.peek() == "("):
+        if p.peek().startswith("?"):
+            sel.append(p.next()[1:])
+            continue
+        p.expect("(")
+        fn, var, sep = _parse_agg_call(p)
+        if not _is_kw(p.next(), "as"):
+            raise SparqlError("aggregate needs AS ?alias")
+        alias = p.next()
+        if not alias.startswith("?"):
+            raise SparqlError("aggregate alias must be a ?var")
+        aggs.append(Agg(fn, var, alias[1:], sep=sep))
+        p.expect(")")
+    p.expect("where")
+    where = p.group()
+    group_by: list[str] = []
+    order_by: list[tuple[str, bool]] = []
+    limit: int | None = None
+    if p.peek() and _is_kw(p.peek(), "group"):
+        p.next()
+        if not _is_kw(p.next(), "by"):
+            raise SparqlError("GROUP must be followed by BY")
+        while p.peek() and p.peek().startswith("?"):
+            group_by.append(p.next()[1:])
+    having: list[tuple[str, str, float]] = []
+    if p.peek() and _is_kw(p.peek(), "having"):
+        p.next()
+        if p.peek() != "(":
+            raise SparqlError("HAVING needs (constraint)")
+        while p.peek() == "(":
+            p.expect("(")
+            tok = p.next()
+            if tok.startswith("?"):
+                # constraint over a SELECT aggregate alias
+                alias = tok[1:]
+                if not any(a.alias == alias for a in aggs):
+                    raise SparqlError(
+                        f"HAVING ?{alias}: not an aggregate "
+                        f"alias")
+            else:
+                # inline aggregate expression -> synthesize a
+                # hidden agg computed alongside the visible ones
+                p.i -= 1  # push the fn token back
+                fn, var, sep = _parse_agg_call(p)
+                alias = f"_having{len(having)}"
+                aggs.append(Agg(fn, var, alias, sep=sep,
+                                hidden=True))
+            op = p.next()
+            if op not in ("=", "!=", "<", ">", "<=", ">="):
+                raise SparqlError(
+                    f"HAVING op {op!r} unsupported")
+            rhs = p.next()
+            try:
+                val = float(rhs)
+            except ValueError:
+                raise SparqlError(
+                    "HAVING compares against a numeric "
+                    f"constant, got {rhs!r}") from None
+            having.append((alias, op, val))
+            p.expect(")")
+    if p.peek() and _is_kw(p.peek(), "order"):
+        p.next()
+        if not _is_kw(p.next(), "by"):
+            raise SparqlError("ORDER must be followed by BY")
+        while p.peek() and (p.peek().startswith("?")
+                            or _is_kw(p.peek(), "desc")
+                            or _is_kw(p.peek(), "asc")):
+            tok = p.next()
+            if tok.startswith("?"):
+                order_by.append((tok[1:], False))
+            else:
+                desc = tok.lower() == "desc"
+                p.expect("(")
+                v = p.next()
+                if not v.startswith("?"):
+                    raise SparqlError("ORDER BY needs a ?var")
+                p.expect(")")
+                order_by.append((v[1:], desc))
+    offset: int | None = None
+    while p.peek() and (_is_kw(p.peek(), "limit")
+                        or _is_kw(p.peek(), "offset")):
+        kw = p.next().lower()
+        n = p.next()
+        if not n.isdigit():
+            raise SparqlError(
+                f"{kw.upper()} needs an integer, got {n!r}")
+        if kw == "limit":
+            if limit is not None:
+                raise SparqlError("duplicate LIMIT")
+            limit = int(n)
+        else:
+            if offset is not None:
+                raise SparqlError("duplicate OFFSET")
+            offset = int(n)
+    if aggs:
+        keys = group_by or sel
+        bad = [v for v in sel if v not in keys]
+        if bad:
+            raise SparqlError(
+                f"non-aggregated vars {bad} must appear in "
+                f"GROUP BY")
+    if having and not aggs:
+        raise SparqlError("HAVING needs an aggregate query")
+    return Query("select", distinct, sel, [], where,
+                 dict(prefixes), aggs=aggs,
+                 group_by=group_by, order_by=order_by,
+                 limit=limit, offset=offset, having=having)
+
+
 def parse_sparql(text: str) -> list[Query]:
     """Parse a .sparql FILE (the reference keeps several statements in
     one file separated by comment banners) into a list of queries."""
@@ -636,121 +778,7 @@ def parse_sparql(text: str) -> list[Query]:
             raise SparqlError(f"expected a query form, got {tok!r}")
         p.next()
         if low == "select":
-            distinct = False
-            if p.peek() and _is_kw(p.peek(), "distinct"):
-                p.next()
-                distinct = True
-            sel: list[str] = []
-            aggs: list[Agg] = []
-            while p.peek() and (p.peek().startswith("?")
-                                or p.peek() == "("):
-                if p.peek().startswith("?"):
-                    sel.append(p.next()[1:])
-                    continue
-                p.expect("(")
-                fn, var, sep = _parse_agg_call(p)
-                if not _is_kw(p.next(), "as"):
-                    raise SparqlError("aggregate needs AS ?alias")
-                alias = p.next()
-                if not alias.startswith("?"):
-                    raise SparqlError("aggregate alias must be a ?var")
-                aggs.append(Agg(fn, var, alias[1:], sep=sep))
-                p.expect(")")
-            p.expect("where")
-            where = p.group()
-            group_by: list[str] = []
-            order_by: list[tuple[str, bool]] = []
-            limit: int | None = None
-            if p.peek() and _is_kw(p.peek(), "group"):
-                p.next()
-                if not _is_kw(p.next(), "by"):
-                    raise SparqlError("GROUP must be followed by BY")
-                while p.peek() and p.peek().startswith("?"):
-                    group_by.append(p.next()[1:])
-            having: list[tuple[str, str, float]] = []
-            if p.peek() and _is_kw(p.peek(), "having"):
-                p.next()
-                if p.peek() != "(":
-                    raise SparqlError("HAVING needs (constraint)")
-                while p.peek() == "(":
-                    p.expect("(")
-                    tok = p.next()
-                    if tok.startswith("?"):
-                        # constraint over a SELECT aggregate alias
-                        alias = tok[1:]
-                        if not any(a.alias == alias for a in aggs):
-                            raise SparqlError(
-                                f"HAVING ?{alias}: not an aggregate "
-                                f"alias")
-                    else:
-                        # inline aggregate expression -> synthesize a
-                        # hidden agg computed alongside the visible ones
-                        p.i -= 1  # push the fn token back
-                        fn, var, sep = _parse_agg_call(p)
-                        alias = f"_having{len(having)}"
-                        aggs.append(Agg(fn, var, alias, sep=sep,
-                                        hidden=True))
-                    op = p.next()
-                    if op not in ("=", "!=", "<", ">", "<=", ">="):
-                        raise SparqlError(
-                            f"HAVING op {op!r} unsupported")
-                    rhs = p.next()
-                    try:
-                        val = float(rhs)
-                    except ValueError:
-                        raise SparqlError(
-                            "HAVING compares against a numeric "
-                            f"constant, got {rhs!r}") from None
-                    having.append((alias, op, val))
-                    p.expect(")")
-            if p.peek() and _is_kw(p.peek(), "order"):
-                p.next()
-                if not _is_kw(p.next(), "by"):
-                    raise SparqlError("ORDER must be followed by BY")
-                while p.peek() and (p.peek().startswith("?")
-                                    or _is_kw(p.peek(), "desc")
-                                    or _is_kw(p.peek(), "asc")):
-                    tok = p.next()
-                    if tok.startswith("?"):
-                        order_by.append((tok[1:], False))
-                    else:
-                        desc = tok.lower() == "desc"
-                        p.expect("(")
-                        v = p.next()
-                        if not v.startswith("?"):
-                            raise SparqlError("ORDER BY needs a ?var")
-                        p.expect(")")
-                        order_by.append((v[1:], desc))
-            offset: int | None = None
-            while p.peek() and (_is_kw(p.peek(), "limit")
-                                or _is_kw(p.peek(), "offset")):
-                kw = p.next().lower()
-                n = p.next()
-                if not n.isdigit():
-                    raise SparqlError(
-                        f"{kw.upper()} needs an integer, got {n!r}")
-                if kw == "limit":
-                    if limit is not None:
-                        raise SparqlError("duplicate LIMIT")
-                    limit = int(n)
-                else:
-                    if offset is not None:
-                        raise SparqlError("duplicate OFFSET")
-                    offset = int(n)
-            if aggs:
-                keys = group_by or sel
-                bad = [v for v in sel if v not in keys]
-                if bad:
-                    raise SparqlError(
-                        f"non-aggregated vars {bad} must appear in "
-                        f"GROUP BY")
-            if having and not aggs:
-                raise SparqlError("HAVING needs an aggregate query")
-            queries.append(Query("select", distinct, sel, [], where,
-                                 dict(prefixes), aggs=aggs,
-                                 group_by=group_by, order_by=order_by,
-                                 limit=limit, offset=offset,
-                                 having=having))
+            queries.append(_parse_select_tail(p, prefixes))
         elif low == "ask":
             # ASK { ... } | ASK WHERE { ... }
             if p.peek() and _is_kw(p.peek(), "where"):
@@ -1410,6 +1438,25 @@ def _collect_cls(g: Group, cls: dict[str, str] | None = None
             # strings (STR/CONCAT yield PLAIN strings — decoration
             # already stripped, so _str_form is a no-op on them)
             cls[be.alias] = "term"
+    for sq in g.subqueries:
+        # ONE representation per variable across subquery boundaries
+        # too — the projected vars join the outer bindings, and the
+        # existing position-wrapping keeps inner/outer reads aligned
+        _collect_cls(sq.where, cls)
+        for a in sq.aggs:
+            if a.hidden:
+                continue
+            if a.func in ("min", "max", "sample"):
+                # value-preserving aggregates inherit the source
+                # var's representation — unless an outer o-position
+                # already forced term (setdefault keeps it; the
+                # subquery output is then wrapped iri->term, see
+                # _eval_subquery)
+                cls.setdefault(a.alias, cls.get(a.var, "iri"))
+            else:
+                # numeric/concat aggregates surface as term-form
+                # literals (quoted lexical value)
+                cls[a.alias] = "term"
     return cls
 
 
@@ -1555,6 +1602,55 @@ def _concat_binds(parts: list[_Bind]) -> _Bind:
     return _Bind(_batch_guard(ds), cls, list(cols))
 
 
+def _eval_subquery(store_dir: str, sq: Query,
+                   cls: dict[str, str]) -> _Bind:
+    """Evaluate one ``{ SELECT ... }`` subquery to a _Bind over its
+    PROJECTED variables (projection scopes the inner vars — nothing
+    else leaks to the enclosing group). The outer query's
+    canonical-representation map is shared, so projected vars join the
+    outer bindings directly. Aggregate aliases surface as TERM-form
+    literals (quoted lexical value) — numeric FILTERs parse the
+    lexical value, so join-on-the-group-max shapes compare
+    numerically. DISTINCT / ORDER BY / LIMIT / OFFSET inside the
+    subquery apply before the outer join (top-k-per-corpus shapes)."""
+    proj = list(sq.select_vars) + [a.alias for a in sq.aggs
+                                   if not a.hidden]
+    if not proj:
+        raise SparqlError("subquery needs an explicit SELECT list")
+    ds = execute_sparql(store_dir, sq, cls=cls)
+    agg_aliases = [a.alias for a in sq.aggs if not a.hidden]
+    # an iri-sourced MIN/MAX/SAMPLE whose alias the OUTER query reads
+    # in an o-position (term-cls) gets wrapped <...> — the same
+    # lossless iri->term wrap the pattern reads apply
+    wrap = [a.alias for a in sq.aggs
+            if not a.hidden and a.func in ("min", "max", "sample")
+            and cls.get(a.var, "iri") == "iri"
+            and cls.get(a.alias) == "term"]
+    if agg_aliases:
+        def lex(b: pa.Table, _al=list(agg_aliases),
+                _wrap=set(wrap)) -> pa.Table:
+            for c in _al:
+                col = b[c]
+                if (pa.types.is_string(col.type)
+                        or pa.types.is_large_string(col.type)):
+                    if c in _wrap:
+                        s = pc.binary_join_element_wise(
+                            pa.scalar("<"),
+                            col.combine_chunks().cast(pa.string()),
+                            pa.scalar(">"), "")
+                        b = b.set_column(
+                            b.column_names.index(c), c, s)
+                    continue
+                s = pc.cast(col.combine_chunks(), pa.string())
+                s = pc.binary_join_element_wise(
+                    pa.scalar('"'), s, pa.scalar('"'), "")
+                b = b.set_column(b.column_names.index(c), c, s)
+            return b
+
+        ds = ds.map_batches(lex, batch_format="pyarrow")
+    return _Bind(ds, cls, proj)
+
+
 def _eval_group(store_dir: str, g: Group,
                 cls: dict[str, str] | None = None) -> _Bind:
     if cls is None:
@@ -1582,6 +1678,10 @@ def _eval_group(store_dir: str, g: Group,
                 list(dict.fromkeys(_pattern_cols(pat).values())))
         bind = (new if bind is None
                 else _join_binds(bind, new, cls))
+        bind = _apply_filters(bind, g.filters)
+    for sq in g.subqueries:
+        sb = _eval_subquery(store_dir, sq, cls)
+        bind = sb if bind is None else _join_binds(bind, sb, cls)
         bind = _apply_filters(bind, g.filters)
     for vars_, rows_ in g.values:
         cols = {}
@@ -1813,13 +1913,17 @@ def _eval_describe(store_dir: str, q: Query) -> "ray.data.Dataset":
     return ray.data.from_arrow(spo.empty_table()).union(got)
 
 
-def execute_sparql(store_dir: str, q: Query) -> "ray.data.Dataset":
+def execute_sparql(store_dir: str, q: Query,
+                   cls: dict[str, str] | None = None
+                   ) -> "ray.data.Dataset":
     """Run one parsed query against a ``write_graph_partitioned``
     store. SELECT returns a Dataset with the selected variables as
-    columns; CONSTRUCT/INSERT return the derived graph (s, p, o)."""
+    columns; CONSTRUCT/INSERT return the derived graph (s, p, o).
+    ``cls`` shares an enclosing query's canonical-representation map
+    when this runs as a subquery."""
     if q.form == "describe":
         return _eval_describe(store_dir, q)
-    bind = _eval_group(store_dir, q.where)
+    bind = _eval_group(store_dir, q.where, cls)
     if q.form == "ask":
         # existence check: stop at the first surviving binding
         n = (bind.data.num_rows if bind.small

@@ -1050,3 +1050,90 @@ def test_having_on_selected_alias(ray_session, agg_store):
         "GROUP BY ?g HAVING (?n = 2)")[0]
     df = execute_sparql(agg_store, q).to_pandas()
     assert df.to_dict("records") == [{"g": '"g1"', "n": 2}]
+
+
+def test_parse_subquery():
+    q = parse_sparql(
+        "SELECT ?x ?mx WHERE { ?x <http://e/g> ?g . "
+        "{ SELECT ?g (MAX(?w) AS ?mx) WHERE "
+        "{ ?y <http://e/g> ?g . ?y <http://e/w> ?w } GROUP BY ?g } }"
+    )[0]
+    assert len(q.where.subqueries) == 1
+    sq = q.where.subqueries[0]
+    assert sq.select_vars == ["g"] and sq.aggs[0].alias == "mx"
+    # a plain nested group is still a group, not a subquery
+    q2 = parse_sparql(
+        "SELECT ?x WHERE { { ?x <http://e/g> ?g } }")[0]
+    assert not q2.where.subqueries and len(q2.where.patterns) == 1
+
+
+@pytest.fixture()
+def subq_store(ray_session, tmp_path):
+    """Weights per item per group: g0 max 9 (two witnesses), g1 max
+    7."""
+    import ray.data
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    vals = {("s0", "g0"): 5, ("s1", "g0"): 9, ("s2", "g0"): 9,
+            ("s3", "g1"): 2, ("s4", "g1"): 7}
+    s, p, o = [], [], []
+    for (sid, g), w in vals.items():
+        s += [f"http://e/{sid}"] * 2
+        p += ["http://e/grp", "http://e/w"]
+        o += [f'"{g}"', f'"{w}"']
+    store = str(tmp_path / "subq")
+    os.makedirs(store)
+    write_graph_partitioned(
+        ray.data.from_arrow(pa.table({"s": s, "p": p, "o": o})), store)
+    return store
+
+
+def test_subquery_group_max_join(ray_session, subq_store):
+    """Items at their group's max weight: the subquery aggregate
+    alias joins the outer bindings and feeds a var-var FILTER."""
+    q = parse_sparql(
+        "SELECT ?x ?g ?w WHERE { ?x <http://e/grp> ?g . "
+        "?x <http://e/w> ?w . "
+        "{ SELECT ?g (MAX(?w2) AS ?mx) WHERE { ?y <http://e/grp> ?g "
+        ". ?y <http://e/w> ?w2 } GROUP BY ?g } FILTER(?w = ?mx) } "
+        "ORDER BY ?x")[0]
+    df = execute_sparql(subq_store, q).to_pandas()
+    assert df["x"].tolist() == [
+        "http://e/s1", "http://e/s2", "http://e/s4"]
+    assert df["w"].tolist() == ['"9"', '"9"', '"7"']
+
+
+def test_subquery_iri_alias_in_s_position(ray_session, subq_store):
+    """A MAX over an iri-class var keeps the raw-IRI representation,
+    so the alias can drive an outer s-position pattern read."""
+    q = parse_sparql(
+        "SELECT ?g ?m ?w WHERE { "
+        "{ SELECT ?g (MAX(?y) AS ?m) WHERE { ?y <http://e/grp> ?g } "
+        "GROUP BY ?g } ?m <http://e/w> ?w . } ORDER BY ?g")[0]
+    df = execute_sparql(subq_store, q).to_pandas()
+    assert df.to_dict("records") == [
+        {"g": '"g0"', "m": "http://e/s2", "w": '"9"'},
+        {"g": '"g1"', "m": "http://e/s4", "w": '"7"'}]
+
+
+def test_subquery_count_alias_is_term_form(ray_session, subq_store):
+    """A COUNT alias projected through the outer query surfaces as a
+    term-form literal (quoted lexical value)."""
+    q = parse_sparql(
+        "SELECT ?g ?n WHERE { { SELECT ?g (COUNT(?y) AS ?n) WHERE "
+        "{ ?y <http://e/grp> ?g } GROUP BY ?g } } ORDER BY ?g")[0]
+    df = execute_sparql(subq_store, q).to_pandas()
+    assert df.to_dict("records") == [
+        {"g": '"g0"', "n": '"3"'}, {"g": '"g1"', "n": '"2"'}]
+
+
+def test_subquery_inner_vars_scoped(ray_session, subq_store):
+    """Non-projected inner vars (?y, ?w2) never leak to the outer
+    group — an outer ?y is an unrelated variable."""
+    q = parse_sparql(
+        "SELECT ?y ?g WHERE { ?y <http://e/grp> ?g . "
+        "{ SELECT ?g (COUNT(?y) AS ?n) WHERE { ?y <http://e/grp> ?g }"
+        " GROUP BY ?g } FILTER(?n > 2) }")[0]
+    df = execute_sparql(subq_store, q).to_pandas()
+    # only g0 has count 3 > 2; outer ?y binds ALL THREE g0 items
+    assert sorted(df["y"].tolist()) == [
+        "http://e/s0", "http://e/s1", "http://e/s2"]
