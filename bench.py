@@ -31,6 +31,31 @@ def _sf_label(path: str) -> str:
     return base[2:] if base.startswith("sf") else base
 
 
+def _stat_snapshot() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat — inside this VM the
+    steal field counts hypervisor time taken by OTHER tenants, the one
+    external-noise signal the load average and canary can both miss
+    (noise arriving between canary probes)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    """Steal share of all CPU ticks elapsed between two snapshots."""
+    if before is None or after is None:
+        return None
+    d_total = after[1] - before[1]
+    if d_total <= 0:
+        return None
+    return round(100.0 * (after[0] - before[0]) / d_total, 1)
+
+
 def _preflight() -> None:
     """Stray Ray workers from crashed sessions skew results 2-4x
     (measured); warn on stderr — stdout stays one JSON line."""
@@ -147,6 +172,7 @@ def run_bench() -> dict:
         time.sleep(10)
         canary_s = canary()
     load_start = round(os.getloadavg()[0], 2)
+    steal0 = _stat_snapshot()
 
     # GRAFT_BENCH_WARM=1: run each query once UNTIMED first, then time
     # the steady-state execution (JMH-style warm-up). Used by the
@@ -170,7 +196,10 @@ def run_bench() -> dict:
             webkg_s = dt
     # end-of-run canary: catches contention that ARRIVED mid-run
     canary_end_s = canary()
-    contended = canary_s > quiet_thr or canary_end_s > quiet_thr
+    steal_pct = _steal_pct(steal0, _stat_snapshot())
+    steal_thr = float(os.environ.get("GRAFT_STEAL_MAX_PCT", "10"))
+    contended = (canary_s > quiet_thr or canary_end_s > quiet_thr
+                 or (steal_pct is not None and steal_pct > steal_thr))
 
     # object-store spill telemetry: a scaling level whose runtime is
     # partly disk-spill throughput is not measuring CPU scaling — the
@@ -207,6 +236,7 @@ def run_bench() -> dict:
         "canary_quiet_threshold_s": quiet_thr,
         "host_load_avg": load_start,
         "host_contended": contended,
+        "steal_pct": steal_pct,
         "spilled_mib": spill,
     }
     if contended:
@@ -310,6 +340,8 @@ def run_scaling() -> dict:
         "webkg_docs_per_s_hi": hi.get("webkg_docs_per_s"),
         "spilled_mib_lo": lo.get("spilled_mib"),
         "spilled_mib_hi": hi.get("spilled_mib"),
+        "steal_pct_lo": lo.get("steal_pct"),
+        "steal_pct_hi": hi.get("steal_pct"),
         "scaling_efficiency": round(eff, 3),
         "host_contended": (lo.get("host_contended", False)
                           or hi.get("host_contended", False)),

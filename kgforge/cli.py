@@ -18,7 +18,9 @@ FILTER !=, MINUS, OPTIONAL, UNION, COUNT/MIN/MAX + GROUP BY/ORDER BY/
 LIMIT, CONSTRUCT, INSERT) against a ``write_graph_partitioned`` store
 and writes one CSV per statement under OUT_DIR — STREAMED via chunked
 ``iter_batches`` (a big SELECT over a 100 TB store never materializes
-driver-side).
+driver-side). ``--results-format csv|tsv|json`` switches the output to
+the W3C SPARQL 1.1 results serializations (sinks/results.py) — the
+formats a Fuseki-endpoint client already parses.
 
 ``--load`` bulk-ingests pre-existing Turtle/N-Triples (the reference's
 artifact formats) into a ``write_graph_partitioned`` store with the
@@ -74,8 +76,14 @@ def _run_sparql(args) -> int:
     os.makedirs(args.out, exist_ok=True)
     for i, q in enumerate(queries, 1):
         ds = execute_sparql(args.store, q)
-        path = os.path.join(args.out, f"statement{i}_{q.form}.csv")
-        n = write_result_csv(ds, path)
+        if args.results_format:
+            from .sinks.results import write_sparql_results
+            ext = args.results_format
+            path = os.path.join(args.out, f"statement{i}_{q.form}.{ext}")
+            n = write_sparql_results(ds, path, ext)
+        else:
+            path = os.path.join(args.out, f"statement{i}_{q.form}.csv")
+            n = write_result_csv(ds, path)
         print(f"statement {i} ({q.form}): {n} rows -> {path}")
     return 0
 
@@ -110,6 +118,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--store",
                     help="predicate-partitioned store dir "
                          "(for --sparql/--query/--load)")
+    ap.add_argument("--results-format", choices=("csv", "tsv", "json"),
+                    help="write SELECT/ASK results in a W3C SPARQL 1.1 "
+                         "results format (csv = plain values, tsv = "
+                         "SPARQL term syntax, json = results+json); "
+                         "default keeps the engine's raw-term CSV")
     ap.add_argument("--load", nargs="+", metavar="RDF",
                     help="bulk-load .ttl/.nt files or directories into "
                          "--store (distributed readers)")

@@ -1,6 +1,7 @@
 """Gate harness: run every queries() entry vs its oracle_sql() through
 DuckDB (driver-style compare: sorted columns, sorted value tuples,
-csv-md5 hash). Usage: python scripts/gate_check.py [sf_dir]"""
+csv-md5 hash).
+Usage: python scripts/gate_check.py [sf_dir] [--only name1,name2]"""
 import hashlib
 import sys
 import time
@@ -8,7 +9,13 @@ import time
 import duckdb
 import pandas as pd
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = None
+argv = list(sys.argv[1:])
+if "--only" in argv:
+    i = argv.index("--only")
+    ONLY = set(argv[i + 1].split(","))
+    del argv[i:i + 2]
+SF = argv[0] if argv else "/root/testdata/sf0.01"
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
@@ -40,6 +47,8 @@ def norm(df: pd.DataFrame) -> str:
 
 fails = []
 for name, fn in Q.items():
+    if ONLY is not None and name not in ONLY:
+        continue
     t0 = time.time()
     try:
         res = fn(SF)
@@ -62,6 +71,7 @@ for name, fn in Q.items():
         fails.append(name)
         print(f"{name}: ERR {type(ex).__name__}: {ex}")
 
-print(f"\n{len(Q) - len(fails)}/{len(Q)} green; fails: {fails}")
+ran = len(Q) if ONLY is None else len(ONLY & set(Q))
+print(f"\n{ran - len(fails)}/{ran} green; fails: {fails}")
 ray.shutdown()
 sys.exit(1 if fails else 0)
