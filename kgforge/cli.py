@@ -118,11 +118,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--store",
                     help="predicate-partitioned store dir "
                          "(for --sparql/--query/--load)")
-    ap.add_argument("--results-format", choices=("csv", "tsv", "json"),
+    ap.add_argument("--results-format",
+                    choices=("csv", "tsv", "json", "xml"),
                     help="write SELECT/ASK results in a W3C SPARQL 1.1 "
                          "results format (csv = plain values, tsv = "
-                         "SPARQL term syntax, json = results+json); "
-                         "default keeps the engine's raw-term CSV")
+                         "SPARQL term syntax, json = results+json, "
+                         "xml = results+xml); default keeps the "
+                         "engine's raw-term CSV")
     ap.add_argument("--load", nargs="+", metavar="RDF",
                     help="bulk-load .ttl/.nt files or directories into "
                          "--store (distributed readers)")

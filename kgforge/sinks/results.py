@@ -16,6 +16,8 @@ engine's CLI gets the same bytes its tooling already parses:
   per-binding ``{"type": "uri"|"literal", "value": ...}`` objects
   (plus ``datatype``/``xml:lang`` when the term carries them);
   ASK results serialize as ``{"head": {}, "boolean": b}``.
+- ``xml``  — https://www.w3.org/TR/rdf-sparql-XMLres/: the
+  ``<sparql><head/><results/>`` document (or ``<boolean>`` for ASK).
 
 All three writers STREAM: chunked ``iter_batches`` over the result
 Dataset, one vectorized decode per batch, constant driver memory —
@@ -35,7 +37,7 @@ import pyarrow as pa
 
 __all__ = ["write_sparql_results", "RESULT_FORMATS"]
 
-RESULT_FORMATS = ("csv", "tsv", "json")
+RESULT_FORMATS = ("csv", "tsv", "json", "xml")
 
 # "lex"^^<dt> | "lex"@lang | "lex" | <iri> — anchored, non-greedy lex
 _TYPED_RE = re.compile(r'^"(?P<lex>(?:[^"\\]|\\.)*)"'
@@ -117,7 +119,7 @@ def write_sparql_results(ds, path: str, fmt: str) -> int:
     if cols == ["ask"]:
         return _write_ask(ds, path, fmt)
     writer = {"csv": _write_csv, "tsv": _write_tsv,
-              "json": _write_json}[fmt]
+              "json": _write_json, "xml": _write_xml}[fmt]
     return writer(ds, path, cols)
 
 
@@ -127,6 +129,11 @@ def _write_ask(ds, path: str, fmt: str) -> int:
         if fmt == "json":
             json.dump({"head": {}, "boolean": val}, f)
             f.write("\n")
+        elif fmt == "xml":
+            f.write('<?xml version="1.0"?>\n'
+                    '<sparql xmlns="http://www.w3.org/2005/sparql-'
+                    'results#"><head/><boolean>%s</boolean></sparql>\n'
+                    % ("true" if val else "false"))
         else:
             # the CSV/TSV spec has no ASK form; emit a 1-cell table
             f.write("ask\r\n" if fmt == "csv" else "?ask\n")
@@ -160,6 +167,43 @@ def _write_tsv(ds, path: str, cols: list[str]) -> int:
                 f.write("\t".join(_tsv_term(col_vals[j][i])
                                   for j in range(len(cols))) + "\n")
             rows += t.num_rows
+    return rows
+
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _write_xml(ds, path: str, cols: list[str]) -> int:
+    rows = 0
+    with open(path, "w", encoding="utf-8") as f:
+        f.write('<?xml version="1.0"?>\n<sparql xmlns='
+                '"http://www.w3.org/2005/sparql-results#">\n<head>')
+        for c in cols:
+            f.write(f'<variable name="{_xml_escape(c)}"/>')
+        f.write("</head>\n<results>\n")
+        for t in _iter_tables(ds):
+            col_vals = [t[c].to_pylist() for c in cols]
+            for i in range(t.num_rows):
+                f.write("<result>")
+                for j, c in enumerate(cols):
+                    kind, value, dt, lang = _decode_term(col_vals[j][i])
+                    if kind is None:
+                        continue
+                    f.write(f'<binding name="{_xml_escape(c)}">')
+                    if kind == "uri":
+                        f.write(f"<uri>{_xml_escape(value)}</uri>")
+                    else:
+                        attr = (f' datatype="{_xml_escape(dt)}"' if dt
+                                else f' xml:lang="{lang}"' if lang
+                                else "")
+                        f.write(f"<literal{attr}>"
+                                f"{_xml_escape(value)}</literal>")
+                    f.write("</binding>")
+                f.write("</result>\n")
+            rows += t.num_rows
+        f.write("</results>\n</sparql>\n")
     return rows
 
 

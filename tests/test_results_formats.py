@@ -1,5 +1,5 @@
 """W3C SPARQL 1.1 results serializers (kgforge/sinks/results.py):
-term decoding, the three streamed writers, and the CLI flag."""
+term decoding, the four streamed writers, and the CLI flag."""
 
 import json
 import os
@@ -133,4 +133,36 @@ def test_cli_results_format_flag(ray_session, result_store, tmp_path):
 
 def test_unknown_format_raises():
     with pytest.raises(ValueError, match="unknown results format"):
-        write_sparql_results(None, "/tmp/x", "xml")
+        write_sparql_results(None, "/tmp/x", "yaml")
+
+
+def test_write_results_xml(ray_session, result_store, tmp_path):
+    import xml.etree.ElementTree as ET
+    path = str(tmp_path / "r.xml")
+    n = write_sparql_results(_run(result_store), path, "xml")
+    assert n == 2
+    ns = {"s": "http://www.w3.org/2005/sparql-results#"}
+    root = ET.parse(path).getroot()
+    assert [v.get("name") for v in root.findall("s:head/s:variable",
+                                                ns)] == ["x", "y", "w"]
+    results = root.findall("s:results/s:result", ns)
+    assert len(results) == 2
+    b1 = {b.get("name"): b for b in results[0].findall("s:binding", ns)}
+    assert b1["x"].find("s:uri", ns).text == "http://e/s1"
+    assert b1["w"].find("s:literal", ns).text == "5"
+    b2 = {b.get("name"): b for b in results[1].findall("s:binding", ns)}
+    assert "w" not in b2                 # unbound binding omitted
+    lit = b2["y"].find("s:literal", ns)
+    assert lit.text == 'x,"q"'
+    assert lit.get("datatype").endswith("#string")
+
+
+def test_write_results_ask_xml(ray_session, result_store, tmp_path):
+    import xml.etree.ElementTree as ET
+    from kgforge.sparql import execute_sparql, parse_sparql
+    q = parse_sparql("ASK { <http://e/s1> <http://e/p2> ?w }")[0]
+    path = str(tmp_path / "ask.xml")
+    write_sparql_results(execute_sparql(result_store, q), path, "xml")
+    ns = {"s": "http://www.w3.org/2005/sparql-results#"}
+    root = ET.parse(path).getroot()
+    assert root.find("s:boolean", ns).text == "true"
