@@ -136,6 +136,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_having"] = versioning.sparql_having
     # { SELECT ... } subquery: attribute of the per-group maximum
     q["sparql_subquery_max"] = versioning.sparql_subquery_max
+    # FILTER ?v IN (constant list)
+    q["sparql_filter_in"] = versioning.sparql_filter_in
+    # !BOUND left-join negation + numeric NOT IN
+    q["sparql_not_bound"] = versioning.sparql_not_bound
+    # BIND UCASE/LCASE/STRLEN/SUBSTR/REPLACE kernels
+    q["sparql_bind_strfuncs"] = versioning.sparql_bind_strfuncs
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -392,6 +398,9 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_group_concat"] = versioning.sparql_group_concat_sql()
     o["sparql_having"] = versioning.sparql_having_sql()
     o["sparql_subquery_max"] = versioning.sparql_subquery_max_sql()
+    o["sparql_filter_in"] = versioning.sparql_filter_in_sql()
+    o["sparql_not_bound"] = versioning.sparql_not_bound_sql()
+    o["sparql_bind_strfuncs"] = versioning.sparql_bind_strfuncs_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

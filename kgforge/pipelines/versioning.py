@@ -892,6 +892,106 @@ FROM mx JOIN part p ON {part_iri.replace("p_partkey", "p.p_partkey")} = mx.m
 """
 
 
+FILTER_IN_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?c WHERE {
+  ?p c:typed_in ?c .
+  FILTER(?c IN (c:cat5, c:cat17, c:cat99))
+}
+"""
+
+
+def sparql_filter_in(sf_dir: str) -> "ray.data.Dataset":
+    """FILTER IN gate: membership against an inline constant list,
+    one vectorized ``is_in`` over the o-position term column."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(FILTER_IN_QUERY)[0]
+    assert q.where.filters[0].op == "in"
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_filter_in_sql() -> str:
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>' AS c
+FROM part WHERE p_partkey % {N_CATS} + 2 IN (5, 17, 99)
+"""
+
+
+NOT_BOUND_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?w WHERE {
+  ?p c:weight ?w .
+  OPTIONAL { ?p c:bonus ?b }
+  FILTER(!BOUND(?b))
+  FILTER(?w NOT IN (5, 11))
+}
+"""
+
+
+def sparql_not_bound(sf_dir: str) -> "ray.data.Dataset":
+    """!BOUND gate: the SPARQL-1.0 left-join-negation idiom (keep
+    rows whose OPTIONAL never matched — parts without a ``bonus``)
+    plus a numeric NOT IN over the surviving weights. The !BOUND
+    filter must apply AFTER the left join (it references a var bound
+    only inside the OPTIONAL)."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(NOT_BOUND_QUERY)[0]
+    ops = {f.op for f in q.where.filters}
+    assert ops == {"not_bound", "not_in"}
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_not_bound_sql() -> str:
+    w = "(p_partkey * 31) % 97"
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '"' || CAST({w} AS VARCHAR) || '"' AS w
+FROM part WHERE p_partkey % 3 <> 0 AND {w} NOT IN (5, 11)
+"""
+
+
+BIND_STR_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?u ?l ?n ?tail ?mark WHERE {
+  ?p c:typed_in ?c .
+  BIND(UCASE(STR(?c)) AS ?u)
+  BIND(LCASE(?u) AS ?l)
+  BIND(STRLEN(STR(?p)) AS ?n)
+  BIND(SUBSTR(STR(?p), 33) AS ?tail)
+  BIND(REPLACE(STR(?p), "part", "p-") AS ?mark)
+}
+"""
+
+
+def sparql_bind_strfuncs(sf_dir: str) -> "ray.data.Dataset":
+    """BIND string-function gate: UCASE/LCASE/STRLEN/SUBSTR/REPLACE
+    computed per batch as Arrow kernels, including an alias consumed
+    by a later BIND in the same group (?u -> ?l). SUBSTR start 33 is
+    1-based: the fixture namespace is 32 chars, so ?tail is the bare
+    local name."""
+    from ..sparql import execute_sparql, parse_sparql
+    assert len(NSC) == 32
+    q = parse_sparql(BIND_STR_QUERY)[0]
+    assert [b.alias for b in q.where.binds] == \
+        ["u", "l", "n", "tail", "mark"]
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_bind_strfuncs_sql() -> str:
+    p = f"'{NSC}part' || CAST(p_partkey AS VARCHAR)"
+    c = f"'{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR)"
+    return f"""
+SELECT {p} AS p,
+       UPPER({c}) AS u,
+       LOWER(UPPER({c})) AS l,
+       CAST(LENGTH({p}) AS VARCHAR) AS n,
+       SUBSTR({p}, 33) AS tail,
+       REPLACE({p}, 'part', 'p-') AS mark
+FROM part
+"""
+
+
 def _version_pairs(sf_dir: str, version: int) -> "ray.data.Dataset":
     """(x, z) instance pairs of one version of the scaled fixture —
     x raw IRI, z term form, same shapes as the MINUS gate."""

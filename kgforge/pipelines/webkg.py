@@ -240,20 +240,28 @@ def exact_dup_mapping(hashed: "ray.data.Dataset",
 def exact_dup_mapping_adaptive(hashed: "ray.data.Dataset"
                                ) -> "ray.data.Dataset":
     """Size-adaptive wrapper: below KGFORGE_DUPMAP_DRIVER_LIMIT rows
-    (default 2M — (h, uri) rows are ~70 B, so the pull is bounded at
-    ~140 MB) the (member, canon) mapping is computed DRIVER-side in one
-    polars pass, eliminating a whole distributed execution (shuffle +
+    the (member, canon) mapping is computed DRIVER-side in one polars
+    pass, eliminating a whole distributed execution (shuffle +
     materialize barrier, the dominant FIXED term of the canonicalize
-    step at sub-cluster scale — see BASELINE.md fixed-cost breakdown).
-    Above the limit: the hash-partitioned ``exact_dup_mapping``
-    shuffle, correct at any dup mass (100 TB path). Both paths emit the
-    identical mapping set (pinned in tests/test_extensions.py).
+    step at gate/bench input sizes — see BASELINE.md fixed-cost
+    breakdown). Above the limit: the hash-partitioned
+    ``exact_dup_mapping`` shuffle, correct at any dup mass (100 TB
+    path). Both paths emit the identical mapping set (pinned in
+    tests/test_extensions.py).
+
+    The default limit is 50k rows, deliberately small: the driver pull
+    plus the single-block mapping it returns are a SERIAL term — at
+    1.28M rows it measured ~20-25 s added to every parallelism level
+    (×256 scaling efficiency collapsed 0.81 -> 0.50 before this bound
+    was tightened), while the distributed shuffle it replaces costs
+    only ~1 s. The driver path must only ever win where that 1 s
+    dominates, i.e. corpora of a few thousand pages.
 
     Returns a MATERIALIZED Dataset either way (the mapping fans out to
     three consumers)."""
     import os as _os
 
-    limit = int(_os.environ.get("KGFORGE_DUPMAP_DRIVER_LIMIT", "2000000"))
+    limit = int(_os.environ.get("KGFORGE_DUPMAP_DRIVER_LIMIT", "50000"))
     parts: list[pa.Table] = []
     n = 0
     if limit > 0:

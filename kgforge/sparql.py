@@ -211,7 +211,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|:[A-Za-z0-9_.\-]+)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>!=|<=|>=|=|<|>|\{|\}|\(|\)|\.|;|,|\*|\+|\^|/|\||\?)
+  | (?P<punct>!=|<=|>=|=|<|>|\{|\}|\(|\)|\.|;|,|\*|\+|\^|/|\||\?|!)
   | (?P<ws>\s+)
 """, re.X)
 
@@ -241,6 +241,11 @@ def _is_kw(tok: str, kw: str) -> bool:
 
 _AGG_FNS = ("count", "min", "max", "sum", "avg", "sample",
             "group_concat")
+
+#: BIND expression functions -> (min arity, max arity)
+_BIND_FNS = {"str": (1, 1), "concat": (1, 64), "ucase": (1, 1),
+             "lcase": (1, 1), "strlen": (1, 1), "substr": (2, 3),
+             "replace": (3, 3)}
 
 
 def _parse_agg_call(p: "_P") -> tuple[str, str | None, str | None]:
@@ -320,14 +325,16 @@ class _P:
         raise SparqlError(f"cannot parse term {tok!r}")
 
     def filter_expr(self) -> Filter:
-        """FILTER(?v op const) | FILTER [(] regex/strstarts/contains(
-        [str(]?v[)], "c") [)] — the subset a KG-store user actually
-        writes; boolean combinators stay multi-FILTER conjunctions."""
+        """FILTER(?v op const) | FILTER(?v [NOT] IN (c, ...)) |
+        FILTER [(] [!]BOUND(?v) [)] | FILTER [(] regex/strstarts/
+        contains([str(]?v[)], "c") [)] — the subset a KG-store user
+        actually writes; boolean combinators stay multi-FILTER
+        conjunctions."""
         wrapped = False
         if self.peek() == "(":
             nxt = (self.t[self.i + 1].lower()
                    if self.i + 1 < len(self.t) else "")
-            if nxt in _FILTER_FUNCS:
+            if nxt in _FILTER_FUNCS or nxt in ("bound", "!"):
                 wrapped = True
                 self.next()
             else:
@@ -336,6 +343,23 @@ class _P:
                 self.expect(")")
                 return f
         tok = self.peek()
+        if tok == "!" or (tok is not None and _is_kw(tok, "bound")):
+            neg = tok == "!"
+            if neg:
+                self.next()
+                if not (self.peek() is not None
+                        and _is_kw(self.peek(), "bound")):
+                    raise SparqlError(
+                        "FILTER '!' supports only !BOUND(?var)")
+            self.next()   # BOUND
+            self.expect("(")
+            v = self.term()
+            if not isinstance(v, Var):
+                raise SparqlError("BOUND() needs a ?var argument")
+            self.expect(")")
+            if wrapped:
+                self.expect(")")
+            return Filter(v.name, "not_bound" if neg else "bound", None)
         if tok is None or tok.lower() not in _FILTER_FUNCS:
             raise SparqlError(f"cannot parse FILTER at {tok!r}")
         fn = self.next().lower()
@@ -354,6 +378,26 @@ class _P:
         v = self.term()
         if not isinstance(v, Var):
             raise SparqlError("FILTER subset needs ?var on the left")
+        nxt = self.peek()
+        if nxt is not None and (_is_kw(nxt, "in") or _is_kw(nxt, "not")):
+            neg = _is_kw(nxt, "not")
+            self.next()
+            if neg and not _is_kw(self.next(), "in"):
+                raise SparqlError("FILTER NOT here must be NOT IN")
+            self.expect("(")
+            consts: list[object] = []
+            while True:
+                t = self.term()
+                if isinstance(t, Var):
+                    raise SparqlError("IN list must be constants")
+                consts.append(t)
+                if self.peek() == ",":
+                    self.next()
+                    continue
+                break
+            self.expect(")")
+            return Filter(v.name, "not_in" if neg else "in",
+                          tuple(consts))
         op = self.next()
         if op not in _CMP_OPS:
             raise SparqlError(f"FILTER op {op!r} unsupported "
@@ -365,24 +409,30 @@ class _P:
         return Filter(v.name, op, t)
 
     def bind_expr(self):
-        """BIND expression subset: term | STR(expr) |
-        CONCAT(expr, expr, ...)."""
+        """BIND expression subset: term | STR | CONCAT | UCASE |
+        LCASE | STRLEN | SUBSTR(expr, start[, len]) |
+        REPLACE(expr, "pat", "rep")."""
         tok = self.peek()
-        if tok is not None and _is_kw(tok, "concat"):
-            self.next()
+        if (tok is not None and ":" not in tok
+                and tok.lower() in _BIND_FNS):
+            name = self.next().lower()
             self.expect("(")
             args = [self.bind_expr()]
             while self.peek() == ",":
                 self.next()
                 args.append(self.bind_expr())
             self.expect(")")
-            return Func("concat", tuple(args))
-        if tok is not None and _is_kw(tok, "str"):
-            self.next()
-            self.expect("(")
-            a = self.bind_expr()
-            self.expect(")")
-            return Func("str", (a,))
+            lo, hi = _BIND_FNS[name]
+            if not lo <= len(args) <= hi:
+                raise SparqlError(f"{name.upper()}() takes "
+                                  f"{lo}..{hi} arguments")
+            if name == "substr" and not all(
+                    isinstance(a, Num) for a in args[1:]):
+                raise SparqlError("SUBSTR positions must be integers")
+            if name == "replace" and not all(
+                    isinstance(a, Lit) for a in args[1:]):
+                raise SparqlError("REPLACE needs string constants")
+            return Func(name, tuple(args))
         return self.term()
 
     def bind_clause(self) -> BindExpr:
@@ -865,6 +915,10 @@ def _const_repr(term, pos_cls: str) -> str:
         return f"<{term.value}>" if pos_cls == "term" else term.value
     if isinstance(term, Lit):
         return f'"{term.value}"'
+    if isinstance(term, Num):
+        # exact-form term identity (the store renders integer literals
+        # with their lexical value) — used by = / != / IN lists
+        return f'"{term.value}"'
     raise SparqlError(f"not a constant: {term}")
 
 
@@ -1165,6 +1219,29 @@ def _numeric_form(col, pos_cls: str):
 def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
     col = b[f.var]
     pos = cls.get(f.var, "iri")
+    if f.op in ("bound", "not_bound"):
+        m = pc.is_valid(col)
+        return m if f.op == "bound" else pc.invert(m)
+    if f.op in ("in", "not_in"):
+        if all(isinstance(t, Num) for t in f.term):
+            # numeric list: same comparison semantics as ``= n``
+            nf = _numeric_form(col, pos)
+            m = None
+            for t in f.term:
+                e = pc.equal(nf, float(t.value))
+                m = e if m is None else pc.or_(m, e)
+        elif any(isinstance(t, Num) for t in f.term):
+            raise SparqlError(
+                "IN list must not mix numeric and IRI/string constants")
+        else:
+            want = pa.array([_const_repr(t, pos) for t in f.term],
+                            pa.string())
+            m = pc.is_in(col.combine_chunks(), value_set=want)
+        if f.op == "in":
+            return m
+        # NOT IN: an unbound value is a type error -> row eliminated
+        # (is_in yields false on null, so bare invert would KEEP it)
+        return pc.and_(pc.is_valid(col), pc.invert(m))
     if f.op in _FILTER_FUNCS:
         s = _str_form(col, pos)
         if f.op == "regex":
@@ -1490,6 +1567,33 @@ def _eval_bind_expr(b: pa.Table, expr, cls: dict[str, str]):
                    if isinstance(arg, Var) else "term")
             parts.append(a if pos == "iri" else _str_form(a, "term"))
         return pc.binary_join_element_wise(*parts, "")
+
+    def s_form(arg):
+        a = _eval_bind_expr(b, arg, cls)
+        pos = (cls.get(arg.name, "iri")
+               if isinstance(arg, Var) else "term")
+        return a if pos == "iri" else _str_form(a, "term")
+
+    if expr.name in ("ucase", "lcase"):
+        s = s_form(expr.args[0])
+        return (pc.utf8_upper(s) if expr.name == "ucase"
+                else pc.utf8_lower(s))
+    if expr.name == "strlen":
+        # lexical integer (the alias surfaces as a term-space string)
+        return pc.cast(pc.utf8_length(s_form(expr.args[0])),
+                       pa.string())
+    if expr.name == "substr":
+        # SPARQL SUBSTR is 1-based over characters (codepoints)
+        start = int(expr.args[1].value) - 1
+        if len(expr.args) == 3:
+            return pc.utf8_slice_codeunits(
+                s_form(expr.args[0]), start,
+                start + int(expr.args[2].value))
+        return pc.utf8_slice_codeunits(s_form(expr.args[0]), start)
+    if expr.name == "replace":
+        return pc.replace_substring_regex(
+            s_form(expr.args[0]), pattern=expr.args[1].value,
+            replacement=expr.args[2].value)
     raise SparqlError(f"unsupported BIND function {expr.name!r}")
 
 
