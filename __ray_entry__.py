@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_not_bound"] = versioning.sparql_not_bound
     # BIND UCASE/LCASE/STRLEN/SUBSTR/REPLACE kernels
     q["sparql_bind_strfuncs"] = versioning.sparql_bind_strfuncs
+    # SPARQL-Update DELETE: partition-local anti-join rewrite
+    q["sparql_delete_bonus"] = versioning.sparql_delete_bonus
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -401,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_filter_in"] = versioning.sparql_filter_in_sql()
     o["sparql_not_bound"] = versioning.sparql_not_bound_sql()
     o["sparql_bind_strfuncs"] = versioning.sparql_bind_strfuncs_sql()
+    o["sparql_delete_bonus"] = versioning.sparql_delete_bonus_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

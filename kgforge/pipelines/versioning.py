@@ -992,6 +992,67 @@ FROM part
 """
 
 
+DELETE_BONUS_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+DELETE { ?p c:bonus ?b } WHERE {
+  ?p c:bonus ?b .
+  FILTER(?b IN ("0", "5"))
+}
+"""
+
+REMAINING_BONUS_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?b WHERE { ?p c:bonus ?b }
+"""
+
+
+def deleted_category_store(sf_dir: str) -> str:
+    """Idempotent copy of the category store with the DELETE applied
+    (content-keyed /tmp cache, atomic build — same discipline as the
+    other store fixtures)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    src = sorted(glob.glob(os.path.join(sf_dir, "part*.parquet")))
+    stamp = ";".join(f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p):.6f}"
+                     for p in src)
+    key = hashlib.md5(f"delstore1:{os.path.abspath(sf_dir)}:{stamp}"
+                      .encode()).hexdigest()[:12]
+    store = f"/tmp/kgforge_delstore_{key}"
+    marker = os.path.join(store, "_SUCCESS")
+    if os.path.exists(marker):
+        return store
+    from ..sparql import parse_sparql, sparql_delete
+    shutil.rmtree(store, ignore_errors=True)
+    tmp = store + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(category_store(sf_dir), tmp)
+    sparql_delete(tmp, parse_sparql(DELETE_BONUS_QUERY)[0])
+    os.replace(tmp, store)
+    return store
+
+
+def sparql_delete_bonus(sf_dir: str) -> "ray.data.Dataset":
+    """SPARQL-Update DELETE gate: remove the bonus triples whose value
+    is "0" or "5" (partition-local anti-join rewrite of ONE p_key
+    directory), then read back what survived. The oracle mirrors the
+    deletion as a NOT IN predicate over the fixture formula."""
+    from ..sparql import execute_sparql, parse_sparql
+    store = deleted_category_store(sf_dir)
+    q = parse_sparql(REMAINING_BONUS_QUERY)[0]
+    return execute_sparql(store, q)
+
+
+def sparql_delete_bonus_sql() -> str:
+    b = "(p_partkey * 7) % 13"
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '"' || CAST({b} AS VARCHAR) || '"' AS b
+FROM part WHERE p_partkey % 3 = 0 AND {b} NOT IN (0, 5)
+"""
+
+
 def _version_pairs(sf_dir: str, version: int) -> "ray.data.Dataset":
     """(x, z) instance pairs of one version of the scaled fixture —
     x raw IRI, z term form, same shapes as the MINUS gate."""

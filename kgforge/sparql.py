@@ -230,7 +230,8 @@ def _tokenize(text: str) -> list[str]:
 
 # ------------------------------------------------------------ parser
 
-_FORMS = {"select", "construct", "insert", "ask", "describe"}
+_FORMS = {"select", "construct", "insert", "delete", "ask",
+          "describe"}
 _FILTER_FUNCS = {"regex", "strstarts", "contains"}
 _CMP_OPS = {"=", "!=", "<", ">", "<=", ">="}
 
@@ -858,6 +859,30 @@ def parse_sparql(text: str) -> list[Query]:
                 where = Group()
             queries.append(Query("describe", False, [], [], where,
                                  dict(prefixes), describe_terms=terms))
+        elif low == "delete" and p.peek() is not None \
+                and _is_kw(p.peek(), "data"):
+            # DELETE DATA { ground triples } — no WHERE clause
+            p.next()
+            tmpl = p.template()
+            if any(pat.vars() for pat in tmpl):
+                raise SparqlError("DELETE DATA must be ground "
+                                  "(no variables)")
+            queries.append(Query("delete", True, [], tmpl, Group(),
+                                 dict(prefixes)))
+        elif low == "delete" and p.peek() is not None \
+                and _is_kw(p.peek(), "where"):
+            # DELETE WHERE { patterns } — the pattern group doubles
+            # as the deletion template
+            p.next()
+            g = p.group()
+            if not g.patterns:
+                raise SparqlError("DELETE WHERE needs triple patterns")
+            if any(pat.path for pat in g.patterns):
+                raise SparqlError("DELETE WHERE template must use "
+                                  "plain predicates (no path ops)")
+            tmpl = [Pattern(pat.s, pat.p, pat.o) for pat in g.patterns]
+            queries.append(Query("delete", True, [], tmpl, g,
+                                 dict(prefixes)))
         else:
             tmpl = p.template()
             p.expect("where")
@@ -2034,7 +2059,7 @@ def execute_sparql(store_dir: str, q: Query,
              else _batch_guard(bind.data).limit(1).count())
         return ray.data.from_arrow(pa.table({"ask": pa.array(
             [n > 0], pa.bool_())}))
-    if q.form in ("construct", "insert"):
+    if q.form in ("construct", "insert", "delete"):
         return _render_template(bind, q.template)
     if q.aggs:
         return _apply_aggregates(bind, q)
@@ -2286,16 +2311,89 @@ def sparql_insert(store_dir: str, q: Query) -> "ray.data.Dataset":
     return derived
 
 
+def _delete_graph(store_dir: str, q: Query) -> "ray.data.Dataset":
+    """The (s, p, o) rows a DELETE statement denotes: the ground
+    template for DELETE DATA, else the instantiated template over the
+    WHERE solutions (exactly a CONSTRUCT)."""
+    g = q.where
+    if not (g.patterns or g.unions or g.values or g.subqueries):
+        return ray.data.from_arrow(pa.table({
+            "s": pa.array([pat.s.value for pat in q.template],
+                          pa.string()),
+            "p": pa.array([pat.p.value for pat in q.template],
+                          pa.string()),
+            "o": pa.array([_const_repr(pat.o, "term")
+                           for pat in q.template], pa.string()),
+        }))
+    return execute_sparql(store_dir, q)
+
+
+def sparql_delete(store_dir: str, q: Query) -> "ray.data.Dataset":
+    """SPARQL-Update DELETE applied to the store: derive the deletion
+    graph, then rewrite ONLY the partitions of the affected predicates
+    — per partition directory an (s, p, o) anti-join against the
+    deletion set, written to a sibling temp dir and atomically swapped
+    in (a crashed run leaves the old partition intact). Partitions of
+    untouched predicates are never read. Idempotent: a re-run deletes
+    nothing further. Returns the derived deletion graph."""
+    import glob as _glob
+    import shutil
+    import uuid
+
+    from .sinks.ntriples_sink import predicate_key
+
+    derived = _delete_graph(store_dir, q).materialize()
+    preds: set[str] = set()
+    for b in derived.iter_batches(batch_format="pyarrow"):
+        preds.update(pc.unique(b["p"].combine_chunks()).to_pylist())
+    spo = ["s", "p", "o"]
+    cls3 = {"s": "iri", "p": "iri", "o": "term"}
+    dmb = _smallify(_Bind(derived, cls3, spo), spo)
+    base = os.path.join(store_dir, "triples_by_predicate")
+    # one rewrite per partition DIR (two deleted predicates may share
+    # a crc-fallback p_key; the anti-join is on full (s,p,o) so rows
+    # of co-located predicates survive untouched)
+    pdirs = sorted({os.path.join(base, f"p_key={predicate_key(pr)}")
+                    for pr in preds})
+    for pdir in pdirs:
+        files = sorted(_glob.glob(os.path.join(pdir, "*.parquet")))
+        if not files:
+            continue
+        stored = ray.data.read_parquet(files, columns=spo)
+        remaining = _anti_join(_Bind(stored, cls3, spo), dmb, spo)
+        tmp = pdir + ".rewrite-" + uuid.uuid4().hex[:8]
+        if remaining.small:
+            if remaining.data.num_rows:
+                import pyarrow.parquet as pq
+                os.makedirs(tmp)
+                pq.write_table(remaining.data.select(spo),
+                               os.path.join(tmp, "part-0.parquet"))
+        else:
+            data = remaining.data.materialize()
+            if data.count():
+                data.write_parquet(tmp)
+        old = pdir + ".old-" + uuid.uuid4().hex[:8]
+        os.rename(pdir, old)
+        if os.path.isdir(tmp):
+            os.rename(tmp, pdir)
+        shutil.rmtree(old)
+    return derived
+
+
 def run_sparql_file(store_dir: str, text: str,
                     apply_updates: bool = False) -> list["ray.data.Dataset"]:
     """Parse a multi-statement .sparql file and run every statement
-    against the store, in order. INSERT statements mutate the store
-    only when ``apply_updates`` is set (else they behave like
-    CONSTRUCT)."""
+    against the store, in order. INSERT/DELETE statements mutate the
+    store only when ``apply_updates`` is set (else they preview the
+    derived graph, like a CONSTRUCT)."""
     out = []
     for q in parse_sparql(text):
         if q.form == "insert" and apply_updates:
             out.append(sparql_insert(store_dir, q))
+        elif q.form == "delete" and apply_updates:
+            out.append(sparql_delete(store_dir, q))
+        elif q.form == "delete":
+            out.append(_delete_graph(store_dir, q))
         else:
             out.append(execute_sparql(store_dir, q))
     return out

@@ -65,7 +65,7 @@ def test_parser_errors():
     with pytest.raises(SparqlError):
         parse_sparql("SELECT ?x WHERE { ?x ex:p ?y }")   # undeclared prefix
     with pytest.raises(SparqlError):
-        parse_sparql("DELETE WHERE { ?x ?y ?z }")        # unsupported form
+        parse_sparql("CLEAR ALL")                        # unsupported form
     with pytest.raises(SparqlError):
         parse_sparql("PREFIX e: <http://e/> SELECT ?x WHERE "
                      "{ FILTER(?x > e:n) ?x e:p ?y }")   # non-numeric order
@@ -1240,3 +1240,97 @@ def test_parse_errors_in_bound_binds():
             for f in q.where.filters:
                 _filter_mask(pa.table({"o": pa.array(['"1"'])}), f,
                              {"o": "term"})
+
+
+# ------------------------------------------------ DELETE update forms
+
+def _store_lines(store):
+    from kgforge.sinks.store_query import query_triples
+    ds = query_triples(store)
+    return sorted(tuple(r.values())
+                  for r in ds.to_pandas().to_dict("records"))
+
+
+@pytest.fixture()
+def mutable_store(ray_session, tmp_path):
+    import ray.data
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    rows = pa.table({
+        "s": ["http://e/a", "http://e/b", "http://e/c",
+              "http://e/a", "http://e/b"],
+        "p": ["http://e/w"] * 3 + ["http://e/tag"] * 2,
+        "o": ['"5"', '"11"', '"7"', '<http://e/t1>', '<http://e/t2>'],
+    })
+    store = str(tmp_path / "mut")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(rows), store)
+    return store
+
+
+def test_delete_data_ground(ray_session, mutable_store):
+    from kgforge.sparql import sparql_delete
+    q = parse_sparql(
+        'DELETE DATA { <http://e/a> <http://e/w> "5" . '
+        "<http://e/a> <http://e/tag> <http://e/t1> }")[0]
+    out = sparql_delete(mutable_store, q)
+    assert out.count() == 2
+    assert _store_lines(mutable_store) == [
+        ("http://e/b", "http://e/tag", "<http://e/t2>"),
+        ("http://e/b", "http://e/w", '"11"'),
+        ("http://e/c", "http://e/w", '"7"'),
+    ]
+    # idempotent: a re-run deletes nothing further
+    sparql_delete(mutable_store, q)
+    assert len(_store_lines(mutable_store)) == 3
+
+
+def test_delete_where_shorthand_with_filter(ray_session, mutable_store):
+    from kgforge.sparql import sparql_delete
+    q = parse_sparql(
+        "DELETE WHERE { ?s <http://e/w> ?v . FILTER(?v > 6) }")[0]
+    out = sparql_delete(mutable_store, q)
+    assert out.count() == 2          # 11 and 7 match; 5 survives
+    lines = _store_lines(mutable_store)
+    assert ("http://e/a", "http://e/w", '"5"') in lines
+    assert len([r for r in lines if r[1] == "http://e/w"]) == 1
+    # tag partition untouched
+    assert len([r for r in lines if r[1] == "http://e/tag"]) == 2
+
+
+def test_delete_template_where(ray_session, mutable_store):
+    """DELETE { tmpl } WHERE { group }: delete a's tag triple joined
+    via its weight — the template predicate differs from the WHERE."""
+    from kgforge.sparql import sparql_delete
+    q = parse_sparql(
+        "DELETE { ?s <http://e/tag> <http://e/t1> } "
+        'WHERE { ?s <http://e/w> "5" }')[0]
+    sparql_delete(mutable_store, q)
+    lines = _store_lines(mutable_store)
+    assert ("http://e/a", "http://e/tag", "<http://e/t1>") not in lines
+    assert len(lines) == 4
+
+
+def test_delete_preview_does_not_mutate(ray_session, mutable_store):
+    from kgforge.sparql import run_sparql_file
+    before = _store_lines(mutable_store)
+    outs = run_sparql_file(
+        mutable_store, "DELETE WHERE { ?s <http://e/w> ?v }",
+        apply_updates=False)
+    assert outs[0].count() == 3
+    assert _store_lines(mutable_store) == before
+
+
+def test_delete_whole_partition_removes_dir(ray_session, mutable_store):
+    from kgforge.sparql import sparql_delete
+    q = parse_sparql("DELETE WHERE { ?s <http://e/tag> ?o }")[0]
+    sparql_delete(mutable_store, q)
+    assert not os.path.isdir(os.path.join(
+        mutable_store, "triples_by_predicate", "p_key=tag"))
+    assert len(_store_lines(mutable_store)) == 3
+
+
+def test_delete_parse_errors():
+    with pytest.raises(SparqlError):
+        parse_sparql("DELETE DATA { ?x <http://e/p> <http://e/o> }")
+    with pytest.raises(SparqlError):
+        parse_sparql("DELETE WHERE { FILTER(?v > 6) }")
