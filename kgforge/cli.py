@@ -66,7 +66,8 @@ def write_result_csv(ds, path: str) -> int:
 
 
 def _run_sparql(args) -> int:
-    from .sparql import execute_sparql, parse_sparql
+    from .sparql import (_delete_graph, execute_sparql, parse_sparql,
+                         sparql_delete, sparql_insert)
     if args.query:
         text = args.query
     else:
@@ -75,7 +76,15 @@ def _run_sparql(args) -> int:
     queries = parse_sparql(text)
     os.makedirs(args.out, exist_ok=True)
     for i, q in enumerate(queries, 1):
-        ds = execute_sparql(args.store, q)
+        if q.form == "insert" and args.apply_updates:
+            ds = sparql_insert(args.store, q)
+        elif q.form == "delete" and args.apply_updates:
+            ds = sparql_delete(args.store, q)
+        elif q.form == "delete":
+            # preview: the rows the DELETE would remove (no mutation)
+            ds = _delete_graph(args.store, q)
+        else:
+            ds = execute_sparql(args.store, q)
         if args.results_format:
             from .sinks.results import write_sparql_results
             ext = args.results_format
@@ -125,6 +134,9 @@ def main(argv: list[str] | None = None) -> int:
                          "SPARQL term syntax, json = results+json, "
                          "xml = results+xml); default keeps the "
                          "engine's raw-term CSV")
+    ap.add_argument("--apply-updates", action="store_true",
+                    help="let INSERT/DELETE statements mutate --store "
+                         "(default: preview the derived graph only)")
     ap.add_argument("--load", nargs="+", metavar="RDF",
                     help="bulk-load .ttl/.nt files or directories into "
                          "--store (distributed readers)")

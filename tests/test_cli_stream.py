@@ -79,3 +79,32 @@ def test_cli_arg_validation(ray_session):
         main(["--load", "x.ttl", "--store", "s", "--query", "SELECT"])
     with pytest.raises(SystemExit):
         main(["--store", "s"])  # --store alone
+
+
+def test_cli_delete_preview_and_apply(ray_session, tmp_path):
+    """DELETE via the CLI: preview without --apply-updates (store
+    unchanged), mutate with it."""
+    import pyarrow as pa
+    import ray.data
+
+    from kgforge.cli import main
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    from kgforge.sinks.store_query import query_triples
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(pa.table({
+        "s": ["http://e/a", "http://e/b"],
+        "p": ["http://e/w", "http://e/w"],
+        "o": ['"1"', '"2"'],
+    })), store)
+    q = 'DELETE DATA { <http://e/a> <http://e/w> "1" }'
+    out1 = str(tmp_path / "o1")
+    assert main(["--query", q, "--store", store, "--out", out1]) == 0
+    assert query_triples(store).count() == 2          # preview only
+    prev = pd.read_csv(os.path.join(out1, "statement1_delete.csv"))
+    assert len(prev) == 1
+    out2 = str(tmp_path / "o2")
+    assert main(["--query", q, "--store", store, "--out", out2,
+                 "--apply-updates"]) == 0
+    assert query_triples(store).count() == 1
