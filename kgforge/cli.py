@@ -66,7 +66,7 @@ def write_result_csv(ds, path: str) -> int:
 
 
 def _run_sparql(args) -> int:
-    from .sparql import (_delete_graph, execute_sparql, parse_sparql,
+    from .sparql import (_update_graph, execute_sparql, parse_sparql,
                          sparql_delete, sparql_insert)
     if args.query:
         text = args.query
@@ -80,9 +80,10 @@ def _run_sparql(args) -> int:
             ds = sparql_insert(args.store, q)
         elif q.form == "delete" and args.apply_updates:
             ds = sparql_delete(args.store, q)
-        elif q.form == "delete":
-            # preview: the rows the DELETE would remove (no mutation)
-            ds = _delete_graph(args.store, q)
+        elif q.form in ("insert", "delete"):
+            # preview: the rows the update would add/remove (no
+            # mutation — INSERT DATA has no WHERE to execute)
+            ds = _update_graph(args.store, q)
         else:
             ds = execute_sparql(args.store, q)
         if args.results_format:

@@ -859,29 +859,30 @@ def parse_sparql(text: str) -> list[Query]:
                 where = Group()
             queries.append(Query("describe", False, [], [], where,
                                  dict(prefixes), describe_terms=terms))
-        elif low == "delete" and p.peek() is not None \
+        elif low in ("insert", "delete") and p.peek() is not None \
                 and _is_kw(p.peek(), "data"):
-            # DELETE DATA { ground triples } — no WHERE clause
+            # INSERT DATA / DELETE DATA { ground triples } — no WHERE
             p.next()
             tmpl = p.template()
             if any(pat.vars() for pat in tmpl):
-                raise SparqlError("DELETE DATA must be ground "
-                                  "(no variables)")
-            queries.append(Query("delete", True, [], tmpl, Group(),
+                raise SparqlError(f"{low.upper()} DATA must be "
+                                  "ground (no variables)")
+            queries.append(Query(low, True, [], tmpl, Group(),
                                  dict(prefixes)))
-        elif low == "delete" and p.peek() is not None \
+        elif low in ("delete", "construct") and p.peek() is not None \
                 and _is_kw(p.peek(), "where"):
-            # DELETE WHERE { patterns } — the pattern group doubles
-            # as the deletion template
+            # DELETE WHERE / CONSTRUCT WHERE { patterns } — the
+            # pattern group doubles as the template (1.1 shorthand)
             p.next()
             g = p.group()
             if not g.patterns:
-                raise SparqlError("DELETE WHERE needs triple patterns")
+                raise SparqlError(f"{low.upper()} WHERE needs "
+                                  "triple patterns")
             if any(pat.path for pat in g.patterns):
-                raise SparqlError("DELETE WHERE template must use "
-                                  "plain predicates (no path ops)")
+                raise SparqlError(f"{low.upper()} WHERE template must "
+                                  "use plain predicates (no path ops)")
             tmpl = [Pattern(pat.s, pat.p, pat.o) for pat in g.patterns]
-            queries.append(Query("delete", True, [], tmpl, g,
+            queries.append(Query(low, True, [], tmpl, g,
                                  dict(prefixes)))
         else:
             tmpl = p.template()
@@ -2290,7 +2291,7 @@ def sparql_insert(store_dir: str, q: Query) -> "ray.data.Dataset":
     Returns the derived graph (same rows a CONSTRUCT would yield)."""
     from .sinks.ntriples_sink import write_graph_partitioned
     from .sinks.store_query import query_triples
-    derived = execute_sparql(store_dir, q).materialize()
+    derived = _update_graph(store_dir, q).materialize()
     preds = set()
     for b in derived.iter_batches(batch_format="pyarrow"):
         preds.update(pc.unique(b["p"].combine_chunks()).to_pylist())
@@ -2311,10 +2312,11 @@ def sparql_insert(store_dir: str, q: Query) -> "ray.data.Dataset":
     return derived
 
 
-def _delete_graph(store_dir: str, q: Query) -> "ray.data.Dataset":
-    """The (s, p, o) rows a DELETE statement denotes: the ground
-    template for DELETE DATA, else the instantiated template over the
-    WHERE solutions (exactly a CONSTRUCT)."""
+def _update_graph(store_dir: str, q: Query) -> "ray.data.Dataset":
+    """The (s, p, o) rows an INSERT/DELETE statement denotes: the
+    ground template for INSERT DATA / DELETE DATA, else the
+    instantiated template over the WHERE solutions (exactly a
+    CONSTRUCT)."""
     g = q.where
     if not (g.patterns or g.unions or g.values or g.subqueries):
         return ray.data.from_arrow(pa.table({
@@ -2342,7 +2344,7 @@ def sparql_delete(store_dir: str, q: Query) -> "ray.data.Dataset":
 
     from .sinks.ntriples_sink import predicate_key
 
-    derived = _delete_graph(store_dir, q).materialize()
+    derived = _update_graph(store_dir, q).materialize()
     preds: set[str] = set()
     for b in derived.iter_batches(batch_format="pyarrow"):
         preds.update(pc.unique(b["p"].combine_chunks()).to_pylist())
@@ -2392,8 +2394,8 @@ def run_sparql_file(store_dir: str, text: str,
             out.append(sparql_insert(store_dir, q))
         elif q.form == "delete" and apply_updates:
             out.append(sparql_delete(store_dir, q))
-        elif q.form == "delete":
-            out.append(_delete_graph(store_dir, q))
+        elif q.form in ("insert", "delete"):
+            out.append(_update_graph(store_dir, q))
         else:
             out.append(execute_sparql(store_dir, q))
     return out

@@ -1334,3 +1334,39 @@ def test_delete_parse_errors():
         parse_sparql("DELETE DATA { ?x <http://e/p> <http://e/o> }")
     with pytest.raises(SparqlError):
         parse_sparql("DELETE WHERE { FILTER(?v > 6) }")
+
+
+def test_insert_data_ground(ray_session, mutable_store):
+    from kgforge.sparql import sparql_insert
+    q = parse_sparql(
+        'INSERT DATA { <http://e/d> <http://e/w> "9" . '
+        "<http://e/d> <http://e/tag> <http://e/t3> }")[0]
+    out = sparql_insert(mutable_store, q)
+    assert out.count() == 2
+    lines = _store_lines(mutable_store)
+    assert ("http://e/d", "http://e/w", '"9"') in lines
+    assert ("http://e/d", "http://e/tag", "<http://e/t3>") in lines
+    assert len(lines) == 7
+    # set semantics: a re-run inserts nothing
+    sparql_insert(mutable_store, q)
+    assert len(_store_lines(mutable_store)) == 7
+
+
+def test_construct_where_shorthand(ray_session, mutable_store):
+    q = parse_sparql(
+        "CONSTRUCT WHERE { ?s <http://e/tag> ?o }")[0]
+    assert q.form == "construct" and len(q.template) == 1
+    df = execute_sparql(mutable_store, q).to_pandas()
+    assert sorted(df["o"].tolist()) == ["<http://e/t1>", "<http://e/t2>"]
+    assert set(df["p"]) == {"http://e/tag"}
+
+
+def test_insert_data_preview_does_not_mutate(ray_session, mutable_store):
+    from kgforge.sparql import run_sparql_file
+    before = _store_lines(mutable_store)
+    outs = run_sparql_file(
+        mutable_store,
+        'INSERT DATA { <http://e/z> <http://e/w> "1" }',
+        apply_updates=False)
+    assert outs[0].count() == 1
+    assert _store_lines(mutable_store) == before
