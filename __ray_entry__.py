@@ -144,6 +144,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_bind_strfuncs"] = versioning.sparql_bind_strfuncs
     # SPARQL-Update DELETE: partition-local anti-join rewrite
     q["sparql_delete_bonus"] = versioning.sparql_delete_bonus
+    # COUNT(DISTINCT ?v): grouped map_groups + global distinct-pass
+    q["sparql_count_distinct"] = versioning.sparql_count_distinct
+    q["sparql_count_distinct_global"] = \
+        versioning.sparql_count_distinct_global
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -404,6 +408,9 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_not_bound"] = versioning.sparql_not_bound_sql()
     o["sparql_bind_strfuncs"] = versioning.sparql_bind_strfuncs_sql()
     o["sparql_delete_bonus"] = versioning.sparql_delete_bonus_sql()
+    o["sparql_count_distinct"] = versioning.sparql_count_distinct_sql()
+    o["sparql_count_distinct_global"] = \
+        versioning.sparql_count_distinct_global_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

@@ -1053,6 +1053,59 @@ FROM part WHERE p_partkey % 3 = 0 AND {b} NOT IN (0, 5)
 """
 
 
+COUNT_DISTINCT_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?c (COUNT(DISTINCT ?b) AS ?nb) (COUNT(?b) AS ?n) WHERE {
+  ?p c:typed_in ?c .
+  OPTIONAL { ?p c:bonus ?b }
+} GROUP BY ?c
+"""
+
+
+def sparql_count_distinct(sf_dir: str) -> "ray.data.Dataset":
+    """COUNT(DISTINCT) gate: the bonus formula (k*7)%13 repeats
+    within a category, so the distinct count diverges from the plain
+    count — and the OPTIONAL leaves most rows unbound, pinning the
+    skip-nulls semantics on the grouped map_groups path."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(COUNT_DISTINCT_QUERY)[0]
+    assert q.aggs[0].distinct and not q.aggs[1].distinct
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_count_distinct_sql() -> str:
+    b = "CASE WHEN p_partkey % 3 = 0 THEN (p_partkey * 7) % 13 END"
+    return f"""
+SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>' AS c,
+       CAST(COUNT(DISTINCT {b}) AS BIGINT) AS nb,
+       CAST(COUNT({b}) AS BIGINT) AS n
+FROM part GROUP BY 1
+"""
+
+
+COUNT_DISTINCT_GLOBAL_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT (COUNT(DISTINCT ?c) AS ?nc) (COUNT(*) AS ?total)
+WHERE { ?p c:typed_in ?c }
+"""
+
+
+def sparql_count_distinct_global(sf_dir: str) -> "ray.data.Dataset":
+    """Global (group-key-free) COUNT(DISTINCT): one bucketed distinct
+    pass over the counted column — never a driver-side value set."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(COUNT_DISTINCT_GLOBAL_QUERY)[0]
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_count_distinct_global_sql() -> str:
+    return f"""
+SELECT CAST(COUNT(DISTINCT p_partkey % {N_CATS}) AS BIGINT) AS nc,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM part
+"""
+
+
 def _version_pairs(sf_dir: str, version: int) -> "ray.data.Dataset":
     """(x, z) instance pairs of one version of the scaled fixture —
     x raw IRI, z term form, same shapes as the MINUS gate."""

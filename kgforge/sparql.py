@@ -174,6 +174,7 @@ class Agg:
     sep: str | None = None   # GROUP_CONCAT(...; SEPARATOR="x")
     hidden: bool = False     # synthesized for a HAVING constraint —
     #                          computed but dropped from the output
+    distinct: bool = False   # COUNT(DISTINCT ?v)
 
 
 @dataclass
@@ -249,16 +250,28 @@ _BIND_FNS = {"str": (1, 1), "concat": (1, 64), "ucase": (1, 1),
              "replace": (3, 3)}
 
 
-def _parse_agg_call(p: "_P") -> tuple[str, str | None, str | None]:
-    """Parse ``FN ( ?var | * [; SEPARATOR="s"] )`` — the token stream
-    positioned AT the function name — and return (fn, var, sep).
-    SAMPLE is evaluated deterministically (the minimum term — a legal
-    choice under the spec's 'any value from the group')."""
+def _parse_agg_call(p: "_P"
+                    ) -> tuple[str, str | None, str | None, bool]:
+    """Parse ``FN ( [DISTINCT] ?var | * [; SEPARATOR="s"] )`` — the
+    token stream positioned AT the function name — and return
+    (fn, var, sep, distinct). SAMPLE is evaluated deterministically
+    (the minimum term — a legal choice under the spec's 'any value
+    from the group')."""
     fn = p.next().lower()
     if fn not in _AGG_FNS:
         raise SparqlError(f"unsupported aggregate {fn!r}")
     p.expect("(")
     tok = p.next()
+    distinct = False
+    if _is_kw(tok, "distinct"):
+        if fn != "count":
+            raise SparqlError(
+                "DISTINCT inside an aggregate is supported for "
+                "COUNT only")
+        distinct = True
+        tok = p.next()
+        if tok == "*":
+            raise SparqlError("COUNT(DISTINCT *) needs a ?var")
     if tok == "*":
         if fn != "count":
             raise SparqlError(f"{fn}(*) is not valid")
@@ -281,7 +294,7 @@ def _parse_agg_call(p: "_P") -> tuple[str, str | None, str | None]:
             raise SparqlError("SEPARATOR needs a string constant")
         sep = s[1:-1]
     p.expect(")")
-    return fn, var, sep
+    return fn, var, sep, distinct
 
 
 class _P:
@@ -701,13 +714,13 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
             sel.append(p.next()[1:])
             continue
         p.expect("(")
-        fn, var, sep = _parse_agg_call(p)
+        fn, var, sep, adist = _parse_agg_call(p)
         if not _is_kw(p.next(), "as"):
             raise SparqlError("aggregate needs AS ?alias")
         alias = p.next()
         if not alias.startswith("?"):
             raise SparqlError("aggregate alias must be a ?var")
-        aggs.append(Agg(fn, var, alias[1:], sep=sep))
+        aggs.append(Agg(fn, var, alias[1:], sep=sep, distinct=adist))
         p.expect(")")
     p.expect("where")
     where = p.group()
@@ -739,10 +752,10 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
                 # inline aggregate expression -> synthesize a
                 # hidden agg computed alongside the visible ones
                 p.i -= 1  # push the fn token back
-                fn, var, sep = _parse_agg_call(p)
+                fn, var, sep, adist = _parse_agg_call(p)
                 alias = f"_having{len(having)}"
                 aggs.append(Agg(fn, var, alias, sep=sep,
-                                hidden=True))
+                                hidden=True, distinct=adist))
             op = p.next()
             if op not in ("=", "!=", "<", ">", "<=", ">="):
                 raise SparqlError(
@@ -2160,6 +2173,8 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
         for a in q.aggs:
             if a.func == "count":
                 e = (pl.len() if a.var is None
+                     else pl.col(a.var).drop_nulls().n_unique()
+                     if a.distinct
                      else pl.col(a.var).count()).cast(pl.Int64)
             elif a.func == "min":
                 e = pl.col(a.var).min()
@@ -2239,17 +2254,14 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
     data = _batch_guard(bind.data)
     if num_vars:
         data = data.map_batches(with_num, batch_format="pyarrow")
-    if any(a.func == "group_concat" for a in q.aggs):
-        # GROUP_CONCAT needs the group's full value list in one place:
-        # ONE key-shuffle, then one vectorized polars pass per group
-        # computes EVERY aggregate (sorted-join for the concat —
-        # deterministic under any block layout). Output stays
-        # group-key-sized.
-        if not keys:
-            raise SparqlError(
-                "GROUP_CONCAT without GROUP BY is out of the "
-                "supported subset on large binding sets (the result "
-                "row scales with the input)")
+    whole_group = any(a.func == "group_concat" or a.distinct
+                      for a in q.aggs)
+    if whole_group and keys:
+        # GROUP_CONCAT / COUNT(DISTINCT) need the group's full value
+        # list in one place: ONE key-shuffle, then one vectorized
+        # polars pass per group computes EVERY aggregate (sorted-join
+        # for the concat — deterministic under any block layout).
+        # Output stays group-key-sized.
 
         def per_group(g: pa.Table) -> pa.Table:
             return pl.from_arrow(g).group_by(keys).agg(
@@ -2257,6 +2269,31 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
 
         agg_ds = data.groupby(keys).map_groups(
             per_group, batch_format="pyarrow")
+    elif whole_group:
+        if any(a.func == "group_concat" for a in q.aggs):
+            raise SparqlError(
+                "GROUP_CONCAT without GROUP BY is out of the "
+                "supported subset on large binding sets (the result "
+                "row scales with the input)")
+        # global COUNT(DISTINCT ?v): one bucketed distinct pass per
+        # counted var (group-key-free, stays distributed); the other
+        # aggregates run in the normal combiner pass
+        from .stages.dedup import distinct as _ds_distinct
+        vals: dict[str, object] = {}
+        nd = [s for s, a in zip(specs, q.aggs) if not a.distinct]
+        if nd:
+            row = data.aggregate(*nd)
+            vals.update(row)
+        for a in q.aggs:
+            if not a.distinct:
+                continue
+            proj = data.map_batches(
+                lambda b, _v=a.var: b.select([_v]).filter(
+                    pc.is_valid(b[_v])),
+                batch_format="pyarrow")
+            vals[a.alias] = _ds_distinct(proj, [a.var]).count()
+        tbl = pa.table({a.alias: [vals[a.alias]] for a in q.aggs})
+        agg_ds = ray.data.from_arrow(tbl)
     elif keys:
         agg_ds = data.groupby(keys).aggregate(*specs)
     else:

@@ -1370,3 +1370,40 @@ def test_insert_data_preview_does_not_mutate(ray_session, mutable_store):
         apply_updates=False)
     assert outs[0].count() == 1
     assert _store_lines(mutable_store) == before
+
+
+def test_count_distinct_grouped_and_global(ray_session, measure_store):
+    # grouped: category c1 has subjects a and c; c2 has b
+    q = parse_sparql(
+        "SELECT ?c (COUNT(DISTINCT ?s) AS ?n) WHERE "
+        "{ ?s <http://e/cat> ?c } GROUP BY ?c")[0]
+    assert q.aggs[0].distinct
+    df = (execute_sparql(measure_store, q).to_pandas()
+          .sort_values("c").reset_index(drop=True))
+    assert df.to_dict("records") == [
+        {"c": "<http://e/c1>", "n": 2}, {"c": "<http://e/c2>", "n": 1}]
+    # global: two distinct categories over three solutions
+    q2 = parse_sparql(
+        "SELECT (COUNT(DISTINCT ?c) AS ?nc) (COUNT(*) AS ?total) "
+        "WHERE { ?s <http://e/cat> ?c }")[0]
+    df2 = execute_sparql(measure_store, q2).to_pandas()
+    assert df2.to_dict("records") == [{"nc": 2, "total": 3}]
+
+
+def test_count_distinct_skips_unbound(ray_session, measure_store):
+    """COUNT(DISTINCT ?b) over an OPTIONAL var counts distinct BOUND
+    values only (a is the only subject with a bonus)."""
+    q = parse_sparql(
+        "SELECT (COUNT(DISTINCT ?b) AS ?nb) (COUNT(*) AS ?n) WHERE "
+        "{ ?s <http://e/w> ?w . OPTIONAL { ?s <http://e/bonus> ?b } }")[0]
+    df = execute_sparql(measure_store, q).to_pandas()
+    assert df.to_dict("records") == [{"nb": 1, "n": 3}]
+
+
+def test_count_distinct_parse_errors():
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT (COUNT(DISTINCT *) AS ?n) WHERE "
+                     "{ ?s <http://e/p> ?o }")
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT (SUM(DISTINCT ?v) AS ?n) WHERE "
+                     "{ ?s <http://e/p> ?v }")
