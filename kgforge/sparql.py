@@ -247,7 +247,7 @@ _AGG_FNS = ("count", "min", "max", "sum", "avg", "sample",
 #: BIND expression functions -> (min arity, max arity)
 _BIND_FNS = {"str": (1, 1), "concat": (1, 64), "ucase": (1, 1),
              "lcase": (1, 1), "strlen": (1, 1), "substr": (2, 3),
-             "replace": (3, 3)}
+             "replace": (3, 3), "coalesce": (1, 64)}
 
 
 def _parse_agg_call(p: "_P"
@@ -1633,6 +1633,24 @@ def _eval_bind_expr(b: pa.Table, expr, cls: dict[str, str]):
         return pc.replace_substring_regex(
             s_form(expr.args[0]), pattern=expr.args[1].value,
             replacement=expr.args[2].value)
+    if expr.name == "coalesce":
+        # first BOUND argument, evaluated in TERM space (raw-IRI args
+        # wrap to <...> so mixed-representation alternatives align) —
+        # the OPTIONAL-default idiom: COALESCE(?maybe, "fallback")
+        parts = []
+        for arg in expr.args:
+            if isinstance(arg, Iri):
+                parts.append(pa.array([f"<{arg.value}>"] * b.num_rows,
+                                      pa.string()))
+                continue
+            a = _eval_bind_expr(b, arg, cls)
+            pos = (cls.get(arg.name, "iri")
+                   if isinstance(arg, Var) else "term")
+            parts.append(_wrap_iri(a) if pos == "iri" else a)
+        out = parts[0]
+        for nxt_part in parts[1:]:
+            out = pc.coalesce(out, nxt_part)
+        return out
     raise SparqlError(f"unsupported BIND function {expr.name!r}")
 
 

@@ -1407,3 +1407,39 @@ def test_count_distinct_parse_errors():
     with pytest.raises(SparqlError):
         parse_sparql("SELECT (SUM(DISTINCT ?v) AS ?n) WHERE "
                      "{ ?s <http://e/p> ?v }")
+
+
+def test_bind_coalesce_optional_default(ray_session, measure_store):
+    """COALESCE over an OPTIONAL-bound var fills unbound rows with the
+    fallback, in term space (only a has a bonus)."""
+    q = parse_sparql(
+        "SELECT ?s ?v WHERE { ?s <http://e/w> ?w . "
+        "OPTIONAL { ?s <http://e/bonus> ?b } "
+        'BIND(COALESCE(?b, "none") AS ?v) }')[0]
+    df = (execute_sparql(measure_store, q).to_pandas()
+          .sort_values("s").reset_index(drop=True))
+    assert df.to_dict("records") == [
+        {"s": "http://e/a", "v": '"1"'},
+        {"s": "http://e/b", "v": '"none"'},
+        {"s": "http://e/c", "v": '"none"'}]
+
+
+def test_bind_coalesce_wraps_iri_alternatives(ray_session,
+                                              measure_store):
+    """An iri-class var alternative wraps to term form so mixed
+    representations align; an IRI constant fallback renders <...>."""
+    q = parse_sparql(
+        "SELECT ?s ?v WHERE { ?s <http://e/w> ?w . "
+        "OPTIONAL { ?s <http://e/bonus> ?b } "
+        "BIND(COALESCE(?b, ?s) AS ?v) }")[0]
+    df = (execute_sparql(measure_store, q).to_pandas()
+          .sort_values("s").reset_index(drop=True))
+    assert df["v"].tolist() == [
+        '"1"', "<http://e/b>", "<http://e/c>"]
+    q2 = parse_sparql(
+        "SELECT ?s ?v WHERE { ?s <http://e/w> ?w . "
+        "OPTIONAL { ?s <http://e/bonus> ?b } "
+        "BIND(COALESCE(?b, <http://e/unknown>) AS ?v) }")[0]
+    df2 = execute_sparql(measure_store, q2).to_pandas()
+    assert sorted(df2["v"]) == ['"1"', "<http://e/unknown>",
+                                "<http://e/unknown>"]
