@@ -348,7 +348,8 @@ class _P:
         if self.peek() == "(":
             nxt = (self.t[self.i + 1].lower()
                    if self.i + 1 < len(self.t) else "")
-            if nxt in _FILTER_FUNCS or nxt in ("bound", "!"):
+            if nxt in _FILTER_FUNCS or nxt in (
+                    "bound", "isiri", "isuri", "isliteral", "!"):
                 wrapped = True
                 self.next()
             else:
@@ -357,23 +358,28 @@ class _P:
                 self.expect(")")
                 return f
         tok = self.peek()
-        if tok == "!" or (tok is not None and _is_kw(tok, "bound")):
+        unary = {"bound": "bound", "isiri": "is_iri",
+                 "isuri": "is_iri", "isliteral": "is_literal"}
+        if tok == "!" or (tok is not None and ":" not in tok
+                          and tok.lower() in unary):
             neg = tok == "!"
             if neg:
                 self.next()
-                if not (self.peek() is not None
-                        and _is_kw(self.peek(), "bound")):
+                nxt2 = self.peek()
+                if not (nxt2 is not None and ":" not in nxt2
+                        and nxt2.lower() in unary):
                     raise SparqlError(
-                        "FILTER '!' supports only !BOUND(?var)")
-            self.next()   # BOUND
+                        "FILTER '!' supports only "
+                        "!BOUND/!isIRI/!isLiteral(?var)")
+            op = unary[self.next().lower()]
             self.expect("(")
             v = self.term()
             if not isinstance(v, Var):
-                raise SparqlError("BOUND() needs a ?var argument")
+                raise SparqlError(f"{op}() needs a ?var argument")
             self.expect(")")
             if wrapped:
                 self.expect(")")
-            return Filter(v.name, "not_bound" if neg else "bound", None)
+            return Filter(v.name, ("not_" + op) if neg else op, None)
         if tok is None or tok.lower() not in _FILTER_FUNCS:
             raise SparqlError(f"cannot parse FILTER at {tok!r}")
         fn = self.next().lower()
@@ -1261,6 +1267,19 @@ def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
     if f.op in ("bound", "not_bound"):
         m = pc.is_valid(col)
         return m if f.op == "bound" else pc.invert(m)
+    if f.op in ("is_iri", "not_is_iri", "is_literal", "not_is_literal"):
+        c = col.combine_chunks().cast(pa.string())
+        bound = pc.is_valid(c)
+        if pos == "iri":
+            # raw-IRI representation: every bound value IS an IRI
+            m = bound if "is_iri" in f.op else pc.and_(
+                bound, pc.invert(bound))
+        else:
+            m = pc.starts_with(c, "<" if "is_iri" in f.op else '"')
+        if f.op.startswith("not_"):
+            # unbound is a type error either way -> row eliminated
+            return pc.and_(bound, pc.invert(m))
+        return m
     if f.op in ("in", "not_in"):
         if all(isinstance(t, Num) for t in f.term):
             # numeric list: same comparison semantics as ``= n``

@@ -1443,3 +1443,29 @@ def test_bind_coalesce_wraps_iri_alternatives(ray_session,
     df2 = execute_sparql(measure_store, q2).to_pandas()
     assert sorted(df2["v"]) == ['"1"', "<http://e/unknown>",
                                 "<http://e/unknown>"]
+
+
+def test_filter_isiri_isliteral(ray_session, chain_store):
+    """p1's objects mix an IRI and a literal: isIRI/isLiteral split
+    them; !isIRI equals isLiteral here (all rows bound)."""
+    base = ("SELECT ?x ?y WHERE {{ ?x <http://e/p1> ?y . "
+            "FILTER({pred}) }}")
+    for pred, want in [("isIRI(?y)", ["<http://e/b>"]),
+                       ("isURI(?y)", ["<http://e/b>"]),
+                       ("isLiteral(?y)", ['"literal obj"']),
+                       ("!isIRI(?y)", ['"literal obj"']),
+                       ("!isLiteral(?y)", ["<http://e/b>"])]:
+        q = parse_sparql(base.format(pred=pred))[0]
+        df = execute_sparql(chain_store, q).to_pandas()
+        assert df["y"].tolist() == want, pred
+
+
+def test_filter_isiri_on_iri_class_var(ray_session, chain_store):
+    """An s-position (raw IRI) variable is always an IRI: isLiteral
+    keeps nothing, isIRI keeps all."""
+    q = parse_sparql("SELECT ?x WHERE { ?x <http://e/p1> ?y . "
+                     "FILTER(isLiteral(?x)) }")[0]
+    assert execute_sparql(chain_store, q).count() == 0
+    q2 = parse_sparql("SELECT ?x WHERE { ?x <http://e/p1> ?y . "
+                      "FILTER(isIRI(?x)) }")[0]
+    assert execute_sparql(chain_store, q2).count() == 2
