@@ -129,12 +129,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="predicate-partitioned store dir "
                          "(for --sparql/--query/--load)")
     ap.add_argument("--results-format",
-                    choices=("csv", "tsv", "json", "xml"),
+                    choices=("csv", "tsv", "json", "xml", "nt"),
                     help="write SELECT/ASK results in a W3C SPARQL 1.1 "
                          "results format (csv = plain values, tsv = "
                          "SPARQL term syntax, json = results+json, "
-                         "xml = results+xml); default keeps the "
-                         "engine's raw-term CSV")
+                         "xml = results+xml; nt = N-Triples for "
+                         "CONSTRUCT/DESCRIBE graphs); default keeps "
+                         "the engine's raw-term CSV")
     ap.add_argument("--apply-updates", action="store_true",
                     help="let INSERT/DELETE statements mutate --store "
                          "(default: preview the derived graph only)")

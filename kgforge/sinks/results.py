@@ -37,7 +37,7 @@ import pyarrow as pa
 
 __all__ = ["write_sparql_results", "RESULT_FORMATS"]
 
-RESULT_FORMATS = ("csv", "tsv", "json", "xml")
+RESULT_FORMATS = ("csv", "tsv", "json", "xml", "nt")
 
 # "lex"^^<dt> | "lex"@lang | "lex" | <iri> — anchored, non-greedy lex
 _TYPED_RE = re.compile(r'^"(?P<lex>(?:[^"\\]|\\.)*)"'
@@ -117,10 +117,32 @@ def write_sparql_results(ds, path: str, fmt: str) -> int:
                          f"pick one of {RESULT_FORMATS}")
     cols = _result_columns(ds)
     if cols == ["ask"]:
+        if fmt == "nt":
+            raise ValueError("nt results format needs a triple-shaped "
+                             "(s, p, o) result, got an ASK boolean")
         return _write_ask(ds, path, fmt)
+    if fmt == "nt":
+        if sorted(cols) != ["o", "p", "s"]:
+            raise ValueError("nt results format needs a triple-shaped "
+                             f"(s, p, o) result, got columns {cols}")
+        return _write_nt(ds, path)
     writer = {"csv": _write_csv, "tsv": _write_tsv,
               "json": _write_json, "xml": _write_xml}[fmt]
     return writer(ds, path, cols)
+
+
+def _write_nt(ds, path: str) -> int:
+    """CONSTRUCT/DESCRIBE (and update previews) as N-Triples: s/p are
+    the engine's raw IRIs, o is already the rendered term — the same
+    line shape the graph sink emits, streamed batch by batch."""
+    rows = 0
+    with open(path, "w", encoding="utf-8") as f:
+        for t in _iter_tables(ds):
+            s, p, o = (t[c].to_pylist() for c in ("s", "p", "o"))
+            f.write("".join(f"<{si}> <{pi}> {oi} .\n"
+                            for si, pi, oi in zip(s, p, o)))
+            rows += t.num_rows
+    return rows
 
 
 def _write_ask(ds, path: str, fmt: str) -> int:

@@ -166,3 +166,23 @@ def test_write_results_ask_xml(ray_session, result_store, tmp_path):
     ns = {"s": "http://www.w3.org/2005/sparql-results#"}
     root = ET.parse(path).getroot()
     assert root.find("s:boolean", ns).text == "true"
+
+
+def test_write_results_nt_construct(ray_session, result_store,
+                                    tmp_path):
+    """CONSTRUCT output serializes as N-Triples lines matching the
+    graph sink's shape; non-triple results are rejected."""
+    from kgforge.sparql import execute_sparql, parse_sparql
+    q = parse_sparql(
+        "CONSTRUCT WHERE { ?s <http://e/p1> ?o }")[0]
+    ds = execute_sparql(result_store, q)
+    path = str(tmp_path / "g.nt")
+    n = write_sparql_results(ds, path, "nt")
+    lines = sorted(open(path).read().splitlines())
+    assert n == len(lines) > 0
+    for ln in lines:
+        assert ln.startswith("<http://e/") and ln.endswith(" .")
+    qsel = parse_sparql("SELECT ?s WHERE { ?s <http://e/p1> ?o }")[0]
+    with pytest.raises(ValueError):
+        write_sparql_results(execute_sparql(result_store, qsel),
+                             str(tmp_path / "bad.nt"), "nt")
