@@ -41,18 +41,32 @@ Beyond the reference file's four shapes, the subset also covers:
   projected vars; inner vars are scoped by projection; aggregate
   aliases surface as term-form literals, except value-preserving
   MIN/MAX/SAMPLE which keep their source representation);
-- a FILTER expression subset: ``=``/``!=`` on term form,
-  ``<``/``>``/``<=``/``>=`` against a numeric constant (compared
-  NUMERICALLY on the bound term's lexical value; non-numeric terms
-  eliminated, SPARQL type-error semantics), and
+- a FILTER expression subset: ``=``/``!=`` on term form (constants,
+  another variable, or a bare integer), ``<``/``>``/``<=``/``>=``
+  against a numeric constant or variable (compared NUMERICALLY on the
+  bound term's lexical value; non-numeric terms eliminated, SPARQL
+  type-error semantics), ``?v [NOT] IN (...)`` constant lists,
+  ``[!]BOUND`` / ``[!]isIRI`` / ``[!]isLiteral`` unary tests, and
   ``regex``/``strstarts``/``contains`` over ``STR(?v)`` — vectorized
   Arrow kernels inside the streaming plan;
+- ``BIND(expr AS ?alias)`` computed columns: ``STR``/``CONCAT``/
+  ``UCASE``/``LCASE``/``STRLEN``/``SUBSTR``/``REPLACE``/``COALESCE``
+  (aliases may feed later BINDs in the same group);
+- ``COUNT(DISTINCT ?v)`` (grouped: whole-group map_groups pass;
+  global: one bucketed distinct pass per counted column);
 - ``VALUES`` inline data (single- and multi-var), ``ASK`` (limit-1
   existence plan), ``DESCRIBE`` (subject-rooted description, one
-  streamed scan with a broadcast membership filter);
-- ``p+`` property paths over instance predicates
+  streamed scan with a broadcast membership filter or a distributed
+  semi-join above the broadcast limit);
+- property paths: ``p+``/``p*``/``p?`` over instance predicates
   (ops/graph.transitive_pairs: driver BFS for ontology-sized
-  partitions, semi-naive bucket-join iteration at scale).
+  partitions, semi-naive bucket-join iteration at scale; zero-length
+  legs pair the pattern's IRI node domain) and the parse-time
+  rewrites ``/`` (sequence), ``^`` (inverse), ``|`` (alternation);
+- SPARQL-Update: ``INSERT DATA`` / ``INSERT .. WHERE`` (set-semantics
+  append of genuinely new rows) and ``DELETE DATA`` / ``DELETE
+  WHERE`` / ``DELETE .. WHERE`` (partition-local anti-join rewrite
+  with atomic p_key-directory swap); ``CONSTRUCT WHERE`` shorthand.
 
 Position-crossing chains (``?x p ?y . ?y q ?z``) join correctly: every
 variable gets ONE canonical representation across the whole query
