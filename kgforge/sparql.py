@@ -226,7 +226,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|:[A-Za-z0-9_.\-]+)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>!=|<=|>=|=|<|>|\{|\}|\(|\)|\.|;|,|\*|\+|\^|/|\||\?|!)
+  | (?P<punct>!=|<=|>=|\|\||&&|=|<|>|\{|\}|\(|\)|\.|;|,|\*|\+|\^|/|\||\?|!)
   | (?P<ws>\s+)
 """, re.X)
 
@@ -369,6 +369,22 @@ class _P:
             else:
                 self.next()
                 f = self.cmp_expr()
+                if self.peek() in ("||", "&&"):
+                    # one-level disjunction/conjunction of comparisons
+                    # (Kleene combination matches SPARQL's extended
+                    # boolean semantics: true||error=true,
+                    # false&&error=false); mixing needs parentheses,
+                    # which the subset does not nest
+                    op = "or" if self.peek() == "||" else "and"
+                    subs = [f]
+                    while self.peek() in ("||", "&&"):
+                        tok2 = self.next()
+                        if (tok2 == "||") != (op == "or"):
+                            raise SparqlError(
+                                "mixing || and && in one FILTER is "
+                                "out of the supported subset")
+                        subs.append(self.cmp_expr())
+                    f = Filter("", op, tuple(subs))
                 self.expect(")")
                 return f
         tok = self.peek()
@@ -1276,6 +1292,13 @@ def _numeric_form(col, pos_cls: str):
 
 
 def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
+    if f.op in ("or", "and"):
+        comb = pc.or_ if f.op == "or" else pc.and_
+        m = None
+        for sub in f.term:
+            sm = _filter_mask(b, sub, cls)
+            m = sm if m is None else comb(m, sm)
+        return m
     col = b[f.var]
     pos = cls.get(f.var, "iri")
     if f.op in ("bound", "not_bound"):
@@ -1348,7 +1371,13 @@ def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
 
 def _filter_vars(f: Filter) -> set[str]:
     """Every variable a filter references (left side, plus the right
-    side when the comparison is var-vs-var)."""
+    side when the comparison is var-vs-var; the union over a
+    combinator's branches)."""
+    if f.op in ("or", "and"):
+        out: set[str] = set()
+        for sub in f.term:
+            out |= _filter_vars(sub)
+        return out
     out = {f.var}
     if isinstance(f.term, Var):
         out.add(f.term.name)

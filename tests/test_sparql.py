@@ -1469,3 +1469,26 @@ def test_filter_isiri_on_iri_class_var(ray_session, chain_store):
     q2 = parse_sparql("SELECT ?x WHERE { ?x <http://e/p1> ?y . "
                       "FILTER(isIRI(?x)) }")[0]
     assert execute_sparql(chain_store, q2).count() == 2
+
+
+def test_filter_or_and_combinators(ray_session, measure_store):
+    # weights: a=5 b=11 c=7
+    q = parse_sparql(
+        "SELECT ?s WHERE { ?s <http://e/w> ?w . "
+        "FILTER(?w = 5 || ?w > 10) }")[0]
+    df = execute_sparql(measure_store, q).to_pandas()
+    assert sorted(df["s"]) == ["http://e/a", "http://e/b"]
+    q2 = parse_sparql(
+        "SELECT ?s WHERE { ?s <http://e/w> ?w . "
+        "FILTER(?w > 5 && ?w < 10) }")[0]
+    df2 = execute_sparql(measure_store, q2).to_pandas()
+    assert df2["s"].tolist() == ["http://e/c"]
+    # IN participates in a disjunction
+    q3 = parse_sparql(
+        "SELECT ?s WHERE { ?s <http://e/w> ?w . "
+        "FILTER(?w IN (5) || ?w IN (7)) }")[0]
+    df3 = execute_sparql(measure_store, q3).to_pandas()
+    assert sorted(df3["s"]) == ["http://e/a", "http://e/c"]
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?s WHERE { ?s <http://e/w> ?w . "
+                     "FILTER(?w = 5 || ?w > 6 && ?w < 9) }")
