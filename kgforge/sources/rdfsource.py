@@ -295,6 +295,31 @@ def read_turtle(path: str | list[str],
         ds.map_batches(parse_batch, batch_format="pyarrow"))
 
 
+def read_jsonld(path: str | list[str]) -> "ray.data.Dataset":
+    """Distributed JSON-LD reader for the engine's own emitter subset
+    (sinks/jsonld_sink.py shards + @language): one parse task per FILE
+    (a .jsonld file is one JSON document). Returns (s, p, o) term
+    rows — s/p raw IRIs, o rendered."""
+    from ..sinks.jsonld_sink import parse_jsonld
+    files = _expand_paths(path, (".jsonld", ".json"))
+
+    def parse_batch(b: pa.Table) -> pa.Table:
+        rows: list[tuple[str, str, str]] = []
+        for raw in b["bytes"].to_pylist():
+            rows.extend(sorted(parse_jsonld(
+                raw.decode("utf-8", errors="replace"))))
+        if not rows:
+            return TERM_SCHEMA.empty_table()
+        s, p, o = zip(*rows)
+        return pa.table({"s": pa.array(s, pa.string()),
+                         "p": pa.array(p, pa.string()),
+                         "o": pa.array(o, pa.string())})
+
+    ds = ray.data.read_binary_files(files)
+    return ray.data.from_arrow(TERM_SCHEMA.empty_table()).union(
+        ds.map_batches(parse_batch, batch_format="pyarrow"))
+
+
 # ------------------------------------------------------------ N-Triples
 
 # one vectorized regex over the whole line column: subject, predicate,
@@ -352,14 +377,18 @@ def load_rdf_store(src: str | list[str], store_dir: str,
     from ..stages.dedup import distinct
 
     if fmt is None:
-        files = _expand_paths(src, (".ttl", ".turtle", ".nt", ".ntriples"))
+        files = _expand_paths(src, (".ttl", ".turtle", ".nt",
+                                    ".ntriples", ".jsonld"))
         ttl = [f for f in files if f.endswith((".ttl", ".turtle"))]
         nt = [f for f in files if f.endswith((".nt", ".ntriples"))]
+        jl = [f for f in files if f.endswith(".jsonld")]
         parts = []
         if ttl:
             parts.append(read_turtle(ttl, base))
         if nt:
             parts.append(read_ntriples(nt))
+        if jl:
+            parts.append(read_jsonld(jl))
         if not parts:
             raise ValueError(f"no RDF files found under {src!r}")
         ds = parts[0]
@@ -369,6 +398,8 @@ def load_rdf_store(src: str | list[str], store_dir: str,
         ds = read_turtle(src, base)
     elif fmt in ("nt", "ntriples"):
         ds = read_ntriples(src)
+    elif fmt == "jsonld":
+        ds = read_jsonld(src)
     else:
         raise ValueError(f"unknown RDF format {fmt!r}")
 

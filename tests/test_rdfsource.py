@@ -196,3 +196,28 @@ def test_turtle_reader_is_per_file_parallel(ray_session):
     assert ds.count() == 8
     assert sorted(r["s"] for r in ds.take_all()) == sorted(
         f"http://ex.org/s{i}" for i in range(8))
+
+
+def test_roundtrip_jsonld(ray_session, tmp_path):
+    """Engine-emitted JSON-LD shards re-read (read_jsonld +
+    load_rdf_store auto-detect) to the exact term set of the source
+    graph."""
+    import ray.data
+    from kgforge.pipelines import tabular
+    from kgforge.sinks.jsonld_sink import write_graph_jsonld
+    from kgforge.sinks.store_query import query_triples
+    from kgforge.sources.rdfsource import read_jsonld
+
+    golden = sorted(tuple(r.values())
+                    for r in tabular.table_kg_terms(SF, "region")
+                    .take_all())
+    out = str(tmp_path / "g.jsonld")
+    write_graph_jsonld(tabular.table_kg_triples(SF, "region"), out)
+    back = sorted(tuple(r.values())
+                  for r in read_jsonld(out).take_all())
+    assert back == golden
+    store = str(tmp_path / "store")
+    load_rdf_store(out, store)
+    loaded = sorted(tuple(r.values())
+                    for r in query_triples(store).take_all())
+    assert loaded == sorted(set(golden))
