@@ -261,7 +261,8 @@ _AGG_FNS = ("count", "min", "max", "sum", "avg", "sample",
 #: BIND expression functions -> (min arity, max arity)
 _BIND_FNS = {"str": (1, 1), "concat": (1, 64), "ucase": (1, 1),
              "lcase": (1, 1), "strlen": (1, 1), "substr": (2, 3),
-             "replace": (3, 3), "coalesce": (1, 64)}
+             "replace": (3, 3), "coalesce": (1, 64), "lang": (1, 1),
+             "datatype": (1, 1)}
 
 
 def _parse_agg_call(p: "_P"
@@ -1267,7 +1268,7 @@ def _left_join(bind: _Bind, opt: _Bind, on: list[str]) -> _Bind:
 #: STR() of a term-position value: strip <..> / "..."[^^<dt>] down to
 #: the lexical form (s/p positions already hold raw IRIs).
 _STR_IRI_RE = r"^<(.*)>$"
-_STR_LIT_RE = r'^"(.*)"(?:\^\^<[^>]*>)?$'
+_STR_LIT_RE = r'^"(.*)"(?:\^\^<[^>]*>|@[A-Za-z][A-Za-z0-9\-]*)?$'
 _NUMERIC_RE = r"^-?[0-9]+(?:\.[0-9]+)?$"
 
 _CMP_KERNELS = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
@@ -1695,6 +1696,45 @@ def _eval_bind_expr(b: pa.Table, expr, cls: dict[str, str]):
         return pc.replace_substring_regex(
             s_form(expr.args[0]), pattern=expr.args[1].value,
             replacement=expr.args[2].value)
+    if expr.name in ("lang", "datatype"):
+        arg = expr.args[0]
+        pos = (cls.get(arg.name, "iri")
+               if isinstance(arg, Var) else "term")
+        if pos == "iri":
+            # raw-IRI variables: LANG("") per spec; DATATYPE of an
+            # IRI is a type error -> unbound
+            if expr.name == "lang":
+                return pa.array(['""'] * b.num_rows, pa.string())
+            return pa.nulls(b.num_rows, pa.string())
+        a = _eval_bind_expr(b, arg, cls)
+        a = (a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+             else a)
+        lit_body = r'"(?:[^"\\]|\\.)*"'
+        if expr.name == "lang":
+            ext = pc.extract_regex(
+                a, f'^{lit_body}@(?P<l>[A-Za-z][A-Za-z0-9\\-]*)$')
+            tag = pc.coalesce(pc.struct_field(ext, "l"), pa.scalar(""))
+            return pc.binary_join_element_wise(
+                pa.array(['"'] * b.num_rows), tag,
+                pa.array(['"'] * b.num_rows), "")
+        dt = pc.struct_field(pc.extract_regex(
+            a, f'^{lit_body}\\^\\^<(?P<d>[^>]*)>$'), "d")
+        is_lang = pc.match_substring_regex(
+            a, f'^{lit_body}@[A-Za-z][A-Za-z0-9\\-]*$')
+        is_plain = pc.match_substring_regex(a, f"^{lit_body}$")
+        rdf_ls = ("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                  "langString")
+        xsd_str = "http://www.w3.org/2001/XMLSchema#string"
+        out = pc.if_else(
+            pc.is_valid(dt),
+            pc.binary_join_element_wise(
+                pa.array(["<"] * b.num_rows), pc.coalesce(
+                    dt, pa.scalar("")),
+                pa.array([">"] * b.num_rows), ""),
+            pc.if_else(is_lang, pa.scalar(f"<{rdf_ls}>"),
+                       pc.if_else(is_plain, pa.scalar(f"<{xsd_str}>"),
+                                  pa.scalar(None, pa.string()))))
+        return out
     if expr.name == "coalesce":
         # first BOUND argument, evaluated in TERM space (raw-IRI args
         # wrap to <...> so mixed-representation alternatives align) —

@@ -1492,3 +1492,58 @@ def test_filter_or_and_combinators(ray_session, measure_store):
     with pytest.raises(SparqlError):
         parse_sparql("SELECT ?s WHERE { ?s <http://e/w> ?w . "
                      "FILTER(?w = 5 || ?w > 6 && ?w < 9) }")
+
+
+@pytest.fixture()
+def lang_store(ray_session, tmp_path):
+    """Literals with a langtag, a datatype, plain, and an IRI object."""
+    import ray.data
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = pa.table({
+        "s": [f"http://e/s{i}" for i in range(4)],
+        "p": ["http://e/p"] * 4,
+        "o": ['"bonjour"@fr', f'"5"^^<{xsd_int}>', '"plain"',
+              '<http://e/x>'],
+    })
+    store = str(tmp_path / "langs")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(rows), store)
+    return store
+
+
+def test_bind_lang_and_datatype(ray_session, lang_store):
+    q = parse_sparql(
+        "SELECT ?s ?l ?d WHERE { ?s <http://e/p> ?o . "
+        "BIND(LANG(?o) AS ?l) BIND(DATATYPE(?o) AS ?d) }")[0]
+    df = (execute_sparql(lang_store, q).to_pandas()
+          .sort_values("s").reset_index(drop=True))
+    assert df["l"].tolist() == ['"fr"', '""', '""', '""']
+    assert df["d"].tolist() == [
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>",
+        "<http://www.w3.org/2001/XMLSchema#integer>",
+        "<http://www.w3.org/2001/XMLSchema#string>",
+        None]
+    # LANG composes with FILTER through the alias
+    q2 = parse_sparql(
+        "SELECT ?s WHERE { ?s <http://e/p> ?o . "
+        'BIND(LANG(?o) AS ?l) FILTER(?l = "fr") }')[0]
+    df2 = execute_sparql(lang_store, q2).to_pandas()
+    assert df2["s"].tolist() == ["http://e/s0"]
+
+
+def test_str_strips_langtag_and_datatype(ray_session, lang_store):
+    q = parse_sparql(
+        "SELECT ?s ?v WHERE { ?s <http://e/p> ?o . "
+        "BIND(STR(?o) AS ?v) }")[0]
+    df = (execute_sparql(lang_store, q).to_pandas()
+          .sort_values("s").reset_index(drop=True))
+    assert df["v"].tolist() == ["bonjour", "5", "plain", "http://e/x"]
+
+
+def test_lang_of_iri_class_var(ray_session, lang_store):
+    q = parse_sparql(
+        "SELECT ?s ?l WHERE { ?s <http://e/p> ?o . "
+        "BIND(LANG(?s) AS ?l) }")[0]
+    df = execute_sparql(lang_store, q).to_pandas()
+    assert set(df["l"]) == {'""'}
