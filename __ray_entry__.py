@@ -148,6 +148,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_count_distinct"] = versioning.sparql_count_distinct
     q["sparql_count_distinct_global"] = \
         versioning.sparql_count_distinct_global
+    # LANG/DATATYPE over mixed-form literals; || filter; COALESCE
+    q["sparql_lang_filter"] = versioning.sparql_lang_filter
+    q["sparql_datatype_histogram"] = \
+        versioning.sparql_datatype_histogram
+    q["sparql_filter_or"] = versioning.sparql_filter_or
+    q["sparql_coalesce_default"] = versioning.sparql_coalesce_default
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -411,6 +417,12 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_count_distinct"] = versioning.sparql_count_distinct_sql()
     o["sparql_count_distinct_global"] = \
         versioning.sparql_count_distinct_global_sql()
+    o["sparql_lang_filter"] = versioning.sparql_lang_filter_sql()
+    o["sparql_datatype_histogram"] = \
+        versioning.sparql_datatype_histogram_sql()
+    o["sparql_filter_or"] = versioning.sparql_filter_or_sql()
+    o["sparql_coalesce_default"] = \
+        versioning.sparql_coalesce_default_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

@@ -1106,6 +1106,184 @@ FROM part
 """
 
 
+XSD_INTEGER_IRI = "http://www.w3.org/2001/XMLSchema#integer"
+RDF_LANGSTRING = ("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                  "langString")
+XSD_STRING_IRI = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def labeled_triples(sf_dir: str) -> "ray.data.Dataset":
+    """Mixed-form literal fixture: per part k one ``label`` triple
+    whose rendering cycles on k%5 — "name{k}"@fr (0), "name{k}"@en
+    (1, 2), plain "name{k}" (3), "{k}"^^xsd:integer (4) — the shapes
+    external Turtle brings in, exercising LANG/DATATYPE/STR."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "part", columns=["p_partkey"])
+
+    def build(b: pa.Table) -> pa.Table:
+        keys = (b["p_partkey"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        s = pa.array([f"{NSC}part{k}" for k in keys], pa.string())
+
+        def render(k: int) -> str:
+            m = k % 5
+            if m == 0:
+                return f'"name{k}"@fr'
+            if m in (1, 2):
+                return f'"name{k}"@en'
+            if m == 3:
+                return f'"name{k}"'
+            return f'"{k}"^^<{XSD_INTEGER_IRI}>'
+
+        return pa.table({
+            "s": s,
+            "p": pa.array([NSC + "label"] * len(keys), pa.string()),
+            "o": pa.array([render(int(k)) for k in keys], pa.string()),
+        })
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def labeled_store(sf_dir: str) -> str:
+    """Idempotent store of the mixed-literal fixture (content-keyed
+    /tmp cache, atomic build)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    src = sorted(glob.glob(os.path.join(sf_dir, "part*.parquet")))
+    stamp = ";".join(f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p):.6f}"
+                     for p in src)
+    key = hashlib.md5(f"lblstore1:{os.path.abspath(sf_dir)}:{stamp}"
+                      .encode()).hexdigest()[:12]
+    store = f"/tmp/kgforge_lblstore_{key}"
+    marker = os.path.join(store, "_SUCCESS")
+    if os.path.exists(marker):
+        return store
+    shutil.rmtree(store, ignore_errors=True)
+    tmp = store + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    from ..sinks.ntriples_sink import write_graph_partitioned
+    os.makedirs(tmp, exist_ok=True)
+    write_graph_partitioned(labeled_triples(sf_dir), tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    os.replace(tmp, store)
+    return store
+
+
+LANG_FILTER_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?lab WHERE {
+  ?p c:label ?lab .
+  BIND(LANG(?lab) AS ?lg)
+  FILTER(?lg = "fr")
+}
+"""
+
+
+def sparql_lang_filter(sf_dir: str) -> "ray.data.Dataset":
+    """LANG gate: langtag extraction composed with FILTER through the
+    BIND alias — keep only the French labels."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(LANG_FILTER_QUERY)[0]
+    return execute_sparql(labeled_store(sf_dir), q)
+
+
+def sparql_lang_filter_sql() -> str:
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '"name' || CAST(p_partkey AS VARCHAR) || '"@fr' AS lab
+FROM part WHERE p_partkey % 5 = 0
+"""
+
+
+DATATYPE_HIST_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?d (COUNT(*) AS ?n) WHERE {
+  ?p c:label ?lab .
+  BIND(DATATYPE(?lab) AS ?d)
+} GROUP BY ?d
+"""
+
+
+def sparql_datatype_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """DATATYPE gate: grouped histogram over the derived datatype —
+    rdf:langString for @-tagged labels, xsd:string for plain ones,
+    the declared IRI for typed ones."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(DATATYPE_HIST_QUERY)[0]
+    return execute_sparql(labeled_store(sf_dir), q)
+
+
+def sparql_datatype_histogram_sql() -> str:
+    return f"""
+SELECT CASE
+         WHEN p_partkey % 5 <= 2 THEN '<{RDF_LANGSTRING}>'
+         WHEN p_partkey % 5 = 3 THEN '<{XSD_STRING_IRI}>'
+         ELSE '<{XSD_INTEGER_IRI}>'
+       END AS d,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM part GROUP BY 1
+"""
+
+
+FILTER_OR_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?w WHERE {
+  ?p c:weight ?w .
+  FILTER(?w < 10 || ?w > 90)
+}
+"""
+
+
+def sparql_filter_or(sf_dir: str) -> "ray.data.Dataset":
+    """|| gate: one FILTER keeps the tails of the weight range."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(FILTER_OR_QUERY)[0]
+    assert q.where.filters[0].op == "or"
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_filter_or_sql() -> str:
+    w = "(p_partkey * 31) % 97"
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '"' || CAST({w} AS VARCHAR) || '"' AS w
+FROM part WHERE {w} < 10 OR {w} > 90
+"""
+
+
+COALESCE_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?v WHERE {
+  ?p c:weight ?w .
+  OPTIONAL { ?p c:bonus ?b }
+  BIND(COALESCE(?b, "none") AS ?v)
+}
+"""
+
+
+def sparql_coalesce_default(sf_dir: str) -> "ray.data.Dataset":
+    """COALESCE gate: the OPTIONAL-default idiom over the sparse
+    bonus predicate."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(COALESCE_QUERY)[0]
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_coalesce_default_sql() -> str:
+    b = "(p_partkey * 7) % 13"
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       CASE WHEN p_partkey % 3 = 0
+            THEN '"' || CAST({b} AS VARCHAR) || '"'
+            ELSE '"none"' END AS v
+FROM part
+"""
+
+
 def _version_pairs(sf_dir: str, version: int) -> "ray.data.Dataset":
     """(x, z) instance pairs of one version of the scaled fixture —
     x raw IRI, z term form, same shapes as the MINUS gate."""
