@@ -56,6 +56,23 @@ def _steal_pct(before, after) -> float | None:
     return round(100.0 * (after[0] - before[0]) / d_total, 1)
 
 
+def _memcpy_gbs() -> float:
+    """Single-stream 100 MB memcpy throughput — this host's external
+    noise waves hit MEMORY BANDWIDTH while CPU probes and the canary
+    stay clean (0-2 GB/s mid-wave vs 5-10 GB/s quiet); the object
+    store rides that bandwidth, so a low reading explains a slow run
+    that steal/canary telemetry would call clean."""
+    import numpy as np
+    a = np.ones(100_000_000 // 8)
+    b = np.empty_like(a)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 1.0:
+        np.copyto(b, a)
+        n += 1
+    return round(n * 100 / (time.time() - t0) / 1000, 1)
+
+
 def _preflight() -> None:
     """Stray Ray workers from crashed sessions skew results 2-4x
     (measured); warn on stderr — stdout stays one JSON line."""
@@ -173,6 +190,7 @@ def run_bench() -> dict:
         canary_s = canary()
     load_start = round(os.getloadavg()[0], 2)
     steal0 = _stat_snapshot()
+    bw_start = _memcpy_gbs()
 
     # GRAFT_BENCH_WARM=1: run each query once UNTIMED first, then time
     # the steady-state execution (JMH-style warm-up). Used by the
@@ -196,6 +214,7 @@ def run_bench() -> dict:
             webkg_s = dt
     # end-of-run canary: catches contention that ARRIVED mid-run
     canary_end_s = canary()
+    bw_end = _memcpy_gbs()
     steal_pct = _steal_pct(steal0, _stat_snapshot())
     steal_thr = float(os.environ.get("GRAFT_STEAL_MAX_PCT", "10"))
     contended = (canary_s > quiet_thr or canary_end_s > quiet_thr
@@ -237,6 +256,8 @@ def run_bench() -> dict:
         "host_load_avg": load_start,
         "host_contended": contended,
         "steal_pct": steal_pct,
+        "memcpy_gbs_start": bw_start,
+        "memcpy_gbs_end": bw_end,
         "spilled_mib": spill,
     }
     if contended:
