@@ -49,7 +49,8 @@ def store_predicates(store_dir: str) -> list[str]:
 
 
 def query_triples(store_dir: str, s: str | None = None,
-                  p: str | None = None, o: str | None = None
+                  p: str | None = None, o: str | None = None,
+                  p_not: list[str] | None = None
                   ) -> "ray.data.Dataset":
     """``(s?, p?, o?)`` pattern match -> Dataset of (s, p, o) term rows.
 
@@ -57,6 +58,10 @@ def query_triples(store_dir: str, s: str | None = None,
       in-read equality filter (crc-collision tolerance).
     - ``s`` / ``o`` bound: pushed as parquet filters (row-group pruning)
       via the read's filter expression.
+    - ``p_not``: negated property set — full partition list, with
+      ``p != v`` pushed as a parquet filter; single-predicate
+      partitions prune at row-group stats (min==max==p), so excluded
+      partitions cost one footer read, not a scan.
     - nothing bound: full store scan (still a streaming Dataset).
     ``o`` matches the rendered TERM (``<iri>`` or ``"literal"``)."""
     paths = _partition_paths(store_dir, p)
@@ -70,6 +75,9 @@ def query_triples(store_dir: str, s: str | None = None,
         if val is not None:
             e = pads.field(col) == val
             expr = e if expr is None else (expr & e)
+    for val in (p_not or []):
+        e = pads.field("p") != val
+        expr = e if expr is None else (expr & e)
     kwargs = {"columns": ["s", "p", "o"]}
     if expr is not None:
         kwargs["filter"] = expr

@@ -154,6 +154,34 @@ class Func:
 
 
 @dataclass(frozen=True)
+class Arith:
+    """Numeric BIND expression node: ``l op r`` with op one of
+    ``+ - * /`` — operands coerce via the lexical numeric parse
+    (non-numeric terms become null, SPARQL type-error semantics)."""
+    op: str
+    l: object
+    r: object
+
+
+@dataclass(frozen=True)
+class IfExpr:
+    """``IF(cond, then, else)`` BIND node — cond is one comparison
+    (the FILTER cmp subset); a null mask (type error) yields an
+    unbound result, per spec."""
+    cond: "Filter"
+    then: object
+    els: object
+
+
+@dataclass(frozen=True)
+class NegSet:
+    """Negated property set ``!iri`` / ``!(iri1|iri2)`` in a path
+    position: matches every triple whose predicate is NOT in the
+    set (SPARQL 1.1 §9.1; forward direction only in this subset)."""
+    values: tuple
+
+
+@dataclass(frozen=True)
 class BindExpr:
     """One ``BIND(expr AS ?alias)`` in a group."""
     expr: object
@@ -226,7 +254,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|:[A-Za-z0-9_.\-]+)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>!=|<=|>=|\|\||&&|=|<|>|\{|\}|\(|\)|\.|;|,|\*|\+|\^|/|\||\?|!)
+  | (?P<punct>!=|<=|>=|\|\||&&|=|<|>|\{|\}|\(|\)|\.|;|,|\*|\+|\-|\^|/|\||\?|!)
   | (?P<ws>\s+)
 """, re.X)
 
@@ -262,7 +290,14 @@ _AGG_FNS = ("count", "min", "max", "sum", "avg", "sample",
 _BIND_FNS = {"str": (1, 1), "concat": (1, 64), "ucase": (1, 1),
              "lcase": (1, 1), "strlen": (1, 1), "substr": (2, 3),
              "replace": (3, 3), "coalesce": (1, 64), "lang": (1, 1),
-             "datatype": (1, 1)}
+             "datatype": (1, 1), "strbefore": (2, 2),
+             "strafter": (2, 2), "encode_for_uri": (1, 1),
+             "strlang": (2, 2), "strdt": (2, 2), "abs": (1, 1),
+             "ceil": (1, 1), "floor": (1, 1), "round": (1, 1)}
+
+#: BIND functions whose result is numeric (evaluated through
+#: ``_eval_num_expr`` and rendered as a lexical numeric string)
+_NUM_FNS = frozenset({"abs", "ceil", "floor", "round"})
 
 
 def _parse_agg_call(p: "_P"
@@ -364,7 +399,9 @@ class _P:
             nxt = (self.t[self.i + 1].lower()
                    if self.i + 1 < len(self.t) else "")
             if nxt in _FILTER_FUNCS or nxt in (
-                    "bound", "isiri", "isuri", "isliteral", "!"):
+                    "bound", "isiri", "isuri", "isliteral",
+                    "isnumeric", "isblank", "langmatches",
+                    "sameterm", "!"):
                 wrapped = True
                 self.next()
             else:
@@ -390,18 +427,59 @@ class _P:
                 return f
         tok = self.peek()
         unary = {"bound": "bound", "isiri": "is_iri",
-                 "isuri": "is_iri", "isliteral": "is_literal"}
-        if tok == "!" or (tok is not None and ":" not in tok
-                          and tok.lower() in unary):
-            neg = tok == "!"
+                 "isuri": "is_iri", "isliteral": "is_literal",
+                 "isnumeric": "is_numeric", "isblank": "is_blank"}
+        neg = tok == "!"
+        if neg:
+            self.next()
+            nxt2 = self.peek()
+            if not (nxt2 is not None and ":" not in nxt2
+                    and (nxt2.lower() in unary
+                         or nxt2.lower() == "sameterm")):
+                raise SparqlError(
+                    "FILTER '!' supports only !BOUND/!isIRI/"
+                    "!isLiteral/!isNumeric/!isBlank/!sameTerm(...)")
+            tok = self.peek()
+        if tok is not None and ":" not in tok and _is_kw(
+                tok, "sameterm"):
+            # sameTerm(?a, ?b): exact term identity — equivalent to
+            # '=' over the canonical string representation
+            self.next()
+            self.expect("(")
+            a = self.term()
+            self.expect(",")
+            bb = self.term()
+            self.expect(")")
+            if wrapped:
+                self.expect(")")
+            if not (isinstance(a, Var) and isinstance(bb, Var)):
+                raise SparqlError("sameTerm takes two ?vars")
+            return Filter(a.name, "!=" if neg else "=", bb)
+        if tok is not None and ":" not in tok and _is_kw(
+                tok, "langmatches"):
+            # langMatches(LANG(?v), "range"): case-insensitive
+            # basic range match ("*" = any tagged literal;
+            # "en" matches "en" and "en-US")
+            self.next()
+            self.expect("(")
+            if not _is_kw(self.next(), "lang"):
+                raise SparqlError(
+                    "langMatches subset takes LANG(?var) first")
+            self.expect("(")
+            v = self.term()
+            self.expect(")")
+            self.expect(",")
+            rng = self.term()
+            self.expect(")")
+            if wrapped:
+                self.expect(")")
+            if not isinstance(v, Var) or not isinstance(rng, Lit):
+                raise SparqlError(
+                    "langMatches needs LANG(?var) and a string range")
             if neg:
-                self.next()
-                nxt2 = self.peek()
-                if not (nxt2 is not None and ":" not in nxt2
-                        and nxt2.lower() in unary):
-                    raise SparqlError(
-                        "FILTER '!' supports only "
-                        "!BOUND/!isIRI/!isLiteral(?var)")
+                raise SparqlError("!langMatches is unsupported")
+            return Filter(v.name, "lang_matches", rng)
+        if tok is not None and ":" not in tok and tok.lower() in unary:
             op = unary[self.next().lower()]
             self.expect("(")
             v = self.term()
@@ -411,6 +489,8 @@ class _P:
             if wrapped:
                 self.expect(")")
             return Filter(v.name, ("not_" + op) if neg else op, None)
+        if neg:
+            raise SparqlError("FILTER '!' needs a unary predicate")
         if tok is None or tok.lower() not in _FILTER_FUNCS:
             raise SparqlError(f"cannot parse FILTER at {tok!r}")
         fn = self.next().lower()
@@ -460,10 +540,41 @@ class _P:
         return Filter(v.name, op, t)
 
     def bind_expr(self):
-        """BIND expression subset: term | STR | CONCAT | UCASE |
-        LCASE | STRLEN | SUBSTR(expr, start[, len]) |
-        REPLACE(expr, "pat", "rep")."""
+        """BIND expression subset with numeric arithmetic:
+        ``additive := mult (('+'|'-') mult)*``;
+        ``mult := primary (('*'|'/') primary)*``;
+        ``primary := FN(args) | IF(cmp, e, e) | term | '(' additive ')'``
+        where FN is one of ``_BIND_FNS``."""
+        e = self._mult_expr()
+        while self.peek() in ("+", "-"):
+            op = self.next()
+            e = Arith(op, e, self._mult_expr())
+        return e
+
+    def _mult_expr(self):
+        e = self._primary_expr()
+        while self.peek() in ("*", "/"):
+            op = self.next()
+            e = Arith(op, e, self._primary_expr())
+        return e
+
+    def _primary_expr(self):
         tok = self.peek()
+        if tok == "(":
+            self.next()
+            e = self.bind_expr()
+            self.expect(")")
+            return e
+        if tok is not None and ":" not in tok and _is_kw(tok, "if"):
+            self.next()
+            self.expect("(")
+            cond = self.cmp_expr()
+            self.expect(",")
+            then = self.bind_expr()
+            self.expect(",")
+            els = self.bind_expr()
+            self.expect(")")
+            return IfExpr(cond, then, els)
         if (tok is not None and ":" not in tok
                 and tok.lower() in _BIND_FNS):
             name = self.next().lower()
@@ -483,6 +594,18 @@ class _P:
             if name == "replace" and not all(
                     isinstance(a, Lit) for a in args[1:]):
                 raise SparqlError("REPLACE needs string constants")
+            if name in ("strbefore", "strafter") and not isinstance(
+                    args[1], Lit):
+                raise SparqlError(
+                    f"{name.upper()} separator must be a string "
+                    "constant")
+            if name == "strlang":
+                if not (isinstance(args[1], Lit) and re.fullmatch(
+                        r"[A-Za-z]+(?:-[A-Za-z0-9]+)*", args[1].value)):
+                    raise SparqlError(
+                        "STRLANG tag must be a language-tag constant")
+            if name == "strdt" and not isinstance(args[1], Iri):
+                raise SparqlError("STRDT datatype must be an IRI")
             return Func(name, tuple(args))
         return self.term()
 
@@ -562,6 +685,34 @@ class _P:
         single-element degenerate case."""
         def elt() -> tuple[bool, object, object]:
             inv = False
+            if self.peek() == "!":
+                # negated property set: !iri | !(iri1|iri2|...)
+                self.next()
+                vals: list[str] = []
+                if self.peek() == "(":
+                    self.next()
+                    while True:
+                        t = self.term()
+                        if not isinstance(t, Iri):
+                            raise SparqlError(
+                                "negated property sets take "
+                                "constant IRIs")
+                        vals.append(t.value)
+                        if self.peek() == "|":
+                            self.next()
+                            continue
+                        break
+                    self.expect(")")
+                else:
+                    t = self.term()
+                    if not isinstance(t, Iri):
+                        raise SparqlError(
+                            "negated property sets take constant IRIs")
+                    vals = [t.value]
+                if self.peek() in ("+", "*", "?"):
+                    raise SparqlError(
+                        "negated property sets take no path modifier")
+                return (False, NegSet(tuple(vals)), None)
             if self.peek() == "^":
                 self.next()
                 inv = True
@@ -601,6 +752,10 @@ class _P:
 
     def emit_path(self, out: list[Pattern], group: "Group | None",
                   s, seqs, o) -> None:
+        if group is None and any(
+                isinstance(t, NegSet) for seq in seqs for _, t, _ in seq):
+            raise SparqlError(
+                "negated property sets are not allowed in a template")
         if len(seqs) == 1:
             self._emit_seq(out, s, seqs[0], o)
             return
@@ -740,7 +895,10 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
     ``{ SELECT ... }`` subqueries (the modifier loops stop naturally
     at the enclosing group's ``}``)."""
     distinct = False
-    if p.peek() and _is_kw(p.peek(), "distinct"):
+    if p.peek() and (_is_kw(p.peek(), "distinct")
+                     or _is_kw(p.peek(), "reduced")):
+        # REDUCED *permits* duplicate elimination — implementing it
+        # as DISTINCT is spec-conformant and deterministic
         p.next()
         distinct = True
     sel: list[str] = []
@@ -1098,6 +1256,9 @@ def _eval_store_pattern(store_dir: str, pat: Pattern,
     o = _const_repr(pat.o, "term") if not isinstance(pat.o, Var) else None
     if isinstance(pat.p, Iri):
         ds = query_triples(store_dir, s=s, p=pat.p.value, o=o)
+    elif isinstance(pat.p, NegSet):
+        ds = query_triples(store_dir, s=s, o=o,
+                           p_not=list(pat.p.values))
     elif p_values is not None:
         parts = [query_triples(store_dir, s=s, p=v, o=o)
                  for v in p_values]
@@ -1318,6 +1479,35 @@ def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
             # unbound is a type error either way -> row eliminated
             return pc.and_(bound, pc.invert(m))
         return m
+    if f.op in ("is_numeric", "not_is_numeric"):
+        m = pc.is_valid(_numeric_form(col, pos))
+        if f.op == "is_numeric":
+            return m
+        return pc.and_(pc.is_valid(col), pc.invert(m))
+    if f.op in ("is_blank", "not_is_blank"):
+        c = col.combine_chunks().cast(pa.string())
+        bound = pc.is_valid(c)
+        m = pc.and_(bound, pc.fill_null(pc.starts_with(c, "_:"),
+                                        False))
+        if f.op == "is_blank":
+            return m
+        return pc.and_(bound, pc.invert(m))
+    if f.op == "lang_matches":
+        c = col.combine_chunks().cast(pa.string())
+        if pos == "iri":
+            # raw-IRI representation carries no language tag
+            return pc.and_(pc.is_valid(c), pc.invert(pc.is_valid(c)))
+        lit_body = r'"(?:[^"\\]|\\.)*"'
+        tag = pc.struct_field(pc.extract_regex(
+            c, f'^{lit_body}@(?P<l>[A-Za-z][A-Za-z0-9\\-]*)$'), "l")
+        rng = f.term.value.lower()
+        if rng == "*":
+            m = pc.is_valid(tag)
+        else:
+            tl = pc.utf8_lower(pc.fill_null(tag, ""))
+            m = pc.or_(pc.equal(tl, rng),
+                       pc.starts_with(tl, rng + "-"))
+        return pc.fill_null(m, False)
     if f.op in ("in", "not_in"):
         if all(isinstance(t, Num) for t in f.term):
             # numeric list: same comparison semantics as ``= n``
@@ -1573,7 +1763,10 @@ def _pattern_order(patterns: list[Pattern]) -> list[Pattern]:
     variables cheaply), then by boundness (more constants first)."""
     def key(p: Pattern):
         is_schema = (isinstance(p.p, Iri) and p.p.value in _SCHEMA_PREDS)
-        bound = sum(0 if isinstance(t, Var) else 1 for t in (p.s, p.p, p.o))
+        # a negated property set is selectivity-wise an UNBOUND
+        # predicate (near-full scan), not a constant
+        bound = sum(0 if isinstance(t, (Var, NegSet)) else 1
+                    for t in (p.s, p.p, p.o))
         return (0 if is_schema else 1, -bound)
     return sorted(patterns, key=key)
 
@@ -1639,9 +1832,86 @@ def _collect_cls(g: Group, cls: dict[str, str] | None = None
     return cls
 
 
+def _chunked(a):
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+
+def _eval_num_expr(b: pa.Table, expr, cls: dict[str, str]):
+    """Numeric BIND expression over one batch -> float64 array;
+    non-numeric / non-finite values become null (type-error
+    semantics: the binding stays unbound)."""
+    if isinstance(expr, Num):
+        return pa.array([float(expr.value)] * b.num_rows, pa.float64())
+    if isinstance(expr, Arith):
+        le = _eval_num_expr(b, expr.l, cls)
+        r = _eval_num_expr(b, expr.r, cls)
+        fn = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
+              "/": pc.divide}[expr.op]
+        if expr.op == "/":
+            # float division by zero yields ±inf/nan, not a raise —
+            # mask to null (SPARQL: a type error, binding dropped)
+            r = pc.if_else(pc.equal(r, 0.0),
+                           pa.scalar(None, pa.float64()), r)
+        out = fn(le, r)
+        return pc.if_else(pc.is_finite(out), out,
+                          pa.scalar(None, pa.float64()))
+    if isinstance(expr, Func) and expr.name in _NUM_FNS:
+        x = _eval_num_expr(b, expr.args[0], cls)
+        if expr.name == "abs":
+            return pc.abs(x)
+        if expr.name == "ceil":
+            return pc.ceil(x)
+        if expr.name == "floor":
+            return pc.floor(x)
+        # xsd:round = round half toward positive infinity
+        # (ROUND(2.5)=3, ROUND(-2.5)=-2)
+        return pc.round(x, round_mode="half_up")
+    # leaf: coerce the string form through the lexical numeric parse
+    s = _eval_bind_expr(b, expr, cls)
+    pos = (cls.get(expr.name, "iri") if isinstance(expr, Var)
+           else "term")
+    return _numeric_form(s, pos)
+
+
+def _render_num(x) -> pa.Array:
+    """float64 -> lexical numeric string: integral values render as
+    integers (``12`` not ``12.0``), others as the shortest float
+    repr — matching DuckDB's CAST(... AS VARCHAR) on the mirrors."""
+    x = _chunked(x)
+    tr = pc.trunc(x)
+    integral = pc.and_(pc.equal(x, tr),
+                       pc.and_(pc.greater(x, float(-2**62)),
+                               pc.less(x, float(2**62))))
+    as_int = pc.cast(pc.cast(pc.if_else(
+        pc.fill_null(integral, False), x, pa.scalar(0.0)),
+        pa.int64()), pa.string())
+    return pc.if_else(integral, as_int, pc.cast(x, pa.string()))
+
+
 def _eval_bind_expr(b: pa.Table, expr, cls: dict[str, str]):
     """Vectorized BIND expression over one batch -> a string column of
     ``b.num_rows`` values in the alias's canonical representation."""
+    if isinstance(expr, Arith) or (isinstance(expr, Func)
+                                   and expr.name in _NUM_FNS):
+        return _render_num(_eval_num_expr(b, expr, cls))
+    if isinstance(expr, IfExpr):
+        missing = _filter_vars(expr.cond) - set(b.column_names)
+        if missing:
+            raise SparqlError(
+                f"IF condition references unbound "
+                f"?{sorted(missing)[0]}")
+        mask = _chunked(_filter_mask(b, expr.cond, cls))
+
+        def t_form(arg):
+            if isinstance(arg, Iri):
+                return pa.array([f"<{arg.value}>"] * b.num_rows,
+                                pa.string())
+            a = _eval_bind_expr(b, arg, cls)
+            pos = (cls.get(arg.name, "iri") if isinstance(arg, Var)
+                   else "term")
+            return _wrap_iri(_chunked(a)) if pos == "iri" else a
+
+        return pc.if_else(mask, t_form(expr.then), t_form(expr.els))
     if isinstance(expr, Var):
         if expr.name not in b.column_names:
             raise SparqlError(f"BIND references unbound ?{expr.name}")
@@ -1735,6 +2005,42 @@ def _eval_bind_expr(b: pa.Table, expr, cls: dict[str, str]):
                        pc.if_else(is_plain, pa.scalar(f"<{xsd_str}>"),
                                   pa.scalar(None, pa.string()))))
         return out
+    if expr.name in ("strbefore", "strafter"):
+        s = _chunked(s_form(expr.args[0]))
+        sep = expr.args[1].value
+        if sep == "":
+            # per spec: STRBEFORE(x, "") = "", STRAFTER(x, "") = x
+            if expr.name == "strafter":
+                return s
+            return pc.if_else(pc.is_valid(s), pa.scalar(""),
+                              pa.scalar(None, pa.string()))
+        pat = re.escape(sep)
+        if expr.name == "strbefore":
+            ext = pc.extract_regex(s, f"(?s)^(?P<r>.*?){pat}")
+        else:
+            ext = pc.extract_regex(s, f"(?s)^.*?{pat}(?P<r>.*)$")
+        hit = pc.struct_field(ext, "r")
+        # separator absent -> "" (still bound); unbound input -> null
+        return pc.if_else(pc.is_valid(s),
+                          pc.coalesce(hit, pa.scalar("")),
+                          pa.scalar(None, pa.string()))
+    if expr.name == "encode_for_uri":
+        from urllib.parse import quote
+        s = _chunked(s_form(expr.args[0]))
+        d = s.dictionary_encode()
+        enc = pa.array([None if v is None else quote(v, safe="-._~")
+                        for v in d.dictionary.to_pylist()], pa.string())
+        return pc.take(enc, d.indices)
+    if expr.name in ("strlang", "strdt"):
+        lex = _chunked(s_form(expr.args[0]))
+        n = b.num_rows
+        if expr.name == "strlang":
+            tail = f'"@{expr.args[1].value}'
+        else:
+            tail = f'"^^<{expr.args[1].value}>'
+        return pc.binary_join_element_wise(
+            pa.array(['"'] * n, pa.string()), lex,
+            pa.array([tail] * n, pa.string()), "")
     if expr.name == "coalesce":
         # first BOUND argument, evaluated in TERM space (raw-IRI args
         # wrap to <...> so mixed-representation alternatives align) —
@@ -1756,13 +2062,37 @@ def _eval_bind_expr(b: pa.Table, expr, cls: dict[str, str]):
     raise SparqlError(f"unsupported BIND function {expr.name!r}")
 
 
+def _expr_if_vars(expr) -> set[str]:
+    """Variables referenced by IF() conditions anywhere in a BIND
+    expression tree — validated at plan time so an unbound condition
+    var raises a SparqlError, not a mid-task failure."""
+    if isinstance(expr, IfExpr):
+        return (_filter_vars(expr.cond) | _expr_if_vars(expr.then)
+                | _expr_if_vars(expr.els))
+    if isinstance(expr, Arith):
+        return _expr_if_vars(expr.l) | _expr_if_vars(expr.r)
+    if isinstance(expr, Func):
+        out: set[str] = set()
+        for a in expr.args:
+            out |= _expr_if_vars(a)
+        return out
+    return set()
+
+
 def _apply_binds(bind: _Bind, binds: list[BindExpr],
                  cls: dict[str, str]) -> _Bind:
     """Append one computed column per BIND (vectorized per batch)."""
+    avail = set(bind.cols())
     for be in binds:
         if be.alias in bind.cols():
             raise SparqlError(
                 f"BIND alias ?{be.alias} is already bound")
+        missing = _expr_if_vars(be.expr) - avail
+        if missing:
+            raise SparqlError(
+                f"IF condition references unbound "
+                f"?{sorted(missing)[0]}")
+        avail.add(be.alias)
 
     def add(b: pa.Table, _bs=list(binds), _cls=dict(cls)) -> pa.Table:
         for be in _bs:

@@ -71,7 +71,8 @@ def test_parser_errors():
                      "{ FILTER(?x > e:n) ?x e:p ?y }")   # non-numeric order
     with pytest.raises(SparqlError):
         parse_sparql("PREFIX e: <http://e/> SELECT ?x WHERE "
-                     "{ FILTER(isBlank(?x)) ?x e:p ?y }")  # fn subset
+                     "{ FILTER(langMatches(?x, \"en\")) "
+                     "?x e:p ?y }")   # fn subset: needs LANG(?var)
     with pytest.raises(SparqlError):
         parse_sparql("PREFIX e: <http://e/> SELECT ?x WHERE "
                      "{ FILTER regex(?x, ?y) ?x e:p ?y }")  # pat not const

@@ -1,0 +1,278 @@
+"""Round-5 session-3 SPARQL builtins: numeric arithmetic in BIND
+(+ - * /), ABS/CEIL/FLOOR/ROUND, IF(), STRBEFORE/STRAFTER,
+ENCODE_FOR_URI, STRLANG/STRDT, isNumeric/isBlank/langMatches/sameTerm
+filters, SELECT REDUCED, and negated property sets (!p, !(p|q)).
+
+Semantics pinned here (spec references in each test):
+- xsd:round = round half toward +infinity (ROUND(2.5)=3, ROUND(-2.5)=-2)
+- division by zero / non-numeric operand -> unbound (type error)
+- STRBEFORE with absent separator -> "" (bound empty), unbound -> unbound
+- ENCODE_FOR_URI keeps only unreserved [A-Za-z0-9~._-]
+"""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from kgforge.sparql import SparqlError, execute_sparql, parse_sparql
+
+NS = "http://ex.org/"
+
+
+@pytest.fixture(scope="module")
+def store(ray_session, tmp_path_factory):
+    import ray.data
+
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    rows = []
+    for k in range(12):
+        rows.append((f"{NS}it{k}", NS + "w", f'"{(k * 7) % 10}"'))
+        name = (f'"item {k} x"@en-US' if k % 3 == 0
+                else f'"item {k} x"@en' if k % 3 == 1
+                else f'"item {k} x"')
+        rows.append((f"{NS}it{k}", NS + "name", name))
+        if k % 3 == 0:
+            rows.append((f"{NS}it{k}", NS + "link",
+                         f"<{NS}it{(k + 1) % 12}>"))
+    # one blank-node-subject row (bulk-loaded Turtle can carry these)
+    rows.append(("_:b0", NS + "w", '"3"'))
+    tbl = pa.table({
+        "s": pa.array([r[0] for r in rows], pa.string()),
+        "p": pa.array([r[1] for r in rows], pa.string()),
+        "o": pa.array([r[2] for r in rows], pa.string()),
+    })
+    d = str(tmp_path_factory.mktemp("bstore") / "st")
+    os.makedirs(d)
+    write_graph_partitioned(ray.data.from_arrow(tbl), d)
+    return d
+
+
+def _rows(store, q):
+    df = execute_sparql(store, parse_sparql(q)[0]).to_pandas()
+    if len(df) == 0:
+        return []
+    df = df.fillna("NULL")
+    return sorted(map(tuple, df[sorted(df.columns)]
+                      .itertuples(index=False)))
+
+
+# ------------------------------------------------------- arithmetic
+
+def test_bind_arith_abs(store):
+    got = _rows(store, f"""
+SELECT ?s ?d WHERE {{
+  ?s <{NS}w> ?w . BIND(ABS(?w - 5) AS ?d) FILTER(?d >= 4)
+}}""")
+    # w = (k*7)%10; |w-5| >= 4 -> w in {0,1,9}; columns sort (d, s)
+    want = sorted((str(abs((k * 7) % 10 - 5)), f"{NS}it{k}")
+                  for k in range(12) if abs((k * 7) % 10 - 5) >= 4)
+    assert got == want
+
+
+def test_bind_arith_precedence(store):
+    # 2 + w * 10 must parse as 2 + (w*10), not (2+w)*10
+    got = _rows(store, f"""
+SELECT ?v WHERE {{
+  <{NS}it1> <{NS}w> ?w . BIND(2 + ?w * 10 AS ?v)
+}}""")
+    assert got == [("72",)]          # w=7 -> 72
+    got = _rows(store, f"""
+SELECT ?v WHERE {{
+  <{NS}it1> <{NS}w> ?w . BIND((2 + ?w) * 10 AS ?v)
+}}""")
+    assert got == [("90",)]
+
+
+def test_round_half_up_and_floor_ceil(store):
+    # xsd:fn round: half toward +inf — ROUND(3.5)=4 and ROUND(-0.5)=0
+    got = _rows(store, f"""
+SELECT ?r ?nr ?f ?c WHERE {{
+  <{NS}it1> <{NS}w> ?w .
+  BIND(ROUND(?w / 2) AS ?r)        # 3.5 -> 4
+  BIND(ROUND((0 - ?w) / 2) AS ?nr) # -3.5 -> -3
+  BIND(FLOOR(?w / 2) AS ?f)
+  BIND(CEIL(?w / 2) AS ?c)
+}}""")
+    assert got == [("4", "3", "-3", "4")]   # columns sort (c, f, nr, r)
+
+
+def test_division_by_zero_unbinds(store):
+    got = _rows(store, f"""
+SELECT ?s ?q WHERE {{
+  ?s <{NS}w> ?w . BIND(10 / (?w - 7) AS ?q)
+  FILTER(?s = <{NS}it4>)
+}}""")
+    # it4: w=8 -> 10/1 = 10 ; it1/it11 (w=7) would be unbound
+    assert got == [("10", f"{NS}it4")]      # columns sort (q, s)
+    got = _rows(store, f"""
+SELECT ?q WHERE {{
+  <{NS}it1> <{NS}w> ?w . BIND(10 / (?w - 7) AS ?q)
+}}""")
+    assert got == [("NULL",)]        # bound row, unbound alias
+
+
+def test_non_numeric_operand_unbinds(store):
+    got = _rows(store, f"""
+SELECT ?v WHERE {{
+  <{NS}it2> <{NS}name> ?n . BIND(?n + 1 AS ?v)
+}}""")
+    assert got == [("NULL",)]
+
+
+def test_if_expression(store):
+    got = _rows(store, f"""
+SELECT ?s ?t WHERE {{
+  ?s <{NS}w> ?w . BIND(IF(?w < 5, "lo", "hi") AS ?t)
+  FILTER(?s = <{NS}it0>)
+}}""")
+    assert got == [(f"{NS}it0", '"lo"')]
+    # IF over an unbound condition var raises (subset: explicit error
+    # beats a silently-arbitrary branch)
+    with pytest.raises(SparqlError):
+        _rows(store, f"""
+SELECT ?t WHERE {{
+  <{NS}it0> <{NS}w> ?w . BIND(IF(?nope < 5, "a", "b") AS ?t)
+}}""")
+
+
+# ---------------------------------------------------------- strings
+
+def test_strbefore_strafter(store):
+    got = _rows(store, f"""
+SELECT ?b ?a ?missing WHERE {{
+  <{NS}it5> <{NS}name> ?n .
+  BIND(STRBEFORE(STR(?n), " ") AS ?b)
+  BIND(STRAFTER(STR(?n), "item ") AS ?a)
+  BIND(STRBEFORE(STR(?n), "zzz") AS ?missing)
+}}""")
+    assert got == [("5 x", "item", "")]   # sorted cols: a, b, missing
+
+
+def test_strbefore_empty_separator(store):
+    # STRBEFORE(x, "") = "" and STRAFTER(x, "") = x per spec
+    got = _rows(store, f"""
+SELECT ?b ?a WHERE {{
+  <{NS}it5> <{NS}name> ?n .
+  BIND(STRBEFORE(STR(?n), "") AS ?b)
+  BIND(STRAFTER(STR(?n), "") AS ?a)
+}}""")
+    assert got == [("item 5 x", "")]      # sorted cols: a, b
+
+
+def test_encode_for_uri(store):
+    got = _rows(store, f"""
+SELECT ?e WHERE {{
+  <{NS}it5> <{NS}name> ?n .
+  BIND(ENCODE_FOR_URI(CONCAT(STR(?n), "/~A.b-c_d?")) AS ?e)
+}}""")
+    assert got == [("item%205%20x%2F~A.b-c_d%3F",)]
+
+
+def test_strlang_strdt(store):
+    got = _rows(store, f"""
+SELECT ?x ?y WHERE {{
+  <{NS}it2> <{NS}w> ?w .
+  BIND(STRLANG(STR(?w), "fr") AS ?x)
+  BIND(STRDT(STR(?w), <http://www.w3.org/2001/XMLSchema#int>) AS ?y)
+}}""")
+    assert got == [('"4"@fr',
+                    '"4"^^<http://www.w3.org/2001/XMLSchema#int>')]
+    with pytest.raises(SparqlError):
+        parse_sparql(f'SELECT ?x WHERE {{ ?s <{NS}w> ?w . '
+                     f'BIND(STRLANG(STR(?w), "not a tag!") AS ?x) }}')
+    with pytest.raises(SparqlError):
+        parse_sparql(f'SELECT ?x WHERE {{ ?s <{NS}w> ?w . '
+                     f'BIND(STRDT(STR(?w), "notaniri") AS ?x) }}')
+
+
+# ---------------------------------------------------------- filters
+
+def test_is_numeric(store):
+    nums = _rows(store, f"""
+SELECT ?s WHERE {{ ?s <{NS}w> ?w . FILTER(isNumeric(?w)) }}""")
+    assert len(nums) == 13               # 12 parts + blank subject
+    names = _rows(store, f"""
+SELECT ?s WHERE {{ ?s <{NS}name> ?n . FILTER(isNumeric(?n)) }}""")
+    assert names == []
+    inv = _rows(store, f"""
+SELECT ?s WHERE {{ ?s <{NS}name> ?n . FILTER(!isNumeric(?n)) }}""")
+    assert len(inv) == 12
+
+
+def test_is_blank(store):
+    got = _rows(store, f"""
+SELECT ?s ?w WHERE {{ ?s <{NS}w> ?w . FILTER(isBlank(?s)) }}""")
+    assert got == [("_:b0", '"3"')]
+    inv = _rows(store, f"""
+SELECT ?s WHERE {{ ?s <{NS}w> ?w . FILTER(!isBlank(?s)) }}""")
+    assert len(inv) == 12
+
+
+def test_lang_matches(store):
+    en = _rows(store, f"""
+SELECT ?s WHERE {{ ?s <{NS}name> ?n .
+  FILTER(langMatches(LANG(?n), "EN")) }}""")
+    # basic range "en" matches @en AND @en-US (case-insensitive)
+    assert len(en) == 8
+    us = _rows(store, f"""
+SELECT ?s WHERE {{ ?s <{NS}name> ?n .
+  FILTER(langMatches(LANG(?n), "en-us")) }}""")
+    assert len(us) == 4
+    anyl = _rows(store, f"""
+SELECT ?s WHERE {{ ?s <{NS}name> ?n .
+  FILTER(langMatches(LANG(?n), "*")) }}""")
+    assert len(anyl) == 8
+
+
+def test_same_term(store):
+    got = _rows(store, f"""
+SELECT ?a ?b WHERE {{
+  ?a <{NS}link> ?x . ?b <{NS}link> ?x . FILTER(!sameTerm(?a, ?b))
+}}""")
+    # links all point at distinct targets -> no two subjects share one
+    assert got == []
+    got = _rows(store, f"""
+SELECT ?s WHERE {{
+  ?s <{NS}w> ?x . ?s <{NS}w> ?y . FILTER(sameTerm(?x, ?y))
+  FILTER(?s = <{NS}it0>)
+}}""")
+    assert got == [(f"{NS}it0",)]
+
+
+# ------------------------------------------------- REDUCED, paths
+
+def test_select_reduced_dedups(store):
+    got = _rows(store, f"""
+SELECT REDUCED ?p WHERE {{ ?s ?p ?o }}""")
+    assert got == sorted([(NS + "link",), (NS + "name",), (NS + "w",)])
+
+
+def test_negated_property_set(store):
+    one = _rows(store, f"""
+SELECT ?s ?o WHERE {{ ?s !<{NS}w> ?o }}""")
+    assert len(one) == 16                # 12 names + 4 links
+    two = _rows(store, f"""
+SELECT ?s ?o WHERE {{ ?s !(<{NS}w>|<{NS}name>) ?o }}""")
+    assert len(two) == 4
+    # columns sort (o, s); ?o is term-class -> link targets as <iri>
+    assert all(o.startswith("<" + NS) for o, _ in two)
+
+
+def test_negated_path_matches_full_scan_minus(store):
+    """!p must equal the unbound-predicate scan minus p's rows."""
+    neg = _rows(store, f"SELECT ?s ?o WHERE {{ ?s !<{NS}name> ?o }}")
+    all_ = _rows(store, f"""
+SELECT ?s ?o WHERE {{ ?s ?p ?o . FILTER(?p != <{NS}name>) }}""")
+    assert neg == all_
+
+
+def test_negated_path_parse_errors(store):
+    with pytest.raises(SparqlError):
+        parse_sparql(f"SELECT ?s WHERE {{ ?s !<{NS}w>+ ?o }}")
+    with pytest.raises(SparqlError):
+        parse_sparql(f"SELECT ?s WHERE {{ ?s !?p ?o }}")
+    with pytest.raises(SparqlError):
+        parse_sparql(
+            f"PREFIX e: <{NS}> CONSTRUCT {{ ?s !e:w ?o }} "
+            f"WHERE {{ ?s e:w ?o }}")
