@@ -154,6 +154,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         versioning.sparql_datatype_histogram
     q["sparql_filter_or"] = versioning.sparql_filter_or
     q["sparql_coalesce_default"] = versioning.sparql_coalesce_default
+    # numeric arithmetic / IF / string builtins / term predicates /
+    # negated property sets (round-5 session-3)
+    q["sparql_if_tiers"] = versioning.sparql_if_tiers
+    q["sparql_arith_round"] = versioning.sparql_arith_round
+    q["sparql_strbefore_after"] = versioning.sparql_strbefore_after
+    q["sparql_isnumeric"] = versioning.sparql_isnumeric
+    q["sparql_langmatches"] = versioning.sparql_langmatches
+    q["sparql_negated_path"] = versioning.sparql_negated_path
+    q["sparql_sameterm"] = versioning.sparql_sameterm
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -423,6 +432,14 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_filter_or"] = versioning.sparql_filter_or_sql()
     o["sparql_coalesce_default"] = \
         versioning.sparql_coalesce_default_sql()
+    o["sparql_if_tiers"] = versioning.sparql_if_tiers_sql()
+    o["sparql_arith_round"] = versioning.sparql_arith_round_sql()
+    o["sparql_strbefore_after"] = \
+        versioning.sparql_strbefore_after_sql()
+    o["sparql_isnumeric"] = versioning.sparql_isnumeric_sql()
+    o["sparql_langmatches"] = versioning.sparql_langmatches_sql()
+    o["sparql_negated_path"] = versioning.sparql_negated_path_sql()
+    o["sparql_sameterm"] = versioning.sparql_sameterm_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

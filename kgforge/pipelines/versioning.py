@@ -1491,3 +1491,196 @@ SELECT {part_s} AS x, {z1} AS a FROM part WHERE p_partkey % 2 = 0
 UNION ALL
 SELECT {part_s} AS x, {z2} AS a FROM part
 """
+
+
+# ------------------------------------------------- session-3 builtins
+
+IF_TIERS_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?t (COUNT(*) AS ?n) WHERE {
+  ?p c:weight ?w .
+  BIND(IF(?w < 50, "light", "heavy") AS ?t)
+} GROUP BY ?t
+"""
+
+
+def sparql_if_tiers(sf_dir: str) -> "ray.data.Dataset":
+    """IF() gate: conditional BIND feeding a grouped count."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(IF_TIERS_QUERY)[0]
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_if_tiers_sql() -> str:
+    w = "(p_partkey * 31) % 97"
+    return f"""
+SELECT CASE WHEN {w} < 50 THEN '"light"' ELSE '"heavy"' END AS t,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM part GROUP BY 1
+"""
+
+
+ARITH_ROUND_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?a ?f ?r WHERE {
+  ?p c:weight ?w . FILTER(?w >= 90)
+  BIND(ABS(?w - 50) AS ?a)
+  BIND(FLOOR(?w / 7) AS ?f)
+  BIND(ROUND(?w / 7) AS ?r)
+}
+"""
+
+
+def sparql_arith_round(sf_dir: str) -> "ray.data.Dataset":
+    """Numeric-BIND gate: arithmetic with ABS/FLOOR/ROUND (integral
+    results render as bare integer lexicals). w/7 never lands on an
+    exact .5, so DuckDB's half-away-from-zero ROUND agrees with the
+    engine's xsd half-up on this domain; the divergent negative-half
+    edge is pinned in tests/test_sparql_builtins.py instead."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(ARITH_ROUND_QUERY)[0]
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_arith_round_sql() -> str:
+    w = "(p_partkey * 31) % 97"
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       CAST(CAST(ABS({w} - 50) AS BIGINT) AS VARCHAR) AS a,
+       CAST(CAST(FLOOR({w} / 7.0) AS BIGINT) AS VARCHAR) AS f,
+       CAST(CAST(ROUND({w} / 7.0) AS BIGINT) AS VARCHAR) AS r
+FROM part WHERE {w} >= 90
+"""
+
+
+STRBEFORE_AFTER_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?b ?a WHERE {
+  ?p c:label ?lab .
+  BIND(STRBEFORE(STR(?lab), "ame") AS ?b)
+  BIND(STRAFTER(STR(?lab), "name") AS ?a)
+}
+"""
+
+
+def sparql_strbefore_after(sf_dir: str) -> "ray.data.Dataset":
+    """STRBEFORE/STRAFTER gate over the mixed-literal fixture: the
+    integer-typed labels (k%5==4) have no separator -> '' per spec."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(STRBEFORE_AFTER_QUERY)[0]
+    return execute_sparql(labeled_store(sf_dir), q)
+
+
+def sparql_strbefore_after_sql() -> str:
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       CASE WHEN p_partkey % 5 <= 3 THEN 'n' ELSE '' END AS b,
+       CASE WHEN p_partkey % 5 <= 3
+            THEN CAST(p_partkey AS VARCHAR) ELSE '' END AS a
+FROM part
+"""
+
+
+ISNUMERIC_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?lab WHERE {
+  ?p c:label ?lab .
+  FILTER(isNumeric(?lab))
+}
+"""
+
+
+def sparql_isnumeric(sf_dir: str) -> "ray.data.Dataset":
+    """isNumeric gate: only the xsd:integer-typed labels (their
+    lexical form parses numerically) survive."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(ISNUMERIC_QUERY)[0]
+    return execute_sparql(labeled_store(sf_dir), q)
+
+
+def sparql_isnumeric_sql() -> str:
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '"' || CAST(p_partkey AS VARCHAR) || '"^^<{XSD_INTEGER_IRI}>'
+         AS lab
+FROM part WHERE p_partkey % 5 = 4
+"""
+
+
+LANGMATCHES_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p WHERE {
+  ?p c:label ?lab .
+  FILTER(langMatches(LANG(?lab), "EN"))
+}
+"""
+
+
+def sparql_langmatches(sf_dir: str) -> "ray.data.Dataset":
+    """langMatches gate: case-insensitive basic range match keeps the
+    @en labels (k%5 in 1,2) and drops @fr / plain / typed ones."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(LANGMATCHES_QUERY)[0]
+    return execute_sparql(labeled_store(sf_dir), q)
+
+
+def sparql_langmatches_sql() -> str:
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p
+FROM part WHERE p_partkey % 5 IN (1, 2)
+"""
+
+
+NEGATED_PATH_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?s ?o WHERE {
+  ?s !(c:typed_in|c:subCategoryOf|c:bonus) ?o
+}
+"""
+
+
+def sparql_negated_path(sf_dir: str) -> "ray.data.Dataset":
+    """Negated-property-set gate: everything EXCEPT three of the five
+    predicates -> exactly the weight and cap measure triples."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(NEGATED_PATH_QUERY)[0]
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_negated_path_sql() -> str:
+    part_s = f"'{NSC}part' || CAST(p_partkey AS VARCHAR)"
+    return f"""
+SELECT {part_s} AS s,
+       '"' || CAST((p_partkey * 31) % 97 AS VARCHAR) || '"' AS o
+FROM part
+UNION ALL
+SELECT {part_s} AS s,
+       '"' || CAST((p_partkey * 17) % 89 AS VARCHAR) || '"' AS o
+FROM part
+"""
+
+
+SAMETERM_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?w WHERE {
+  ?p c:weight ?w .
+  ?p c:cap ?c .
+  FILTER(sameTerm(?w, ?c))
+}
+"""
+
+
+def sparql_sameterm(sf_dir: str) -> "ray.data.Dataset":
+    """sameTerm gate: parts whose weight and cap literals are the
+    IDENTICAL term (equal lexical integers)."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(SAMETERM_QUERY)[0]
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_sameterm_sql() -> str:
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '"' || CAST((p_partkey * 31) % 97 AS VARCHAR) || '"' AS w
+FROM part WHERE (p_partkey * 31) % 97 = (p_partkey * 17) % 89
+"""
