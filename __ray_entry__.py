@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lambda sf: tabular.rdf_ingest_roundtrip(sf, "nation", "ttl"))
     q["rdf_ingest_ntriples"] = (
         lambda sf: tabular.rdf_ingest_roundtrip(sf, "region", "nt"))
+    q["rdf_ingest_rdfxml"] = (
+        lambda sf: tabular.rdf_ingest_roundtrip(sf, "supplier",
+                                                "rdfxml"))
 
     # --- grammar-less default mode (M13) + null-value filter (M5)
     q["kg_default_events"] = tabular.default_kg_events
@@ -382,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
     o["kg_union_nation_supplier"] = tabular.union_kg_sql()
     o["rdf_ingest_turtle"] = tabular.table_kg_sql("nation")
     o["rdf_ingest_ntriples"] = tabular.table_kg_sql("region")
+    o["rdf_ingest_rdfxml"] = tabular.table_kg_sql("supplier")
     o["kg_default_events"] = tabular.default_kg_events_sql()
     o["kg_part_v3chains"] = tabular.v3_chain_kg_part_sql()
     o["kg_orders_v1"] = tabular.v1_kg_orders_sql()

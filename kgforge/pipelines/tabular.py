@@ -302,6 +302,11 @@ def rdf_ingest_roundtrip(sf_dir: str, table: str = "nation",
         from ..sources.rdfsource import read_turtle
         write_graph_turtle(tri, tmp, domain=KG_DOMAIN)
         return read_turtle(os.path.join(tmp, "graph.ttl"))
+    if fmt == "rdfxml":
+        from ..sinks.rdfxml_sink import write_graph_rdfxml
+        from ..sources.rdfsource import read_rdfxml
+        write_graph_rdfxml(tri, tmp, domain=KG_DOMAIN)
+        return read_rdfxml(os.path.join(tmp, "graph.rdf"))
     from ..sinks.ntriples_sink import write_graph
     from ..sources.rdfsource import read_ntriples
     write_graph(tri, tmp)

@@ -43,8 +43,14 @@ def _jsonld(triples, out_dir: str, domain: str) -> None:
     write_graph_jsonld(triples, out_dir, domain)
 
 
+def _rdfxml(triples, out_dir: str, domain: str) -> None:
+    from .rdfxml_sink import write_graph_rdfxml
+    write_graph_rdfxml(triples, out_dir, domain)
+
+
 def sink_format(name: str) -> _SinkWriter:
-    builtin = {"nt": _nt, "ttl": _ttl, "jsonld": _jsonld}
+    builtin = {"nt": _nt, "ttl": _ttl, "jsonld": _jsonld,
+               "rdfxml": _rdfxml}
     if name in _FORMATS:
         return _FORMATS[name]
     if name in builtin:

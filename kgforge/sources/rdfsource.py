@@ -320,6 +320,31 @@ def read_jsonld(path: str | list[str]) -> "ray.data.Dataset":
         ds.map_batches(parse_batch, batch_format="pyarrow"))
 
 
+def read_rdfxml(path: str | list[str]) -> "ray.data.Dataset":
+    """Distributed RDF/XML reader for the engine's own emitter subset
+    (sinks/rdfxml_sink.py shards): one parse task per FILE (an .rdf
+    file is one XML document). Returns (s, p, o) term rows — s/p raw
+    IRIs (``_:``-prefixed for blank nodes), o rendered."""
+    from ..sinks.rdfxml_sink import parse_rdfxml
+    files = _expand_paths(path, (".rdf", ".xml"))
+
+    def parse_batch(b: pa.Table) -> pa.Table:
+        rows: list[tuple[str, str, str]] = []
+        for raw in b["bytes"].to_pylist():
+            rows.extend(sorted(parse_rdfxml(
+                raw.decode("utf-8", errors="replace"))))
+        if not rows:
+            return TERM_SCHEMA.empty_table()
+        s, p, o = zip(*rows)
+        return pa.table({"s": pa.array(s, pa.string()),
+                         "p": pa.array(p, pa.string()),
+                         "o": pa.array(o, pa.string())})
+
+    ds = ray.data.read_binary_files(files)
+    return ray.data.from_arrow(TERM_SCHEMA.empty_table()).union(
+        ds.map_batches(parse_batch, batch_format="pyarrow"))
+
+
 # ------------------------------------------------------------ N-Triples
 
 # one vectorized regex over the whole line column: subject, predicate,
