@@ -23,8 +23,9 @@ the W3C SPARQL 1.1 results serializations (sinks/results.py) — the
 formats a Fuseki-endpoint client already parses.
 
 ``--load`` bulk-ingests pre-existing Turtle/N-Triples (the reference's
-artifact formats) into a ``write_graph_partitioned`` store with the
-distributed readers in sources/rdfsource.py.
+artifact formats) plus JSON-LD and RDF/XML into a
+``write_graph_partitioned`` store with the distributed readers in
+sources/rdfsource.py (format by extension: .ttl .nt .jsonld .rdf).
 
 This entry point OWNS the Ray session (library code never does).
 """
@@ -140,8 +141,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="let INSERT/DELETE statements mutate --store "
                          "(default: preview the derived graph only)")
     ap.add_argument("--load", nargs="+", metavar="RDF",
-                    help="bulk-load .ttl/.nt files or directories into "
-                         "--store (distributed readers)")
+                    help="bulk-load .ttl/.nt/.jsonld/.rdf files or "
+                         "directories into --store (distributed "
+                         "readers)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
     if args.sparql and args.query:

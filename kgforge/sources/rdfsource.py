@@ -403,10 +403,11 @@ def load_rdf_store(src: str | list[str], store_dir: str,
 
     if fmt is None:
         files = _expand_paths(src, (".ttl", ".turtle", ".nt",
-                                    ".ntriples", ".jsonld"))
+                                    ".ntriples", ".jsonld", ".rdf"))
         ttl = [f for f in files if f.endswith((".ttl", ".turtle"))]
         nt = [f for f in files if f.endswith((".nt", ".ntriples"))]
         jl = [f for f in files if f.endswith(".jsonld")]
+        rx = [f for f in files if f.endswith(".rdf")]
         parts = []
         if ttl:
             parts.append(read_turtle(ttl, base))
@@ -414,6 +415,8 @@ def load_rdf_store(src: str | list[str], store_dir: str,
             parts.append(read_ntriples(nt))
         if jl:
             parts.append(read_jsonld(jl))
+        if rx:
+            parts.append(read_rdfxml(rx))
         if not parts:
             raise ValueError(f"no RDF files found under {src!r}")
         ds = parts[0]
@@ -425,6 +428,8 @@ def load_rdf_store(src: str | list[str], store_dir: str,
         ds = read_ntriples(src)
     elif fmt == "jsonld":
         ds = read_jsonld(src)
+    elif fmt == "rdfxml":
+        ds = read_rdfxml(src)
     else:
         raise ValueError(f"unknown RDF format {fmt!r}")
 

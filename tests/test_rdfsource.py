@@ -161,12 +161,23 @@ def test_mixed_format_dir_load(ray_session):
     with open(tmp + "/src/b.nt", "w") as f:
         f.write("<http://ex.org/s1> <http://ex.org/p> <http://ex.org/o2> .\n"
                 '<http://ex.org/s2> <http://ex.org/q> "v" .\n')
+    with open(tmp + "/src/c.rdf", "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<rdf:RDF xmlns:rdf='
+                '"http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+                '         xmlns:ex="http://ex.org/">\n'
+                '  <rdf:Description rdf:about="http://ex.org/s1">\n'
+                '    <ex:p rdf:resource="http://ex.org/o1"/>\n'
+                '    <ex:p rdf:resource="http://ex.org/o3"/>\n'
+                '  </rdf:Description>\n'
+                '</rdf:RDF>\n')
     load_rdf_store(tmp + "/src", tmp + "/store")
     got = sorted(tuple(r.values())
                  for r in query_triples(tmp + "/store").take_all())
     assert got == [
         ("http://ex.org/s1", "http://ex.org/p", "<http://ex.org/o1>"),
         ("http://ex.org/s1", "http://ex.org/p", "<http://ex.org/o2>"),
+        ("http://ex.org/s1", "http://ex.org/p", "<http://ex.org/o3>"),
         ("http://ex.org/s2", "http://ex.org/q", '"v"'),
     ]
 
