@@ -1684,3 +1684,33 @@ SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
        '"' || CAST((p_partkey * 31) % 97 AS VARCHAR) || '"' AS w
 FROM part WHERE (p_partkey * 31) % 97 = (p_partkey * 17) % 89
 """
+
+
+ORDER_NUMERIC_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?w WHERE {
+  ?p c:weight ?w .
+} ORDER BY DESC(?w) ?p LIMIT 50
+"""
+
+
+def sparql_order_numeric(sf_dir: str) -> "ray.data.Dataset":
+    """Numeric ORDER BY gate: weights are integer literals — SPARQL
+    orders them by VALUE ("9" < "10"), so the top-50 page differs
+    from a lexical sort; ?p ascending breaks weight ties, making the
+    page deterministic."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(ORDER_NUMERIC_QUERY)[0]
+    assert q.order_by == [("w", True), ("p", False)]
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_order_numeric_sql() -> str:
+    w = "(p_partkey * 31) % 97"
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '"' || CAST({w} AS VARCHAR) || '"' AS w
+FROM part
+ORDER BY {w} DESC, '{NSC}part' || CAST(p_partkey AS VARCHAR) ASC
+LIMIT 50
+"""

@@ -2547,8 +2547,42 @@ def execute_sparql(store_dir: str, q: Query,
 
 def _order_limit(ds: "ray.data.Dataset", q: Query) -> "ray.data.Dataset":
     if q.order_by:
-        ds = ds.sort([v for v, _ in q.order_by],
-                     descending=[d for _, d in q.order_by])
+        # SPARQL orders numeric literals by VALUE, not lexically
+        # ("9" < "10"): string sort columns get a derived numeric key
+        # sorted first, with the lexical form as the tiebreak and the
+        # total order for non-numeric terms (deterministic; numeric
+        # vs non-numeric relative placement is implementation
+        # latitude per spec). Numeric aggregate aliases sort natively.
+        sch = ds.schema()
+        str_cols = {n for n, t in zip(sch.names, sch.types)
+                    if pa.types.is_string(t)} if sch else set()
+        num_keys = [v for v, _ in q.order_by if v in str_cols]
+        if num_keys:
+            def add_keys(b: pa.Table, _ks=list(num_keys)) -> pa.Table:
+                for v in _ks:
+                    b = b.append_column(
+                        f"__ord_{v}", _numeric_form(
+                            b[v].combine_chunks(), "term"))
+                return b
+
+            keys: list[str] = []
+            desc: list[bool] = []
+            for v, d in q.order_by:
+                if v in str_cols:
+                    keys += [f"__ord_{v}", v]
+                    desc += [d, d]
+                else:
+                    keys.append(v)
+                    desc.append(d)
+            ds = (ds.map_batches(add_keys, batch_format="pyarrow")
+                  .sort(keys, descending=desc)
+                  .map_batches(
+                      lambda b, _ks=list(num_keys): b.drop_columns(
+                          [f"__ord_{v}" for v in _ks]),
+                      batch_format="pyarrow"))
+        else:
+            ds = ds.sort([v for v, _ in q.order_by],
+                         descending=[d for _, d in q.order_by])
     if q.offset:
         # OFFSET: take the first offset+limit rows of the (ordered)
         # stream, slice driver-side — bounded by the user's own page
@@ -2662,15 +2696,15 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
         agg = (df.group_by(keys).agg(pl_exprs()) if keys
                else df.select(pl_exprs()))
         agg = pl_having(agg).select(out_cols)
-        if q.order_by:
-            agg = agg.sort([v for v, _ in q.order_by],
-                           descending=[d for _, d in q.order_by])
         tbl = agg.to_arrow()
         tbl = tbl.cast(pa.schema([(c, alias_type(c))
                                   for c in tbl.column_names]))
+        # ordering unified through _order_limit (numeric-aware sort
+        # keys for string group vars, native sort for numeric aliases)
         return _order_limit(ray.data.from_arrow(tbl),
                             Query(q.form, q.distinct, [], [], q.where,
-                                  {}, limit=q.limit, offset=q.offset))
+                                  {}, order_by=q.order_by,
+                                  limit=q.limit, offset=q.offset))
 
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
     # COUNT(*) probes an arbitrary bound column: bindings are never

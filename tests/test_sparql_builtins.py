@@ -276,3 +276,23 @@ def test_negated_path_parse_errors(store):
         parse_sparql(
             f"PREFIX e: <{NS}> CONSTRUCT {{ ?s !e:w ?o }} "
             f"WHERE {{ ?s e:w ?o }}")
+
+
+def test_order_by_numeric_values(store):
+    """SPARQL orders numeric literals by VALUE ("9" < "10"), with the
+    lexical form as tiebreak — on both the select and aggregate
+    paths."""
+    from kgforge.sparql import execute_sparql, parse_sparql
+
+    def vals(q):
+        df = execute_sparql(store, parse_sparql(q)[0]).to_pandas()
+        return list(df[df.columns[0]])
+
+    up = vals(f"SELECT ?w WHERE {{ ?s <{NS}w> ?w }} ORDER BY ?w LIMIT 20")
+    assert up == sorted(up, key=lambda t: int(t.strip('"')))
+    down = vals(f"SELECT ?w WHERE {{ ?s <{NS}w> ?w }} "
+                f"ORDER BY DESC(?w) LIMIT 3")
+    assert down == ['"9"', '"8"', '"7"']
+    agg = vals(f"SELECT ?w (COUNT(*) AS ?n) WHERE {{ ?s <{NS}w> ?w }} "
+               f"GROUP BY ?w ORDER BY ?w LIMIT 4")
+    assert agg == ['"0"', '"1"', '"2"', '"3"']
