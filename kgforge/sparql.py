@@ -2548,41 +2548,53 @@ def execute_sparql(store_dir: str, q: Query,
 def _order_limit(ds: "ray.data.Dataset", q: Query) -> "ray.data.Dataset":
     if q.order_by:
         # SPARQL orders numeric literals by VALUE, not lexically
-        # ("9" < "10"): string sort columns get a derived numeric key
-        # sorted first, with the lexical form as the tiebreak and the
-        # total order for non-numeric terms (deterministic; numeric
-        # vs non-numeric relative placement is implementation
-        # latitude per spec). Numeric aggregate aliases sort natively.
-        sch = ds.schema()
-        str_cols = {n for n, t in zip(sch.names, sch.types)
-                    if pa.types.is_string(t)} if sch else set()
-        num_keys = [v for v, _ in q.order_by if v in str_cols]
-        if num_keys:
-            def add_keys(b: pa.Table, _ks=list(num_keys)) -> pa.Table:
-                for v in _ks:
-                    b = b.append_column(
-                        f"__ord_{v}", _numeric_form(
-                            b[v].combine_chunks(), "term"))
-                return b
+        # ("9" < "10"). Each ORDER BY column is lowered to three
+        # derived NON-NULL sort keys — Ray Data's range-partitioned
+        # sort CRASHES on null string keys and silently DUPLICATES
+        # rows on all-null numeric keys (boundary sampling), so no
+        # nullable column ever reaches ds.sort():
+        #   __nn: 0 unbound (sorts lowest ascending, per spec)
+        #         1 numeric (by value)  2 other bound (lexically)
+        #   __k1: the numeric value (0.0 when not numeric)
+        #   __k2: the lexical form ("" when unbound)
+        # Numeric-vs-string relative placement within bound terms is
+        # implementation latitude per spec; this order is total and
+        # deterministic.
+        cols = list(dict.fromkeys(v for v, _ in q.order_by))
 
-            keys: list[str] = []
-            desc: list[bool] = []
-            for v, d in q.order_by:
-                if v in str_cols:
-                    keys += [f"__ord_{v}", v]
-                    desc += [d, d]
+        def add_keys(b: pa.Table, _cols=list(cols)) -> pa.Table:
+            one = pa.scalar(1, pa.int8())
+            two = pa.scalar(2, pa.int8())
+            zero = pa.scalar(0, pa.int8())
+            for v in _cols:
+                col = b[v].combine_chunks()
+                if pa.types.is_string(col.type):
+                    num = _numeric_form(col, "term")
+                    lex = pc.fill_null(col, "")
                 else:
-                    keys.append(v)
-                    desc.append(d)
-            ds = (ds.map_batches(add_keys, batch_format="pyarrow")
-                  .sort(keys, descending=desc)
-                  .map_batches(
-                      lambda b, _ks=list(num_keys): b.drop_columns(
-                          [f"__ord_{v}" for v in _ks]),
-                      batch_format="pyarrow"))
-        else:
-            ds = ds.sort([v for v, _ in q.order_by],
-                         descending=[d for _, d in q.order_by])
+                    num = pc.cast(col, pa.float64())
+                    lex = pc.fill_null(pc.cast(col, pa.string()), "")
+                nn = pc.if_else(
+                    pc.is_valid(col),
+                    pc.if_else(pc.is_valid(num), one, two), zero)
+                b = b.append_column(f"__nn_{v}", nn)
+                b = b.append_column(f"__k1_{v}",
+                                    pc.fill_null(num, 0.0))
+                b = b.append_column(f"__k2_{v}", lex)
+            return b
+
+        keys: list[str] = []
+        desc: list[bool] = []
+        for v, d in q.order_by:
+            keys += [f"__nn_{v}", f"__k1_{v}", f"__k2_{v}"]
+            desc += [d, d, d]
+        ds = (ds.map_batches(add_keys, batch_format="pyarrow")
+              .sort(keys, descending=desc)
+              .map_batches(
+                  lambda b, _c=list(cols): b.drop_columns(
+                      [f"__{k}_{v}" for v in _c
+                       for k in ("nn", "k1", "k2")]),
+                  batch_format="pyarrow"))
     if q.offset:
         # OFFSET: take the first offset+limit rows of the (ordered)
         # stream, slice driver-side — bounded by the user's own page

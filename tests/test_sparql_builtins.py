@@ -296,3 +296,24 @@ def test_order_by_numeric_values(store):
     agg = vals(f"SELECT ?w (COUNT(*) AS ?n) WHERE {{ ?s <{NS}w> ?w }} "
                f"GROUP BY ?w ORDER BY ?w LIMIT 4")
     assert agg == ['"0"', '"1"', '"2"', '"3"']
+
+
+def test_order_by_optional_var(store):
+    """ORDER BY over an OPTIONAL-bound variable: unbound rows sort
+    lowest ascending (spec) — and the sort must not crash or
+    duplicate rows (Ray's range sort rejects null keys; the planner
+    lowers every ORDER BY column to non-null derived keys)."""
+    from kgforge.sparql import execute_sparql, parse_sparql
+    q = parse_sparql(f"""
+SELECT ?s ?t WHERE {{
+  ?s <{NS}w> ?w .
+  OPTIONAL {{ ?s <{NS}link> ?t }}
+}} ORDER BY ?t ?s LIMIT 20""")[0]
+    df = execute_sparql(store, q).to_pandas()
+    assert len(df) == 13                 # 12 parts + blank subject
+    nulls = df["t"].isna()
+    # all unbound rows come first (ascending), bound targets after,
+    # lexically ordered
+    assert nulls.iloc[:int(nulls.sum())].all()
+    bound = df["t"].dropna().tolist()
+    assert bound == sorted(bound) and len(bound) == 4
