@@ -1714,3 +1714,37 @@ FROM part
 ORDER BY {w} DESC, '{NSC}part' || CAST(p_partkey AS VARCHAR) ASC
 LIMIT 50
 """
+
+
+SUM_EXPR_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?cat (SUM(?wc) AS ?total) (COUNT(*) AS ?n) WHERE {
+  ?p c:typed_in ?cat .
+  ?p c:weight ?w .
+  ?p c:cap ?c .
+  BIND(?w * ?c AS ?wc)
+} GROUP BY ?cat
+"""
+
+
+def sparql_sum_expr(sf_dir: str) -> "ray.data.Dataset":
+    """Aggregate-over-expression gate: SUM of a BIND-computed product
+    (the SPARQL idiom for SUM(?w * ?c)) grouped by category — the
+    computed alias flows from the BIND stage into the aggregate plan.
+    Products are integers < 97*89, so float64 sums are bit-exact
+    under any combine order."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(SUM_EXPR_QUERY)[0]
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_sum_expr_sql() -> str:
+    wc = ("CAST((p_partkey * 31) % 97 AS DOUBLE) * "
+          "CAST((p_partkey * 17) % 89 AS DOUBLE)")
+    return f"""
+SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>'
+         AS cat,
+       SUM({wc}) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM part GROUP BY 1
+"""
