@@ -152,22 +152,30 @@ class _TurtleDoc:
             raise ValueError(f"turtle: undefined prefix {pfx!r}:")
         return self.prefixes[pfx] + local
 
-    def _resource(self) -> str:
+    def _resource(self, allow_blank: bool = False) -> str:
         k, v = self._next()
         if k == "iri":
             return self._iri(v)
+        if k == "pname" and v.startswith("_:"):
+            if not allow_blank:
+                raise ValueError(
+                    f"turtle: blank node {v!r} is not a valid "
+                    "predicate/datatype")
+            return v          # labeled blank, kept raw (store form)
         if k == "pname" and ":" in v:
             return self._pname(v)
         if k == "punct" and v in "[(":
             raise ValueError(
-                "turtle: blank nodes / collections are not supported "
-                "(the engine's data model is IRI-keyed)")
+                "turtle: anonymous blank nodes / collections are not "
+                "supported (use labeled _:name blanks)")
         raise ValueError(f"turtle: expected IRI or prefixed name, got {v!r}")
 
     def _object(self) -> str:
         k, v = self._next()
         if k == "iri":
             return "<" + self._iri(v) + ">"
+        if k == "pname" and v.startswith("_:"):
+            return v          # labeled blank object, kept raw
         if k == "lstr":
             body = v[3:-3] if v.startswith('"""') else v[1:-1]
             lex = _unescape_string(body)
@@ -222,7 +230,7 @@ class _TurtleDoc:
                 self._next()
                 self._directive(v)
                 continue
-            s = self._resource()
+            s = self._resource(allow_blank=True)
             while True:  # predicate-object list
                 k, v = self._peek()
                 if k == "pname" and v == "a":
@@ -350,9 +358,13 @@ def read_rdfxml(path: str | list[str]) -> "ray.data.Dataset":
 # one vectorized regex over the whole line column: subject, predicate,
 # then the object term verbatim (IRI / literal with optional ^^dt or
 # @lang), trailing '.'
+#: subject: IRI (captured without brackets) OR a blank-node label
+#: (captured WITH its ``_:`` prefix — the store keeps blanks raw);
+#: object: IRI / blank / literal with optional datatype or langtag
 _NT_LINE = (
-    r"^\s*<(?P<s>[^>]*)>\s+<(?P<p>[^>]*)>\s+"
-    r'(?P<o><[^>]*>|"(?:[^"\\]|\\.)*"'
+    r"^\s*(?:<(?P<s>[^>]*)>|(?P<sb>_:[A-Za-z0-9_][A-Za-z0-9_.\-]*))"
+    r"\s+<(?P<p>[^>]*)>\s+"
+    r'(?P<o><[^>]*>|_:[A-Za-z0-9_][A-Za-z0-9_.\-]*|"(?:[^"\\]|\\.)*"'
     r'(?:\^\^<[^>]*>|@[A-Za-z][A-Za-z0-9\-]*)?)\s*\.\s*$')
 
 
@@ -371,7 +383,12 @@ def _nt_batch(b: pa.Table) -> pa.Table:
                 f"{bad[0].as_py()!r}")
         hit = hit.filter(ok)
     flat = hit.combine_chunks() if isinstance(hit, pa.ChunkedArray) else hit
-    return pa.table({"s": _iri_col(flat.field("s")),
+    # exactly one of (s, sb) participates per row; the other group
+    # extracts as "" — pick the blank label when the IRI side is empty
+    raw_s = flat.field("s")
+    s = pc.if_else(pc.equal(raw_s, ""), flat.field("sb"),
+                   _iri_col(raw_s))
+    return pa.table({"s": s,
                      "p": _iri_col(flat.field("p")),
                      "o": flat.field("o")})
 

@@ -232,3 +232,42 @@ def test_roundtrip_jsonld(ray_session, tmp_path):
     loaded = sorted(tuple(r.values())
                     for r in query_triples(store).take_all())
     assert loaded == sorted(set(golden))
+
+
+def test_blank_node_load(ray_session):
+    """Labeled blank nodes (_:name) load through both line-split
+    N-Triples and the Turtle parser, keep their raw form in the
+    store, and answer isBlank() queries."""
+    from kgforge.sources.rdfsource import read_ntriples, read_turtle
+    from kgforge.sparql import execute_sparql, parse_sparql
+
+    tmp = "/tmp/kgforge_test_blank"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp + "/src", exist_ok=True)
+    with open(tmp + "/src/a.nt", "w") as f:
+        f.write("_:b0 <http://ex.org/p> <http://ex.org/o> .\n"
+                "<http://ex.org/s> <http://ex.org/p> _:b0 .\n")
+    with open(tmp + "/src/b.ttl", "w") as f:
+        f.write("@prefix ex: <http://ex.org/> .\n"
+                "_:c1 ex:p ex:o ; ex:q _:c2 .\n")
+    nt = sorted(tuple(r.values())
+                for r in read_ntriples(tmp + "/src/a.nt").take_all())
+    assert nt == [("_:b0", "http://ex.org/p", "<http://ex.org/o>"),
+                  ("http://ex.org/s", "http://ex.org/p", "_:b0")]
+    ttl = sorted(tuple(r.values())
+                 for r in read_turtle(tmp + "/src/b.ttl").take_all())
+    assert ttl == [("_:c1", "http://ex.org/p", "<http://ex.org/o>"),
+                   ("_:c1", "http://ex.org/q", "_:c2")]
+    load_rdf_store(tmp + "/src", tmp + "/store")
+    q = parse_sparql("""
+        SELECT ?s WHERE { ?s <http://ex.org/p> ?o .
+                          FILTER(isBlank(?s)) }""")[0]
+    got = sorted(r["s"] for r in execute_sparql(
+        tmp + "/store", q).take_all())
+    assert got == ["_:b0", "_:c1"]
+
+
+def test_turtle_blank_predicate_rejected(ray_session):
+    from kgforge.sources.rdfsource import parse_turtle_text
+    with pytest.raises(ValueError, match="predicate"):
+        parse_turtle_text("<http://e/s> _:b <http://e/o> .")
