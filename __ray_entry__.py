@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_sameterm"] = versioning.sparql_sameterm
     q["sparql_order_numeric"] = versioning.sparql_order_numeric
     q["sparql_sum_expr"] = versioning.sparql_sum_expr
+    q["sparql_group_concat_distinct"] = \
+        versioning.sparql_group_concat_distinct
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -448,6 +450,8 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_sameterm"] = versioning.sparql_sameterm_sql()
     o["sparql_order_numeric"] = versioning.sparql_order_numeric_sql()
     o["sparql_sum_expr"] = versioning.sparql_sum_expr_sql()
+    o["sparql_group_concat_distinct"] = \
+        versioning.sparql_group_concat_distinct_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

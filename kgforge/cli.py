@@ -120,7 +120,8 @@ def main(argv: list[str] | None = None) -> int:
                          "the reference's artifact format")
     ap.add_argument("--format", dest="formats", nargs="+", metavar="FMT",
                     help="write these sink-registry formats instead of "
-                         "the default nt (e.g. --format nt ttl jsonld)")
+                         "the default nt (e.g. --format nt ttl jsonld "
+                         "rdfxml)")
     ap.add_argument("--sparql",
                     help=".sparql query file to run against --store")
     ap.add_argument("--query",

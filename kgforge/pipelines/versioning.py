@@ -1748,3 +1748,36 @@ SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>'
        CAST(COUNT(*) AS BIGINT) AS n
 FROM part GROUP BY 1
 """
+
+
+GROUP_CONCAT_DISTINCT_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?cat (GROUP_CONCAT(DISTINCT ?b; SEPARATOR=",") AS ?bs)
+       (COUNT(?b) AS ?n) WHERE {
+  ?p c:typed_in ?cat .
+  ?p c:bonus ?b .
+} GROUP BY ?cat
+"""
+
+
+def sparql_group_concat_distinct(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP_CONCAT(DISTINCT) gate: bonus values repeat within a
+    category once the part range spans 1560 keys (k and k+1560 share
+    cat AND bonus), so at sf>=0.01 the distinct pass is load-bearing;
+    COUNT(?b) keeps the pre-distinct cardinality visible."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(GROUP_CONCAT_DISTINCT_QUERY)[0]
+    assert q.aggs[0].distinct
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_group_concat_distinct_sql() -> str:
+    b = "'\"' || CAST((p_partkey * 7) % 13 AS VARCHAR) || '\"'"
+    return f"""
+SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>'
+         AS cat,
+       string_agg(DISTINCT {b}, ',' ORDER BY {b}) AS bs,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM part WHERE p_partkey % 3 = 0
+GROUP BY 1
+"""

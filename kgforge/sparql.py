@@ -314,10 +314,10 @@ def _parse_agg_call(p: "_P"
     tok = p.next()
     distinct = False
     if _is_kw(tok, "distinct"):
-        if fn != "count":
+        if fn not in ("count", "group_concat"):
             raise SparqlError(
                 "DISTINCT inside an aggregate is supported for "
-                "COUNT only")
+                "COUNT and GROUP_CONCAT only")
         distinct = True
         tok = p.next()
         if tok == "*":
@@ -2680,8 +2680,11 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
                 # deterministic 'any value': the minimum term
                 e = pl.col(a.var).drop_nulls().min()
             elif a.func == "group_concat":
-                e = (pl.col(a.var).drop_nulls().sort()
-                     .str.join(a.sep if a.sep is not None else " "))
+                col = pl.col(a.var).drop_nulls()
+                if a.distinct:
+                    col = col.unique()
+                e = col.sort().str.join(
+                    a.sep if a.sep is not None else " ")
             else:
                 nc = pl.col(f"__num_{a.var}")
                 # all-null -> null (matches the Dataset path's

@@ -317,3 +317,33 @@ SELECT ?s ?t WHERE {{
     assert nulls.iloc[:int(nulls.sum())].all()
     bound = df["t"].dropna().tolist()
     assert bound == sorted(bound) and len(bound) == 4
+
+
+def test_group_concat_distinct(store):
+    """GROUP_CONCAT(DISTINCT ?v): duplicates collapse before the
+    sorted join; plain GROUP_CONCAT keeps them."""
+    from kgforge.sparql import execute_sparql, parse_sparql
+
+    def one(q):
+        df = execute_sparql(store, parse_sparql(q)[0]).to_pandas()
+        return sorted(map(tuple, df[sorted(df.columns)]
+                          .itertuples(index=False)))
+
+    # every subject's w values: it0..it11 share only 10 distinct
+    # weights; group by predicate to force duplicates in one group
+    plain = one(f"""
+SELECT ?p (GROUP_CONCAT(?o; SEPARATOR=",") AS ?vals) WHERE {{
+  ?s ?p ?o . FILTER(isNumeric(?o))
+}} GROUP BY ?p""")
+    dedup = one(f"""
+SELECT ?p (GROUP_CONCAT(DISTINCT ?o; SEPARATOR=",") AS ?vals) WHERE {{
+  ?s ?p ?o . FILTER(isNumeric(?o))
+}} GROUP BY ?p""")
+    assert len(plain) == 1 and len(dedup) == 1
+    assert plain[0][0] == NS + "w"
+    n_plain = plain[0][1].count(",") + 1
+    n_dedup = dedup[0][1].count(",") + 1
+    assert n_plain == 13 and n_dedup == 10
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT (SUM(DISTINCT ?v) AS ?t) WHERE "
+                     "{ ?s ?p ?v }")
