@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_sum_expr"] = versioning.sparql_sum_expr
     q["sparql_group_concat_distinct"] = \
         versioning.sparql_group_concat_distinct
+    q["sparql_select_expr"] = versioning.sparql_select_expr
 
     # --- text analysis (langid, quality, token counting, fingerprints)
     q["text_stats"] = text.text_stats
@@ -452,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_sum_expr"] = versioning.sparql_sum_expr_sql()
     o["sparql_group_concat_distinct"] = \
         versioning.sparql_group_concat_distinct_sql()
+    o["sparql_select_expr"] = versioning.sparql_select_expr_sql()
     o["text_stats"] = text.TEXT_STATS_SQL
     o["lang_id"] = text.LANG_ID_SQL
     o["lang_token_summary"] = text.LANG_TOKEN_SUMMARY_SQL

@@ -1781,3 +1781,33 @@ SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>'
 FROM part WHERE p_partkey % 3 = 0
 GROUP BY 1
 """
+
+
+SELECT_EXPR_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p (?w + ?c AS ?t) (IF(?w > ?c, "w", "c") AS ?hi) WHERE {
+  ?p c:weight ?w .
+  ?p c:cap ?c .
+  FILTER(?w >= 80)
+}
+"""
+
+
+def sparql_select_expr(sf_dir: str) -> "ray.data.Dataset":
+    """SELECT-expression gate: projection expressions (arithmetic and
+    IF over two bound vars) evaluate per solution — the 1.1 shorthand
+    for a trailing BIND."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(SELECT_EXPR_QUERY)[0]
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_select_expr_sql() -> str:
+    w = "(p_partkey * 31) % 97"
+    c = "(p_partkey * 17) % 89"
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       CAST({w} + {c} AS VARCHAR) AS t,
+       CASE WHEN {w} > {c} THEN '"w"' ELSE '"c"' END AS hi
+FROM part WHERE {w} >= 80
+"""

@@ -903,22 +903,42 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
         distinct = True
     sel: list[str] = []
     aggs: list[Agg] = []
+    sexprs: list[BindExpr] = []
     while p.peek() and (p.peek().startswith("?")
                         or p.peek() == "("):
         if p.peek().startswith("?"):
             sel.append(p.next()[1:])
             continue
         p.expect("(")
-        fn, var, sep, adist = _parse_agg_call(p)
+        nxt = p.peek()
+        if (nxt is not None and ":" not in nxt
+                and nxt.lower() in _AGG_FNS):
+            fn, var, sep, adist = _parse_agg_call(p)
+            if not _is_kw(p.next(), "as"):
+                raise SparqlError("aggregate needs AS ?alias")
+            alias = p.next()
+            if not alias.startswith("?"):
+                raise SparqlError("aggregate alias must be a ?var")
+            aggs.append(Agg(fn, var, alias[1:], sep=sep,
+                            distinct=adist))
+            p.expect(")")
+            continue
+        # SELECT expression: (expr AS ?alias) — desugared to a BIND
+        # appended to the WHERE group (evaluates per solution, the
+        # spec's projection-expression semantics)
+        expr = p.bind_expr()
         if not _is_kw(p.next(), "as"):
-            raise SparqlError("aggregate needs AS ?alias")
+            raise SparqlError("SELECT expression needs AS ?alias")
         alias = p.next()
         if not alias.startswith("?"):
-            raise SparqlError("aggregate alias must be a ?var")
-        aggs.append(Agg(fn, var, alias[1:], sep=sep, distinct=adist))
+            raise SparqlError("SELECT expression alias must be a ?var")
+        sexprs.append(BindExpr(expr, alias[1:]))
+        sel.append(alias[1:])
         p.expect(")")
     p.expect("where")
     where = p.group()
+    if sexprs:
+        where.binds.extend(sexprs)
     group_by: list[str] = []
     order_by: list[tuple[str, bool]] = []
     limit: int | None = None
@@ -998,6 +1018,11 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
             if offset is not None:
                 raise SparqlError("duplicate OFFSET")
             offset = int(n)
+    if sexprs and (aggs or group_by):
+        raise SparqlError(
+            "SELECT expressions cannot mix with aggregates/GROUP BY "
+            "in this subset (BIND the expression in the WHERE group "
+            "and aggregate the alias)")
     if aggs:
         keys = group_by or sel
         bad = [v for v in sel if v not in keys]

@@ -347,3 +347,23 @@ SELECT ?p (GROUP_CONCAT(DISTINCT ?o; SEPARATOR=",") AS ?vals) WHERE {{
     with pytest.raises(SparqlError):
         parse_sparql("SELECT (SUM(DISTINCT ?v) AS ?t) WHERE "
                      "{ ?s ?p ?v }")
+
+
+def test_select_expressions(store):
+    """SELECT (expr AS ?alias) projects per solution — desugared to a
+    BIND at the end of the WHERE group."""
+    from kgforge.sparql import execute_sparql, parse_sparql
+
+    def one(q):
+        df = execute_sparql(store, parse_sparql(q)[0]).to_pandas()
+        return sorted(map(tuple, df[sorted(df.columns)]
+                          .itertuples(index=False)))
+
+    got = one(f"""
+SELECT ?s (?w * 2 AS ?dbl) (IF(?w < 5, "lo", "hi") AS ?t) WHERE {{
+  ?s <{NS}w> ?w . FILTER(?s = <{NS}it1>)
+}}""")
+    assert got == [("14", f"{NS}it1", '"hi"')]   # cols sort (dbl, s, t)
+    with pytest.raises(SparqlError):
+        parse_sparql(f"SELECT (?w * 2 AS ?d) (COUNT(*) AS ?n) WHERE "
+                     f"{{ ?s <{NS}w> ?w }}")
