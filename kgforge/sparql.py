@@ -506,9 +506,18 @@ class _P:
         return Filter(v.name, fn, pat)
 
     def cmp_expr(self) -> Filter:
-        v = self.term()
-        if not isinstance(v, Var):
-            raise SparqlError("FILTER subset needs ?var on the left")
+        left = self.bind_expr()
+        if not isinstance(left, Var):
+            # general comparison between numeric expressions, e.g.
+            # FILTER(?w + ?c > 100) — both sides coerce through the
+            # lexical numeric parse (type errors eliminate the row)
+            op = self.next()
+            if op not in _CMP_OPS:
+                raise SparqlError(f"FILTER op {op!r} unsupported "
+                                  f"(subset: {sorted(_CMP_OPS)})")
+            right = self.bind_expr()
+            return Filter("", "num_cmp", (left, op, right))
+        v = left
         nxt = self.peek()
         if nxt is not None and (_is_kw(nxt, "in") or _is_kw(nxt, "not")):
             neg = _is_kw(nxt, "not")
@@ -533,7 +542,10 @@ class _P:
         if op not in _CMP_OPS:
             raise SparqlError(f"FILTER op {op!r} unsupported "
                               f"(subset: {sorted(_CMP_OPS)})")
-        t = self.term()
+        t = self.bind_expr()
+        if not isinstance(t, (Num, Var, Lit, Iri)):
+            # ?var op <numeric expression> -> the general form
+            return Filter("", "num_cmp", (v, op, t))
         if op not in ("=", "!=") and not isinstance(t, (Num, Var)):
             raise SparqlError(
                 "ordering FILTER needs a numeric constant or a ?var")
@@ -1486,6 +1498,10 @@ def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
             sm = _filter_mask(b, sub, cls)
             m = sm if m is None else comb(m, sm)
         return m
+    if f.op == "num_cmp":
+        le, op, r = f.term
+        return _CMP_KERNELS[op](_eval_num_expr(b, le, cls),
+                                _eval_num_expr(b, r, cls))
     col = b[f.var]
     pos = cls.get(f.var, "iri")
     if f.op in ("bound", "not_bound"):
@@ -1585,15 +1601,35 @@ def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
     return _CMP_KERNELS[f.op](col, want)
 
 
+def _expr_vars(expr) -> set[str]:
+    """Every variable a BIND expression tree references."""
+    if isinstance(expr, Var):
+        return {expr.name}
+    if isinstance(expr, Arith):
+        return _expr_vars(expr.l) | _expr_vars(expr.r)
+    if isinstance(expr, IfExpr):
+        return (_filter_vars(expr.cond) | _expr_vars(expr.then)
+                | _expr_vars(expr.els))
+    if isinstance(expr, Func):
+        out: set[str] = set()
+        for a in expr.args:
+            out |= _expr_vars(a)
+        return out
+    return set()
+
+
 def _filter_vars(f: Filter) -> set[str]:
     """Every variable a filter references (left side, plus the right
     side when the comparison is var-vs-var; the union over a
-    combinator's branches)."""
+    combinator's branches; both expression trees for num_cmp)."""
     if f.op in ("or", "and"):
         out: set[str] = set()
         for sub in f.term:
             out |= _filter_vars(sub)
         return out
+    if f.op == "num_cmp":
+        le, _, r = f.term
+        return _expr_vars(le) | _expr_vars(r)
     out = {f.var}
     if isinstance(f.term, Var):
         out.add(f.term.name)

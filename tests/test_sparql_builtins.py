@@ -367,3 +367,31 @@ SELECT ?s (?w * 2 AS ?dbl) (IF(?w < 5, "lo", "hi") AS ?t) WHERE {{
     with pytest.raises(SparqlError):
         parse_sparql(f"SELECT (?w * 2 AS ?d) (COUNT(*) AS ?n) WHERE "
                      f"{{ ?s <{NS}w> ?w }}")
+
+
+def test_filter_arithmetic(store):
+    """FILTER over numeric expressions: ?w * 2 > 10, both-sides
+    expressions, and arithmetic inside IF conditions."""
+    got = _rows(store, f"""
+SELECT ?s WHERE {{ ?s <{NS}w> ?w . FILTER(?w * 2 > 10) }}""")
+    want = sorted((f"{NS}it{k}",) for k in range(12)
+                  if (k * 7) % 10 * 2 > 10)
+    assert got == want
+    both = _rows(store, f"""
+SELECT ?s WHERE {{
+  ?s <{NS}w> ?w . ?s <{NS}name> ?n .
+  FILTER(?w + 1 >= STRLEN(STR(?n)) - 7)
+}}""")
+    # strlen("item K x") = 8 (one-digit K) or 9: condition w+1 >=
+    # strlen-7 — only it10 (w=0, strlen 9 -> 1 >= 2 false) drops
+    assert len(both) == 11
+    assert (f"{NS}it10",) not in both
+    ifc = _rows(store, f"""
+SELECT ?t WHERE {{
+  <{NS}it1> <{NS}w> ?w . BIND(IF(?w - 5 > 0, "pos", "neg") AS ?t)
+}}""")
+    assert ifc == [('"pos"',)]
+    # non-numeric side -> type error -> row eliminated
+    none = _rows(store, f"""
+SELECT ?s WHERE {{ ?s <{NS}name> ?n . FILTER(?n * 2 > 0) }}""")
+    assert none == []
