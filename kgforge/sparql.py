@@ -43,15 +43,32 @@ Beyond the reference file's four shapes, the subset also covers:
   MIN/MAX/SAMPLE which keep their source representation);
 - a FILTER expression subset: ``=``/``!=`` on term form (constants,
   another variable, or a bare integer), ``<``/``>``/``<=``/``>=``
-  against a numeric constant or variable (compared NUMERICALLY on the
-  bound term's lexical value; non-numeric terms eliminated, SPARQL
+  against a numeric constant, variable, or ARITHMETIC expression
+  (``FILTER(?w + ?c > 100)``; compared NUMERICALLY on the bound
+  term's lexical value; non-numeric terms eliminated, SPARQL
   type-error semantics), ``?v [NOT] IN (...)`` constant lists,
-  ``[!]BOUND`` / ``[!]isIRI`` / ``[!]isLiteral`` unary tests, and
+  ``[!]BOUND`` / ``[!]isIRI`` / ``[!]isLiteral`` / ``[!]isNumeric``
+  / ``[!]isBlank`` / ``[!]sameTerm`` unary/binary tests,
+  ``langMatches(LANG(?v), "range")``, and
   ``regex``/``strstarts``/``contains`` over ``STR(?v)`` — vectorized
   Arrow kernels inside the streaming plan;
-- ``BIND(expr AS ?alias)`` computed columns: ``STR``/``CONCAT``/
-  ``UCASE``/``LCASE``/``STRLEN``/``SUBSTR``/``REPLACE``/``COALESCE``
-  (aliases may feed later BINDs in the same group);
+- ``BIND(expr AS ?alias)`` computed columns: numeric arithmetic
+  (``+ - * /`` with precedence and parens; division by zero and
+  non-numeric operands unbind), ``ABS``/``CEIL``/``FLOOR``/``ROUND``
+  (xsd half-toward-+inf), ``IF(cmp, a, b)``, ``STR``/``CONCAT``/
+  ``UCASE``/``LCASE``/``STRLEN``/``SUBSTR``/``REPLACE``/``COALESCE``/
+  ``STRBEFORE``/``STRAFTER``/``ENCODE_FOR_URI``/``STRLANG``/
+  ``STRDT``/``LANG``/``DATATYPE`` (aliases may feed later BINDs in
+  the same group); ``SELECT (expr AS ?alias)`` projection
+  expressions desugar to trailing BINDs;
+- negated property sets ``!iri`` / ``!(iri1|iri2)`` (a ``p != v``
+  filtered scan; excluded single-predicate partitions prune at
+  row-group stats); ``SELECT REDUCED`` (implemented as DISTINCT);
+  ORDER BY compares numeric literals by VALUE with non-null derived
+  sort keys (Ray's range sort rejects nullable keys);
+- ``COUNT(DISTINCT ?v)`` and ``GROUP_CONCAT(DISTINCT ?v)`` (grouped:
+  whole-group map_groups pass; global COUNT: one bucketed distinct
+  pass per counted column);
 - ``COUNT(DISTINCT ?v)`` (grouped: whole-group map_groups pass;
   global: one bucketed distinct pass per counted column);
 - ``VALUES`` inline data (single- and multi-var), ``ASK`` (limit-1

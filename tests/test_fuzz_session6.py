@@ -155,3 +155,20 @@ def test_fuzz_negated_property_set(ray_session, tmp_path, seed):
       SELECT s AS x, o FROM trip
       WHERE p NOT IN ('http://e/p0', 'http://e/p2')""")
     assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_select_expr_filter_arith(ray_session, tmp_path, seed):
+    """SELECT expression + expression FILTER on random stores."""
+    store, con = _rand_store(seed, tmp_path)
+    got = _got(store, """
+      SELECT ?x (?v * 2 + 1 AS ?d) WHERE {
+        ?x <http://e/p1> ?v . FILTER(?v * 2 + 1 >= 20) }""")
+    num = "TRY_CAST(trim(o, '\"') AS DOUBLE)"
+    want = _want(con, f"""
+      SELECT s AS x,
+             CAST(CAST({num} * 2 + 1 AS BIGINT) AS VARCHAR) AS d
+      FROM trip
+      WHERE p = 'http://e/p1' AND NOT starts_with(o, '<')
+        AND {num} IS NOT NULL AND {num} * 2 + 1 >= 20""")
+    assert got == want
