@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_sameterm"] = versioning.sparql_sameterm
     q["sparql_order_numeric"] = versioning.sparql_order_numeric
     q["sparql_sum_expr"] = versioning.sparql_sum_expr
+    q["sparql_agg_inline"] = versioning.sparql_agg_inline
     q["sparql_group_concat_distinct"] = \
         versioning.sparql_group_concat_distinct
     q["sparql_select_expr"] = versioning.sparql_select_expr
@@ -451,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_sameterm"] = versioning.sparql_sameterm_sql()
     o["sparql_order_numeric"] = versioning.sparql_order_numeric_sql()
     o["sparql_sum_expr"] = versioning.sparql_sum_expr_sql()
+    o["sparql_agg_inline"] = versioning.sparql_agg_inline_sql()
     o["sparql_group_concat_distinct"] = \
         versioning.sparql_group_concat_distinct_sql()
     o["sparql_select_expr"] = versioning.sparql_select_expr_sql()

@@ -1750,6 +1750,42 @@ FROM part GROUP BY 1
 """
 
 
+AGG_INLINE_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?cat (SUM(?w * ?c) AS ?total) (AVG(?w + ?c) AS ?mean) WHERE {
+  ?p c:typed_in ?cat .
+  ?p c:weight ?w .
+  ?p c:cap ?c .
+} GROUP BY ?cat
+"""
+
+
+def sparql_agg_inline(sf_dir: str) -> "ray.data.Dataset":
+    """Inline aggregate-expression gate (spec §18.4 evaluation order):
+    ``SUM(?w * ?c)`` / ``AVG(?w + ?c)`` with no explicit BIND — the
+    parser desugars each argument into a hidden per-solution BIND
+    appended to the WHERE group and aggregates the hidden alias.
+    Same bit-exactness argument as sparql_sum_expr (integer-valued
+    products < 97*89 sum exactly in float64)."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(AGG_INLINE_QUERY)[0]
+    assert {a.var for a in q.aggs} == {"_aggexpr0", "_aggexpr1"}
+    assert len(q.where.binds) == 2
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_agg_inline_sql() -> str:
+    w = "CAST((p_partkey * 31) % 97 AS DOUBLE)"
+    c = "CAST((p_partkey * 17) % 89 AS DOUBLE)"
+    return f"""
+SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>'
+         AS cat,
+       SUM({w} * {c}) AS total,
+       AVG({w} + {c}) AS mean
+FROM part GROUP BY 1
+"""
+
+
 GROUP_CONCAT_DISTINCT_QUERY = """
 PREFIX c: <https://kgforge.example.org/cat/>
 SELECT ?cat (GROUP_CONCAT(DISTINCT ?b; SEPARATOR=",") AS ?bs)

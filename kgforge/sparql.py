@@ -318,12 +318,17 @@ _NUM_FNS = frozenset({"abs", "ceil", "floor", "round"})
 
 
 def _parse_agg_call(p: "_P"
-                    ) -> tuple[str, str | None, str | None, bool]:
-    """Parse ``FN ( [DISTINCT] ?var | * [; SEPARATOR="s"] )`` — the
-    token stream positioned AT the function name — and return
-    (fn, var, sep, distinct). SAMPLE is evaluated deterministically
-    (the minimum term — a legal choice under the spec's 'any value
-    from the group')."""
+                    ) -> tuple[str, str | None, str | None, bool,
+                               object | None]:
+    """Parse ``FN ( [DISTINCT] ?var | * | expr [; SEPARATOR="s"] )``
+    — the token stream positioned AT the function name — and return
+    (fn, var, sep, distinct, expr).  An expression argument
+    (``SUM(?a * ?b)``, ``MIN(STRLEN(?t))``) comes back as a parsed
+    BIND-expression AST with ``var is None``; the caller desugars it
+    into a hidden ``BIND`` appended to the WHERE group and aggregates
+    the hidden alias (the spec's per-solution evaluation order).
+    SAMPLE is evaluated deterministically (the minimum term — a legal
+    choice under the spec's 'any value from the group')."""
     fn = p.next().lower()
     if fn not in _AGG_FNS:
         raise SparqlError(f"unsupported aggregate {fn!r}")
@@ -339,15 +344,19 @@ def _parse_agg_call(p: "_P"
         tok = p.next()
         if tok == "*":
             raise SparqlError("COUNT(DISTINCT *) needs a ?var")
+    expr = None
     if tok == "*":
         if fn != "count":
             raise SparqlError(f"{fn}(*) is not valid")
         var = None
-    else:
-        if not tok.startswith("?"):
-            raise SparqlError(
-                f"aggregate arg must be ?var or *, got {tok!r}")
+    elif tok.startswith("?") and p.peek() in (")", ";"):
         var = tok[1:]
+    else:
+        # expression argument — rewind to its first token and parse
+        # the full BIND-expression grammar
+        p.i -= 1
+        expr = p.bind_expr()
+        var = None
     sep = None
     if p.peek() == ";":
         if fn != "group_concat":
@@ -361,7 +370,7 @@ def _parse_agg_call(p: "_P"
             raise SparqlError("SEPARATOR needs a string constant")
         sep = s[1:-1]
     p.expect(")")
-    return fn, var, sep, distinct
+    return fn, var, sep, distinct, expr
 
 
 class _P:
@@ -933,6 +942,7 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
     sel: list[str] = []
     aggs: list[Agg] = []
     sexprs: list[BindExpr] = []
+    aggbinds: list[BindExpr] = []
     while p.peek() and (p.peek().startswith("?")
                         or p.peek() == "("):
         if p.peek().startswith("?"):
@@ -942,12 +952,17 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
         nxt = p.peek()
         if (nxt is not None and ":" not in nxt
                 and nxt.lower() in _AGG_FNS):
-            fn, var, sep, adist = _parse_agg_call(p)
+            fn, var, sep, adist, aexpr = _parse_agg_call(p)
             if not _is_kw(p.next(), "as"):
                 raise SparqlError("aggregate needs AS ?alias")
             alias = p.next()
             if not alias.startswith("?"):
                 raise SparqlError("aggregate alias must be a ?var")
+            if aexpr is not None:
+                # aggregate over an expression: desugar to a hidden
+                # per-solution BIND appended to the WHERE group
+                var = f"_aggexpr{len(aggbinds)}"
+                aggbinds.append(BindExpr(aexpr, var))
             aggs.append(Agg(fn, var, alias[1:], sep=sep,
                             distinct=adist))
             p.expect(")")
@@ -968,6 +983,10 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
     where = p.group()
     if sexprs:
         where.binds.extend(sexprs)
+    if aggbinds:
+        # after the user's BINDs so an agg expression may reference
+        # aliases bound in the group
+        where.binds.extend(aggbinds)
     group_by: list[str] = []
     order_by: list[tuple[str, bool]] = []
     limit: int | None = None
@@ -996,7 +1015,12 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
                 # inline aggregate expression -> synthesize a
                 # hidden agg computed alongside the visible ones
                 p.i -= 1  # push the fn token back
-                fn, var, sep, adist = _parse_agg_call(p)
+                fn, var, sep, adist, aexpr = _parse_agg_call(p)
+                if aexpr is not None:
+                    # HAVING over an expression aggregate — the WHERE
+                    # group is already parsed, append directly
+                    var = f"_agghav{len(having)}"
+                    where.binds.append(BindExpr(aexpr, var))
                 alias = f"_having{len(having)}"
                 aggs.append(Agg(fn, var, alias, sep=sep,
                                 hidden=True, distinct=adist))

@@ -395,3 +395,53 @@ SELECT ?t WHERE {{
     none = _rows(store, f"""
 SELECT ?s WHERE {{ ?s <{NS}name> ?n . FILTER(?n * 2 > 0) }}""")
     assert none == []
+
+
+# --------------------------------------- inline aggregate expressions
+
+def test_agg_inline_expr_sum_global(store):
+    """SUM over an inline expression (spec §18.4): SUM(?w * 2 + 1)
+    desugars to a hidden per-solution BIND and aggregates the alias.
+    13 solutions (12 items + the blank-node row, w=3):
+    sum(w)=55 -> sum(2w+1) = 110 + 13 = 123."""
+    got = _rows(store, f"""
+SELECT (SUM(?w * 2 + 1) AS ?t) WHERE {{ ?s <{NS}w> ?w }}""")
+    assert got == [(123.0,)]
+
+
+def test_agg_inline_expr_count_distinct(store):
+    """COUNT(DISTINCT expr): distinct STRLEN over the name literals
+    ("item K x" is 8 or 9 chars) -> 2."""
+    got = _rows(store, f"""
+SELECT (COUNT(DISTINCT STRLEN(STR(?n))) AS ?k) WHERE {{
+  ?s <{NS}name> ?n }}""")
+    assert got == [(2,)]
+
+
+def test_agg_inline_expr_grouped(store):
+    """Grouped AVG over an inline arithmetic expression: each subject
+    has one w, so AVG(?w * 10) per subject is w*10 exactly."""
+    got = _rows(store, f"""
+SELECT ?s (AVG(?w * 10) AS ?m) WHERE {{ ?s <{NS}w> ?w }}
+GROUP BY ?s""")
+    want = sorted([(float((k * 7) % 10 * 10), f"{NS}it{k}")
+                   for k in range(12)] + [(30.0, "_:b0")])
+    assert got == want
+
+
+def test_agg_inline_expr_having(store):
+    """HAVING over an inline expression aggregate: groups where
+    SUM(?w * 2) > 10 (w >= 6)."""
+    got = _rows(store, f"""
+SELECT ?s WHERE {{ ?s <{NS}w> ?w }}
+GROUP BY ?s HAVING (SUM(?w * 2) > 10)""")
+    want = sorted((f"{NS}it{k}",) for k in range(12)
+                  if (k * 7) % 10 >= 6)
+    assert got == want
+
+
+def test_agg_expr_still_rejects_bad_arg(store):
+    """A non-expression garbage argument still errors at parse."""
+    with pytest.raises(SparqlError):
+        parse_sparql(f"SELECT (SUM(}}) AS ?t) WHERE "
+                     f"{{ ?s <{NS}w> ?w }}")
