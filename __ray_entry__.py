@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_order_numeric"] = versioning.sparql_order_numeric
     q["sparql_sum_expr"] = versioning.sparql_sum_expr
     q["sparql_agg_inline"] = versioning.sparql_agg_inline
+    q["sparql_datetime_parts"] = versioning.sparql_datetime_parts
+    q["sparql_hash_funcs"] = versioning.sparql_hash_funcs
     q["sparql_group_concat_distinct"] = \
         versioning.sparql_group_concat_distinct
     q["sparql_select_expr"] = versioning.sparql_select_expr
@@ -453,6 +455,8 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_order_numeric"] = versioning.sparql_order_numeric_sql()
     o["sparql_sum_expr"] = versioning.sparql_sum_expr_sql()
     o["sparql_agg_inline"] = versioning.sparql_agg_inline_sql()
+    o["sparql_datetime_parts"] = versioning.sparql_datetime_parts_sql()
+    o["sparql_hash_funcs"] = versioning.sparql_hash_funcs_sql()
     o["sparql_group_concat_distinct"] = \
         versioning.sparql_group_concat_distinct_sql()
     o["sparql_select_expr"] = versioning.sparql_select_expr_sql()

@@ -1786,6 +1786,135 @@ FROM part GROUP BY 1
 """
 
 
+NSD = "https://kgforge.example.org/ord/"
+
+
+def date_triples(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic dateTime fixture over the orders table: per order
+    k one ``ord_k placed "<o_orderdate>T<hh>:<mm>:<ss>"`` literal with
+    the time-of-day derived from the key (hh = k%24, mm = (k*7)%60,
+    ss = (k*13)%60 — every accessor field varies) plus one plain
+    ``ref "O<k>"`` literal for the hash-function gates."""
+    import pyarrow.compute as pc
+
+    from ..sources.readers import read_table
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderdate"])
+
+    def build(b: pa.Table) -> pa.Table:
+        keys = (b["o_orderkey"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        dates = pc.strftime(
+            b["o_orderdate"].combine_chunks().cast(pa.timestamp("s")),
+            format="%Y-%m-%d").to_pylist()
+        n = len(keys)
+        s = pa.array([f"{NSD}ord{k}" for k in keys], pa.string())
+        placed = pa.array(
+            [f'"{d}T{k % 24:02d}:{(k * 7) % 60:02d}'
+             f':{(k * 13) % 60:02d}"'
+             for k, d in zip(keys, dates)], pa.string())
+        ref = pa.array([f'"O{k}"' for k in keys], pa.string())
+        return pa.concat_tables([
+            pa.table({"s": s,
+                      "p": pa.array([NSD + "placed"] * n, pa.string()),
+                      "o": placed}),
+            pa.table({"s": s,
+                      "p": pa.array([NSD + "ref"] * n, pa.string()),
+                      "o": ref}),
+        ])
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def date_store(sf_dir: str) -> str:
+    """Idempotent predicate-partitioned store of the dateTime fixture
+    (content-keyed /tmp cache, atomic build)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    src = sorted(glob.glob(os.path.join(sf_dir, "orders*.parquet")))
+    stamp = ";".join(f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p):.6f}"
+                     for p in src)
+    key = hashlib.md5(f"datestore1:{os.path.abspath(sf_dir)}:{stamp}"
+                      .encode()).hexdigest()[:12]
+    store = f"/tmp/kgforge_datestore_{key}"
+    marker = os.path.join(store, "_SUCCESS")
+    if os.path.exists(marker):
+        return store
+    shutil.rmtree(store, ignore_errors=True)
+    tmp = store + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    from ..sinks.ntriples_sink import write_graph_partitioned
+    os.makedirs(tmp, exist_ok=True)
+    write_graph_partitioned(date_triples(sf_dir), tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    os.replace(tmp, store)
+    return store
+
+
+DATETIME_QUERY = """
+PREFIX d: <https://kgforge.example.org/ord/>
+SELECT ?y ?m (COUNT(*) AS ?n) (SUM(HOURS(?t)) AS ?sh) WHERE {
+  ?o d:placed ?t .
+  BIND(YEAR(?t) AS ?y)
+  BIND(MONTH(?t) AS ?m)
+  FILTER(DAY(?t) <= 15)
+} GROUP BY ?y ?m
+"""
+
+
+def sparql_datetime_parts(sf_dir: str) -> "ray.data.Dataset":
+    """xsd:dateTime accessor gate: YEAR/MONTH group keys, a DAY
+    filter, and an inline SUM over HOURS — all six accessors are
+    regex-extracted from the literal's lexical form per batch (the
+    spec reads the literal's own clock time; no calendar library)."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(DATETIME_QUERY)[0]
+    return execute_sparql(date_store(sf_dir), q)
+
+
+def sparql_datetime_parts_sql() -> str:
+    return """
+SELECT CAST(year(o_orderdate) AS VARCHAR) AS y,
+       CAST(month(o_orderdate) AS VARCHAR) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(o_orderkey % 24 AS DOUBLE)) AS sh
+FROM orders WHERE day(o_orderdate) <= 15
+GROUP BY 1, 2
+"""
+
+
+HASH_QUERY = """
+PREFIX d: <https://kgforge.example.org/ord/>
+SELECT ?o ?h5 ?h256 WHERE {
+  ?o d:ref ?r .
+  BIND(MD5(?r) AS ?h5)
+  BIND(SHA256(?r) AS ?h256)
+}
+"""
+
+
+def sparql_hash_funcs(sf_dir: str) -> "ray.data.Dataset":
+    """MD5/SHA256 BIND gate: hex digests of the UTF-8 STR form,
+    computed once per distinct value via dictionary encoding (SHA1/
+    384/512 share the code path and are pinned in pytest — DuckDB
+    only mirrors md5/sha256)."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(HASH_QUERY)[0]
+    return execute_sparql(date_store(sf_dir), q)
+
+
+def sparql_hash_funcs_sql() -> str:
+    return f"""
+SELECT '{NSD}ord' || CAST(o_orderkey AS VARCHAR) AS o,
+       md5('O' || CAST(o_orderkey AS VARCHAR)) AS h5,
+       sha256('O' || CAST(o_orderkey AS VARCHAR)) AS h256
+FROM orders
+"""
+
+
 GROUP_CONCAT_DISTINCT_QUERY = """
 PREFIX c: <https://kgforge.example.org/cat/>
 SELECT ?cat (GROUP_CONCAT(DISTINCT ?b; SEPARATOR=",") AS ?bs)

@@ -310,7 +310,23 @@ _BIND_FNS = {"str": (1, 1), "concat": (1, 64), "ucase": (1, 1),
              "datatype": (1, 1), "strbefore": (2, 2),
              "strafter": (2, 2), "encode_for_uri": (1, 1),
              "strlang": (2, 2), "strdt": (2, 2), "abs": (1, 1),
-             "ceil": (1, 1), "floor": (1, 1), "round": (1, 1)}
+             "ceil": (1, 1), "floor": (1, 1), "round": (1, 1),
+             "year": (1, 1), "month": (1, 1), "day": (1, 1),
+             "hours": (1, 1), "minutes": (1, 1), "seconds": (1, 1),
+             "md5": (1, 1), "sha1": (1, 1), "sha256": (1, 1),
+             "sha384": (1, 1), "sha512": (1, 1)}
+
+#: xsd:dateTime lexical shape (date-only literals bind the date
+#: fields and leave the time fields unbound; a trailing timezone is
+#: ignored — the accessors read the literal's own clock time)
+_DT_PAT = (r"^(?P<y>-?\d{4})-(?P<mo>\d{2})-(?P<d>\d{2})"
+           r"(?:T(?P<h>\d{2}):(?P<mi>\d{2})"
+           r":(?P<se>\d{2}(?:\.\d+)?))?")
+
+_DT_FIELD = {"year": "y", "month": "mo", "day": "d",
+             "hours": "h", "minutes": "mi", "seconds": "se"}
+
+_HASH_FNS = ("md5", "sha1", "sha256", "sha384", "sha512")
 
 #: BIND functions whose result is numeric (evaluated through
 #: ``_eval_num_expr`` and rendered as a lexical numeric string)
@@ -2161,6 +2177,33 @@ def _eval_bind_expr(b: pa.Table, expr, cls: dict[str, str]):
         for nxt_part in parts[1:]:
             out = pc.coalesce(out, nxt_part)
         return out
+    if expr.name in _DT_FIELD:
+        # xsd:dateTime component accessors (spec §17.4.5): extracted
+        # from the literal's lexical form — non-dateTime-shaped values
+        # (and time fields of date-only literals) yield a type error,
+        # i.e. the binding stays unbound
+        s = _chunked(s_form(expr.args[0]))
+        v = pc.struct_field(pc.extract_regex(s, _DT_PAT),
+                            _DT_FIELD[expr.name])
+        # a date-only literal matches with EMPTY (not null) time
+        # groups — mask them to null (type error -> unbound)
+        v = pc.if_else(pc.equal(v, ""), pa.scalar(None, pa.string()),
+                       v)
+        if expr.name == "seconds":
+            # SECONDS returns xsd:decimal — keep any fraction
+            return _render_num(pc.cast(v, pa.float64()))
+        return pc.cast(pc.cast(v, pa.int64()), pa.string())
+    if expr.name in _HASH_FNS:
+        # hex digest of the UTF-8 STR form (spec §17.4.4.x) — hashed
+        # once per DISTINCT value via dictionary encoding
+        import hashlib
+        s = _chunked(s_form(expr.args[0]))
+        d = s.dictionary_encode()
+        fn = getattr(hashlib, expr.name)
+        hx = pa.array([None if v is None
+                       else fn(v.encode("utf-8")).hexdigest()
+                       for v in d.dictionary.to_pylist()], pa.string())
+        return pc.take(hx, d.indices)
     raise SparqlError(f"unsupported BIND function {expr.name!r}")
 
 

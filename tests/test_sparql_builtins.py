@@ -445,3 +445,69 @@ def test_agg_expr_still_rejects_bad_arg(store):
     with pytest.raises(SparqlError):
         parse_sparql(f"SELECT (SUM(}}) AS ?t) WHERE "
                      f"{{ ?s <{NS}w> ?w }}")
+
+
+# --------------------------------------- datetime + hash builtins
+
+def test_datetime_accessors(store):
+    """YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS over a dateTime constant
+    (spec §17.4.5: the accessors read the literal's own clock time;
+    the trailing zone designator is ignored)."""
+    got = _rows(store, f"""
+SELECT ?y ?mo ?d ?h ?mi ?se WHERE {{
+  <{NS}it0> <{NS}w> ?w .
+  BIND(YEAR("2024-03-05T07:20:30Z") AS ?y)
+  BIND(MONTH("2024-03-05T07:20:30Z") AS ?mo)
+  BIND(DAY("2024-03-05T07:20:30Z") AS ?d)
+  BIND(HOURS("2024-03-05T07:20:30Z") AS ?h)
+  BIND(MINUTES("2024-03-05T07:20:30Z") AS ?mi)
+  BIND(SECONDS("2024-03-05T07:20:30.5Z") AS ?se)
+}}""")
+    # columns sort (d, h, mi, mo, se, y); leading zeros normalize
+    assert got == [("5", "7", "20", "3", "30.5", "2024")]
+
+
+def test_datetime_date_only_and_type_error(store):
+    """A date-only literal binds the date fields and leaves HOURS
+    unbound; a non-dateTime-shaped value unbinds everything."""
+    got = _rows(store, f"""
+SELECT ?d ?h WHERE {{
+  <{NS}it0> <{NS}w> ?w .
+  BIND(DAY("2024-03-05") AS ?d)
+  BIND(HOURS("2024-03-05") AS ?h)
+}}""")
+    assert got == [("5", "NULL")]
+    bad = _rows(store, f"""
+SELECT ?y WHERE {{
+  ?s <{NS}name> ?n . BIND(YEAR(?n) AS ?y) FILTER(BOUND(?y))
+}}""")
+    assert bad == []
+
+
+def test_datetime_in_filter_and_arith(store):
+    """Accessors compose with FILTER comparisons and arithmetic."""
+    got = _rows(store, f"""
+SELECT ?v WHERE {{
+  <{NS}it0> <{NS}w> ?w .
+  BIND(YEAR("1998-07-04") - MONTH("1998-07-04") AS ?v)
+  FILTER(DAY("1998-07-04") <= 15)
+}}""")
+    assert got == [("1991",)]
+
+
+def test_hash_functions(store):
+    """MD5/SHA1/SHA256/SHA384/SHA512 of the STR form vs hashlib."""
+    import hashlib
+    got = _rows(store, f"""
+SELECT ?h1 ?h2 ?h3 ?h4 ?h5 WHERE {{
+  <{NS}it0> <{NS}name> ?n .
+  BIND(MD5(?n) AS ?h1) BIND(SHA1(?n) AS ?h2)
+  BIND(SHA256(?n) AS ?h3) BIND(SHA384(?n) AS ?h4)
+  BIND(SHA512(?n) AS ?h5)
+}}""")
+    # it0's name is "item 0 x"@en-US -> STR strips the langtag
+    val = b"item 0 x"
+    want = tuple(getattr(hashlib, a)(val).hexdigest()
+                 for a in ("md5", "sha1", "sha256", "sha384",
+                           "sha512"))
+    assert got == [want]
