@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_agg_inline"] = versioning.sparql_agg_inline
     q["sparql_datetime_parts"] = versioning.sparql_datetime_parts
     q["sparql_hash_funcs"] = versioning.sparql_hash_funcs
+    q["sparql_strends_filter"] = versioning.sparql_strends_filter
+    q["sparql_iri_mint"] = versioning.sparql_iri_mint
     q["sparql_group_concat_distinct"] = \
         versioning.sparql_group_concat_distinct
     q["sparql_select_expr"] = versioning.sparql_select_expr
@@ -457,6 +459,8 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_agg_inline"] = versioning.sparql_agg_inline_sql()
     o["sparql_datetime_parts"] = versioning.sparql_datetime_parts_sql()
     o["sparql_hash_funcs"] = versioning.sparql_hash_funcs_sql()
+    o["sparql_strends_filter"] = versioning.sparql_strends_filter_sql()
+    o["sparql_iri_mint"] = versioning.sparql_iri_mint_sql()
     o["sparql_group_concat_distinct"] = \
         versioning.sparql_group_concat_distinct_sql()
     o["sparql_select_expr"] = versioning.sparql_select_expr_sql()

@@ -1915,6 +1915,58 @@ FROM orders
 """
 
 
+STRENDS_QUERY = """
+PREFIX d: <https://kgforge.example.org/ord/>
+SELECT ?o WHERE {
+  ?o d:ref ?r .
+  FILTER(STRENDS(STR(?r), "5"))
+}
+"""
+
+
+def sparql_strends_filter(sf_dir: str) -> "ray.data.Dataset":
+    """STRENDS FILTER gate: suffix match on the STR form (orders
+    whose key's decimal rendering ends in 5)."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(STRENDS_QUERY)[0]
+    return execute_sparql(date_store(sf_dir), q)
+
+
+def sparql_strends_filter_sql() -> str:
+    return f"""
+SELECT '{NSD}ord' || CAST(o_orderkey AS VARCHAR) AS o
+FROM orders WHERE CAST(o_orderkey AS VARCHAR) LIKE '%5'
+"""
+
+
+IRI_MINT_QUERY = """
+PREFIX d: <https://kgforge.example.org/ord/>
+SELECT ?o ?u WHERE {
+  ?o d:ref ?r .
+  BIND(IRI(CONCAT("https://kgforge.example.org/ref/", ?r)) AS ?u)
+}
+"""
+
+
+def sparql_iri_mint(sf_dir: str) -> "ray.data.Dataset":
+    """IRI()/URI() constructor gate: mint a new IRI from CONCAT over
+    a literal's STR form — the KG-construction idiom. The alias
+    surfaces in raw-IRI representation (no angle brackets), mirrored
+    by plain string concatenation in SQL."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(IRI_MINT_QUERY)[0]
+    return execute_sparql(date_store(sf_dir), q)
+
+
+def sparql_iri_mint_sql() -> str:
+    return f"""
+SELECT '{NSD}ord' || CAST(o_orderkey AS VARCHAR) AS o,
+       'https://kgforge.example.org/ref/O'
+           || CAST(o_orderkey AS VARCHAR) AS u
+FROM orders
+"""
+
+
 GROUP_CONCAT_DISTINCT_QUERY = """
 PREFIX c: <https://kgforge.example.org/cat/>
 SELECT ?cat (GROUP_CONCAT(DISTINCT ?b; SEPARATOR=",") AS ?bs)

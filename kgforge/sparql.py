@@ -292,7 +292,7 @@ def _tokenize(text: str) -> list[str]:
 
 _FORMS = {"select", "construct", "insert", "delete", "ask",
           "describe"}
-_FILTER_FUNCS = {"regex", "strstarts", "contains"}
+_FILTER_FUNCS = {"regex", "strstarts", "strends", "contains"}
 _CMP_OPS = {"=", "!=", "<", ">", "<=", ">="}
 
 
@@ -314,7 +314,8 @@ _BIND_FNS = {"str": (1, 1), "concat": (1, 64), "ucase": (1, 1),
              "year": (1, 1), "month": (1, 1), "day": (1, 1),
              "hours": (1, 1), "minutes": (1, 1), "seconds": (1, 1),
              "md5": (1, 1), "sha1": (1, 1), "sha256": (1, 1),
-             "sha384": (1, 1), "sha512": (1, 1)}
+             "sha384": (1, 1), "sha512": (1, 1),
+             "iri": (1, 1), "uri": (1, 1), "tz": (1, 1)}
 
 #: xsd:dateTime lexical shape (date-only literals bind the date
 #: fields and leave the time fields unbound; a trailing timezone is
@@ -477,10 +478,12 @@ class _P:
             nxt2 = self.peek()
             if not (nxt2 is not None and ":" not in nxt2
                     and (nxt2.lower() in unary
+                         or nxt2.lower() in _FILTER_FUNCS
                          or nxt2.lower() == "sameterm")):
                 raise SparqlError(
                     "FILTER '!' supports only !BOUND/!isIRI/"
-                    "!isLiteral/!isNumeric/!isBlank/!sameTerm(...)")
+                    "!isLiteral/!isNumeric/!isBlank/!sameTerm/"
+                    "!REGEX/!STRSTARTS/!STRENDS/!CONTAINS(...)")
             tok = self.peek()
         if tok is not None and ":" not in tok and _is_kw(
                 tok, "sameterm"):
@@ -531,7 +534,7 @@ class _P:
             if wrapped:
                 self.expect(")")
             return Filter(v.name, ("not_" + op) if neg else op, None)
-        if neg:
+        if neg and (tok is None or tok.lower() not in _FILTER_FUNCS):
             raise SparqlError("FILTER '!' needs a unary predicate")
         if tok is None or tok.lower() not in _FILTER_FUNCS:
             raise SparqlError(f"cannot parse FILTER at {tok!r}")
@@ -545,7 +548,7 @@ class _P:
         self.expect(")")
         if wrapped:
             self.expect(")")
-        return Filter(v.name, fn, pat)
+        return Filter(v.name, ("not_" + fn) if neg else fn, pat)
 
     def cmp_expr(self) -> Filter:
         left = self.bind_expr()
@@ -1626,13 +1629,20 @@ def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
         # NOT IN: an unbound value is a type error -> row eliminated
         # (is_in yields false on null, so bare invert would KEEP it)
         return pc.and_(pc.is_valid(col), pc.invert(m))
-    if f.op in _FILTER_FUNCS:
+    fbase = f.op[4:] if f.op.startswith("not_") else f.op
+    if fbase in _FILTER_FUNCS:
         s = _str_form(col, pos)
-        if f.op == "regex":
-            return pc.match_substring_regex(s, f.term.value)
-        if f.op == "strstarts":
-            return pc.starts_with(s, f.term.value)
-        return pc.match_substring(s, f.term.value)
+        if fbase == "regex":
+            m = pc.match_substring_regex(s, f.term.value)
+        elif fbase == "strstarts":
+            m = pc.starts_with(s, f.term.value)
+        elif fbase == "strends":
+            m = pc.ends_with(s, f.term.value)
+        else:
+            m = pc.match_substring(s, f.term.value)
+        # negation: unbound input is a type error either way (null
+        # inverts to null, which the row filter drops)
+        return pc.invert(m) if f.op.startswith("not_") else m
     if isinstance(f.term, Var):
         # var-vs-var: ordering ops compare the NUMERIC lexical values
         # (non-numeric -> null -> row eliminated, type-error
@@ -1923,6 +1933,12 @@ def _collect_cls(g: Group, cls: dict[str, str] | None = None
             cls[be.alias] = cls.get(be.expr.name, "iri")
         elif isinstance(be.expr, Iri):
             cls[be.alias] = "iri"
+        elif (isinstance(be.expr, Func)
+                and be.expr.name in ("iri", "uri")):
+            # IRI()/URI() constructor: the alias IS an IRI — raw
+            # representation, so term-identity comparisons against
+            # s/p-position vars align without wrapping
+            cls[be.alias] = "iri"
         else:
             # literals/numbers/STR/CONCAT results are term-space
             # strings (STR/CONCAT yield PLAIN strings — decoration
@@ -2193,6 +2209,27 @@ def _eval_bind_expr(b: pa.Table, expr, cls: dict[str, str]):
             # SECONDS returns xsd:decimal — keep any fraction
             return _render_num(pc.cast(v, pa.float64()))
         return pc.cast(pc.cast(v, pa.int64()), pa.string())
+    if expr.name in ("iri", "uri"):
+        # IRI()/URI() constructor (spec §17.4.2.8): the string form
+        # becomes an IRI — the alias lives in raw-IRI representation
+        # (see _collect_cls), so no wrapping here. No BASE support:
+        # the argument must already be an absolute IRI string.
+        return _chunked(s_form(expr.args[0]))
+    if expr.name == "tz":
+        # TZ (spec §17.4.5.8): the timezone designator of the
+        # dateTime's lexical form as a simple literal — "Z",
+        # "+05:00", or "" when absent; non-dateTime-shaped values
+        # are a type error (unbound)
+        s = _chunked(s_form(expr.args[0]))
+        shaped = pc.match_substring_regex(s, _DT_PAT)
+        z = pc.struct_field(
+            pc.extract_regex(s, r"(?P<z>Z|[+-]\d{2}:\d{2})$"), "z")
+        z = pc.if_else(shaped, pc.coalesce(z, pa.scalar("")),
+                       pa.scalar(None, pa.string()))
+        n = b.num_rows
+        return pc.binary_join_element_wise(
+            pa.array(['"'] * n, pa.string()), z,
+            pa.array(['"'] * n, pa.string()), "")
     if expr.name in _HASH_FNS:
         # hex digest of the UTF-8 STR form (spec §17.4.4.x) — hashed
         # once per DISTINCT value via dictionary encoding

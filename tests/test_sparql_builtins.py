@@ -511,3 +511,75 @@ SELECT ?h1 ?h2 ?h3 ?h4 ?h5 WHERE {{
                  for a in ("md5", "sha1", "sha256", "sha384",
                            "sha512"))
     assert got == [want]
+
+
+# --------------------------------------- IRI()/TZ()/STRENDS
+
+def test_strends_filter(store):
+    """STRENDS over STR(?v) (spec §17.4.3.4) — suffix match on the
+    lexical form, langtag-insensitive like the other str filters."""
+    got = _rows(store, f"""
+SELECT ?s WHERE {{
+  ?s <{NS}name> ?n . FILTER(STRENDS(STR(?n), "1 x"))
+}}""")
+    # names are "item {k} x" -> k ending in 1: it1, it11
+    assert got == [(f"{NS}it1",), (f"{NS}it11",)]
+    # negation composes like the other filter functions
+    neg = _rows(store, f"""
+SELECT ?s WHERE {{
+  ?s <{NS}name> ?n . FILTER(!STRENDS(STR(?n), " x"))
+}}""")
+    assert neg == []
+
+
+def test_iri_constructor(store):
+    """IRI()/URI() (spec §17.4.2.8): the string form becomes an IRI
+    in raw representation — it can seed a join back into the store's
+    s-position."""
+    got = _rows(store, f"""
+SELECT ?u WHERE {{
+  ?s <{NS}w> ?w .
+  FILTER(?w = 7) FILTER(isIRI(?s))
+  BIND(URI(CONCAT("{NS}w-is-", STR(?w))) AS ?u)
+}}""")
+    # w=(k*7)%10 == 7 -> k in {1, 11}: two rows, same minted IRI
+    assert got == [(f"{NS}w-is-7",), (f"{NS}w-is-7",)]
+    # IRI of an IRI-class var is the identity
+    same = _rows(store, f"""
+SELECT ?ok WHERE {{
+  <{NS}it0> <{NS}link> ?t . BIND(IRI(?t) AS ?u)
+  BIND(IF(?u = ?t, "y", "n") AS ?ok)
+}}""")
+    assert same == [('"y"',)]
+
+
+def test_iri_join_back_is_rejected(store):
+    """A minted IRI reused as a pattern subject needs BIND-before-
+    join evaluation, which the group planner does not do (patterns
+    evaluate first) — the shape must error clearly, not mis-answer."""
+    with pytest.raises(SparqlError, match="already bound"):
+        _rows(store, f"""
+SELECT ?n WHERE {{
+  <{NS}it1> <{NS}w> ?w .
+  BIND(IRI(CONCAT("{NS}it", "1")) AS ?u)
+  ?u <{NS}name> ?n .
+}}""")
+
+
+def test_tz_accessor(store):
+    """TZ (spec §17.4.5.8): timezone designator as a simple literal —
+    "Z", "+05:00", "" when absent; non-dateTime shapes unbind."""
+    got = _rows(store, f"""
+SELECT ?a ?b ?c ?d WHERE {{
+  <{NS}it0> <{NS}w> ?w .
+  BIND(TZ("2024-03-05T07:20:30Z") AS ?a)
+  BIND(TZ("2024-03-05T07:20:30-08:00") AS ?b)
+  BIND(TZ("2024-03-05T07:20:30") AS ?c)
+  BIND(TZ("2024-03-05") AS ?d)
+}}""")
+    assert got == [('"Z"', '"-08:00"', '""', '""')]
+    bad = _rows(store, f"""
+SELECT ?z WHERE {{
+  ?s <{NS}name> ?n . BIND(TZ(?n) AS ?z) FILTER(BOUND(?z))
+}}""")
+    assert bad == []
