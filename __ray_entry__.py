@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # property-path syntax: sequence (/), inverse (^), alternation (|)
     q["sparql_seq_path"] = versioning.sparql_seq_path
     q["sparql_inv_alt_path"] = versioning.sparql_inv_alt_path
+    q["sparql_group_path"] = versioning.sparql_group_path
+    q["sparql_group_closure"] = versioning.sparql_group_closure
     # zero-or-more property path (Kleene-plus closure + reflexive
     # node-domain pairs)
     q["sparql_star_path"] = versioning.sparql_star_path
@@ -423,6 +425,8 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_not_exists"] = versioning.sparql_not_exists_sql()
     o["sparql_seq_path"] = versioning.sparql_path_ancestors_sql()
     o["sparql_inv_alt_path"] = versioning.sparql_inv_alt_path_sql()
+    o["sparql_group_path"] = versioning.sparql_group_path_sql()
+    o["sparql_group_closure"] = versioning.sparql_group_closure_sql()
     o["sparql_star_path"] = versioning.sparql_star_path_sql()
     o["sparql_distinct_types"] = versioning.sparql_distinct_types_sql()
     o["sparql_sum_avg"] = versioning.sparql_sum_avg_sql()

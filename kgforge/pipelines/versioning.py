@@ -511,6 +511,78 @@ def sparql_inv_alt_path_sql() -> str:
             f"WHERE p IN ('{tp}sized', '{tp}typed_as')")
 
 
+GROUP_CLOSURE_QUERY_TEXT = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?a WHERE {
+  ?p (c:typed_in|c:subCategoryOf)+ ?a .
+  FILTER strstarts(STR(?p), "https://kgforge.example.org/cat/part")
+}
+"""
+
+
+def sparql_group_closure(sf_dir: str) -> "ray.data.Dataset":
+    """Modified path-group gate: ``(typed_in|subCategoryOf)+`` — the
+    transitive closure over the UNION of two predicates' edge sets
+    (AltSet), partition-pruned reads per member. Filtered to part
+    subjects: every part paired with its category and all taxonomy
+    ancestors down to the root."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(GROUP_CLOSURE_QUERY_TEXT)[0]
+    assert q.where.patterns[0].path == "+"
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_group_closure_sql() -> str:
+    return f"""
+WITH RECURSIVE
+inst AS (SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+                CAST(p_partkey % {N_CATS} + 2 AS BIGINT) AS a
+         FROM part),
+walk(p, a) AS (
+  SELECT p, a FROM inst
+  UNION ALL
+  SELECT p, a // 2 FROM walk WHERE a >= 2
+)
+SELECT DISTINCT p, '<{NSC}cat' || CAST(a AS VARCHAR) || '>' AS a
+FROM walk
+"""
+
+
+GROUP_PATH_QUERY_TEXT = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?a WHERE {
+  ?p c:typed_in/(c:subCategoryOf|c:subCategoryOf/c:subCategoryOf) ?a
+}
+"""
+
+
+def sparql_group_path(sf_dir: str) -> "ray.data.Dataset":
+    """Parenthesized path-group gate: a (b|b/b) distributes at parse
+    time into two SEQUENCE union legs — every part's category parent
+    plus its grandparent where one exists. Each leg chains fresh
+    intermediate variables and carries a projection down to the path
+    endpoints (?p, ?a) before the union aligns column sets; bag
+    semantics, so the grandparent rows do not collapse into the
+    parent rows."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(GROUP_PATH_QUERY_TEXT)[0]
+    assert len(q.where.unions) == 1 and len(q.where.unions[0]) == 2
+    assert all(leg.project == ("p", "a") for leg in q.where.unions[0])
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_group_path_sql() -> str:
+    return f"""
+WITH inst AS (SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+                     CAST(p_partkey % {N_CATS} + 2 AS BIGINT) AS ck
+              FROM part)
+SELECT p, '<{NSC}cat' || CAST(ck // 2 AS VARCHAR) || '>' AS a FROM inst
+UNION ALL
+SELECT p, '<{NSC}cat' || CAST(ck // 4 AS VARCHAR) || '>' AS a
+FROM inst WHERE ck >= 4
+"""
+
+
 NOT_EXISTS_QUERY_TEXT = """
 PREFIX tpch: <https://kgforge.example.org/tpch/>
 PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>

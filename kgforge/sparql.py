@@ -79,7 +79,11 @@ Beyond the reference file's four shapes, the subset also covers:
   (ops/graph.transitive_pairs: driver BFS for ontology-sized
   partitions, semi-naive bucket-join iteration at scale; zero-length
   legs pair the pattern's IRI node domain) and the parse-time
-  rewrites ``/`` (sequence), ``^`` (inverse), ``|`` (alternation);
+  rewrites ``/`` (sequence), ``^`` (inverse), ``|`` (alternation —
+  sequence legs allowed: each leg projects to the path endpoints
+  before the union) and parenthesized sub-paths (``(a|b)/c``
+  distributes at parse time; ``^(a/b)`` inverts-and-reverses;
+  modifiers on groups like ``(a|b)+`` are out of the subset);
 - SPARQL-Update: ``INSERT DATA`` / ``INSERT .. WHERE`` (set-semantics
   append of genuinely new rows) and ``DELETE DATA`` / ``DELETE
   WHERE`` / ``DELETE .. WHERE`` (partition-local anti-join rewrite
@@ -199,6 +203,16 @@ class NegSet:
 
 
 @dataclass(frozen=True)
+class AltSet:
+    """Modified alternation group ``(iri1|iri2)+`` / ``*`` / ``?`` in
+    a path position: the closure runs over the UNION of the member
+    predicates' edge sets (forward single IRIs only in this subset —
+    the common taxonomy idiom, e.g. ``(subClassOf|partOf)+``). The
+    modifier lives on the enclosing Pattern, like a plain ``p+``."""
+    values: tuple
+
+
+@dataclass(frozen=True)
 class BindExpr:
     """One ``BIND(expr AS ?alias)`` in a group."""
     expr: object
@@ -222,6 +236,12 @@ class Group:
     # with the enclosing group on the PROJECTED variables only (inner
     # non-projected vars never leak: projection scopes them)
     subqueries: list["Query"] = field(default_factory=list)
+    # UNION-alternative projection: sequence legs of a path
+    # alternation ((p1/p2)|p3) chain fresh intermediate variables
+    # that differ between legs — project each leg down to the path's
+    # endpoint variables before the union aligns column sets
+    # (duplicates kept: sequence paths are bag-semantics)
+    project: tuple[str, ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -737,9 +757,13 @@ class _P:
 
     def path_spec(self) -> list[list[tuple[bool, object, object]]]:
         """Property-path subset as alternatives of element sequences:
-        ``elt := ['^'] term ['+'|'*'|'?']``; ``seq := elt ('/' elt)*``;
-        ``path := seq ('|' seq)*``. A plain ``?var`` predicate is the
-        single-element degenerate case."""
+        ``elt := ['^'] (term ['+'|'*'|'?'] | '(' path ')')`` plus
+        negated property sets; ``seq := elt ('/' elt)*``;
+        ``path := seq ('|' seq)*``. Parenthesized sub-paths distribute
+        at parse time into the flat alternatives-of-sequences form
+        ((a|b)/c -> a/c | b/c; ^(a/b) -> ^b/^a); a modifier on a
+        parenthesized group ((a|b)+) is out of the subset. A plain
+        ``?var`` predicate is the single-element degenerate case."""
         def elt() -> tuple[bool, object, object]:
             inv = False
             if self.peek() == "!":
@@ -782,14 +806,67 @@ class _P:
                     "property-path operators need a constant predicate")
             return (inv, t, mod)
 
-        seqs = [[elt()]]
+        def invert(spec):
+            out = []
+            for seq in spec:
+                leg = []
+                for iv, t, mod in reversed(seq):
+                    if isinstance(t, NegSet):
+                        raise SparqlError("'^' over a negated property "
+                                          "set is out of the subset")
+                    leg.append((not iv, t, mod))
+                out.append(leg)
+            return out
+
+        def primary() -> list[list[tuple[bool, object, object]]]:
+            """One path element as a normalized sub-spec (list of
+            alternative sequences) — parens recurse, everything else
+            is the single-element case."""
+            inv = False
+            if (self.peek() == "^" and self.i + 1 < len(self.t)
+                    and self.t[self.i + 1] == "("):
+                self.next()
+                inv = True
+            if self.peek() == "(":
+                self.next()
+                inner = self.path_spec()
+                self.expect(")")
+                if self.peek() in ("+", "*", "?"):
+                    # modified group: closure over the UNION of the
+                    # member predicates' edge sets — subset: forward
+                    # single constant IRIs, no inner modifiers
+                    mod = self.next()
+                    if inv or any(
+                            len(seq) != 1 or seq[0][0]
+                            or seq[0][2] is not None
+                            or not isinstance(seq[0][1], Iri)
+                            for seq in inner):
+                        raise SparqlError(
+                            "path modifiers on parenthesized groups "
+                            "support forward single-IRI alternatives "
+                            "only ((p1|p2)+)")
+                    preds = tuple(dict.fromkeys(
+                        seq[0][1].value for seq in inner))
+                    return [[(False, AltSet(preds), mod)]]
+                return invert(inner) if inv else inner
+            return [[elt()]]
+
+        alts: list[list[tuple[bool, object, object]]] = []
+        cur = primary()
         while self.peek() in ("/", "|"):
             op = self.next()
+            nxt = primary()
             if op == "/":
-                seqs[-1].append(elt())
+                cur = [a + b for a in cur for b in nxt]
+                if len(cur) > 64:
+                    raise SparqlError(
+                        "path alternation distribution exceeds 64 "
+                        "sequences")
             else:
-                seqs.append([elt()])
-        return seqs
+                alts.extend(cur)
+                cur = nxt
+        alts.extend(cur)
+        return alts
 
     def _fresh_var(self) -> Var:
         self._fresh = getattr(self, "_fresh", 0) + 1
@@ -810,24 +887,39 @@ class _P:
     def emit_path(self, out: list[Pattern], group: "Group | None",
                   s, seqs, o) -> None:
         if group is None and any(
-                isinstance(t, NegSet) for seq in seqs for _, t, _ in seq):
+                isinstance(t, (NegSet, AltSet))
+                for seq in seqs for _, t, _ in seq):
             raise SparqlError(
-                "negated property sets are not allowed in a template")
+                "negated property sets and modified path groups are "
+                "not allowed in a template")
         if len(seqs) == 1:
             self._emit_seq(out, s, seqs[0], o)
             return
         if group is None:
             raise SparqlError(
                 "path alternation '|' is not allowed in a template")
-        if any(len(seq) > 1 for seq in seqs):
-            raise SparqlError("path alternation subset: single elements "
-                              "only (no '/' inside '|')")
-        # rewrite to {legA} UNION {legB}: every leg binds exactly the
-        # pattern's own variables, so the union var sets line up
+        # rewrite to {legA} UNION {legB}. Single-element legs bind
+        # exactly the pattern's own variables, so the union var sets
+        # line up as-is; sequence legs chain fresh intermediate vars
+        # that differ between legs, so each leg carries a projection
+        # down to the path's endpoint variables (bag semantics: one
+        # solution per route survives the projection)
+        if any(isinstance(t, Var) for seq in seqs for _, t, _ in seq):
+            raise SparqlError("variable predicates are not allowed "
+                              "inside path alternation '|'")
+        endpoints = tuple(dict.fromkeys(
+            t.name for t in (s, o) if isinstance(t, Var)))
+        has_seq = any(len(seq) > 1 for seq in seqs)
+        if has_seq and not endpoints:
+            raise SparqlError(
+                "path alternation with sequence legs needs a variable "
+                "endpoint")
         alts = []
         for seq in seqs:
             leg = Group()
             self._emit_seq(leg.patterns, s, seq, o)
+            if has_seq:
+                leg.project = endpoints
             alts.append(leg)
         group.unions.append(alts)
 
@@ -1773,9 +1865,11 @@ def _zero_length_pairs(store_dir: str, pat: Pattern
 def _eval_path_pattern(store_dir: str, pat: Pattern,
                        cls: dict[str, str]) -> "ray.data.Dataset":
     """``s p{+,*,?} o`` (SPARQL 1.1 property-path modifiers) over ONE
-    instance predicate: the set of pairs connected by a directed path
-    through ``p`` edges — length >= 1 for ``+``, >= 0 for ``*``,
-    0 or 1 for ``?``.
+    instance predicate — or a modified alternation group
+    ``(p1|p2)+`` (``AltSet``), whose edge set is the union of the
+    member predicates' reads: the set of pairs connected by a
+    directed path through the edges — length >= 1 for ``+``, >= 0
+    for ``*``, 0 or 1 for ``?``.
 
     Plan: the partition-pruned ``p`` read feeds
     ``ops.graph.transitive_pairs`` (driver BFS when the predicate's
@@ -1791,7 +1885,14 @@ def _eval_path_pattern(store_dir: str, pat: Pattern,
     if not isinstance(pat.s, Var) and not isinstance(pat.o, Var):
         raise SparqlError("fully-ground property path unsupported "
                           "(subset: at least one variable endpoint)")
-    ds = query_triples(store_dir, p=pat.p.value)
+    if isinstance(pat.p, AltSet):
+        # modified alternation group (p1|p2)+: the closure runs over
+        # the UNION of the member predicates' partition-pruned reads
+        ds = query_triples(store_dir, p=pat.p.values[0])
+        for v in pat.p.values[1:]:
+            ds = ds.union(query_triples(store_dir, p=v))
+    else:
+        ds = query_triples(store_dir, p=pat.p.value)
 
     def et(b: pa.Table) -> pa.Table:   # every edge, term-form endpoint
         return pa.table({"_s": b["s"].combine_chunks().cast(pa.string()),
@@ -2357,6 +2458,18 @@ def _join_binds(bind: _Bind, new: _Bind, cls: dict[str, str]) -> _Bind:
         cls, joined)
 
 
+def _project_bind(b: _Bind, keep: list[str]) -> _Bind:
+    """Project a binding set down to ``keep`` columns, duplicates
+    retained (bag semantics — used by path-alternation sequence legs,
+    where the fresh chain variables must not leak into the union)."""
+    keep = [c for c in keep if c in b.cols()]
+    if b.small:
+        return _Bind(b.data.select(keep), b.cls, list(keep))
+    ds = b.data.map_batches(lambda t, _c=list(keep): t.select(_c),
+                            batch_format="pyarrow")
+    return _Bind(ds, b.cls, list(keep))
+
+
 def _concat_binds(parts: list[_Bind]) -> _Bind:
     """UNION of binding sets over an identical variable set (bag
     semantics — duplicates kept, like SPARQL UNION)."""
@@ -2472,6 +2585,9 @@ def _eval_group(store_dir: str, g: Group,
     for alts in g.unions:
         parts = [_apply_filters(_eval_group(store_dir, a, cls), a.filters)
                  for a in alts]
+        parts = [_project_bind(p, list(a.project))
+                 if a.project is not None else p
+                 for p, a in zip(parts, alts)]
         colsets = {tuple(sorted(p.cols())) for p in parts}
         if len(colsets) != 1:
             raise SparqlError(

@@ -807,9 +807,36 @@ def test_parse_path_syntax():
     q2 = parse_sparql("PREFIX e: <http://e/> "
                       "SELECT ?a ?b WHERE { ?a e:p|e:q ?b }")[0]
     assert len(q2.where.unions) == 1 and len(q2.where.unions[0]) == 2
-    with pytest.raises(SparqlError):   # no '/' inside '|'
+    # '/' inside '|': sequence leg becomes a projected union leg
+    q3 = parse_sparql("PREFIX e: <http://e/> SELECT ?a ?b WHERE "
+                      "{ ?a e:p/e:q|e:r ?b }")[0]
+    assert len(q3.where.unions) == 1 and len(q3.where.unions[0]) == 2
+    seq_leg, simple_leg = q3.where.unions[0]
+    assert seq_leg.project == ("a", "b") and len(seq_leg.patterns) == 2
+    assert simple_leg.project == ("a", "b")   # all legs align
+    with pytest.raises(SparqlError):   # var predicate inside '|'
         parse_sparql("PREFIX e: <http://e/> SELECT ?a ?b WHERE "
-                     "{ ?a e:p/e:q|e:r ?b }")
+                     "{ ?a ?p/e:q|e:r ?b }")
+    # parenthesized groups distribute at parse time: (p|q)/r -> two
+    # two-pattern sequence legs
+    q4 = parse_sparql("PREFIX e: <http://e/> SELECT ?a ?b WHERE "
+                      "{ ?a (e:p|e:q)/e:r ?b }")[0]
+    assert len(q4.where.unions) == 1 and len(q4.where.unions[0]) == 2
+    assert all(len(leg.patterns) == 2 for leg in q4.where.unions[0])
+    # ^(a/b) == ^b/^a: inverted-and-reversed plain sequence; inverse
+    # elements swap subject/object at emit time
+    q5 = parse_sparql("PREFIX e: <http://e/> "
+                      "SELECT ?x ?z WHERE { ?x ^(e:a/e:b) ?z }")[0]
+    p_b, p_a = q5.where.patterns
+    assert (p_b.p.value, p_a.p.value) == ("http://e/b", "http://e/a")
+    assert p_b.o.name == "x" and p_a.s.name == "z"      # swapped
+    assert p_b.s == p_a.o and p_b.s.name.startswith("_seq")
+    # modifier on a group parses to an AltSet closure pattern
+    from kgforge.sparql import AltSet
+    q6 = parse_sparql("PREFIX e: <http://e/> SELECT ?a ?b WHERE "
+                      "{ ?a (e:p|e:q)+ ?b }")[0]
+    assert isinstance(q6.where.patterns[0].p, AltSet)
+    assert q6.where.patterns[0].path == "+"
     with pytest.raises(SparqlError):   # ^ needs a constant
         parse_sparql("SELECT ?a ?b WHERE { ?a ^?p ?b }")
 
@@ -840,6 +867,115 @@ def test_path_syntax_eval(ray_session, tmp_path):
     assert sorted(map(tuple, alt.itertuples(index=False))) == [
         ("http://e/a", '"qv"'), ("http://e/b", '"end"'),
         ("http://e/c", '"c2"')]
+
+
+def test_path_group_alternation_eval(ray_session, tmp_path):
+    """Sequence legs inside '|' and parenthesized sub-paths evaluate:
+    each sequence leg is projected down to the path endpoints before
+    the union, so fresh chain vars never leak."""
+    import ray.data
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    rows = pa.table({
+        "s": ["http://e/a", "http://e/b", "http://e/a", "http://e/c"],
+        "p": ["http://e/p1", "http://e/p2", "http://e/q", "http://e/p2"],
+        "o": ['<http://e/b>', '"end"', '"qv"', '"c2"'],
+    })
+    store = str(tmp_path / "gpaths")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(rows), store)
+    # (p1/p2)|q : two-hop leg plus direct leg
+    got = execute_sparql(store, parse_sparql(
+        "SELECT ?x ?v WHERE { ?x (<http://e/p1>/<http://e/p2>)"
+        "|<http://e/q> ?v }")[0]).to_pandas()
+    assert sorted(map(tuple, got[["x", "v"]].itertuples(index=False))) \
+        == [("http://e/a", '"end"'), ("http://e/a", '"qv"')]
+    # group in the middle of a sequence: p1/(p2|q) distributes
+    got2 = execute_sparql(store, parse_sparql(
+        "SELECT ?x ?v WHERE { ?x <http://e/p1>/(<http://e/p2>"
+        "|<http://e/q>) ?v }")[0]).to_pandas()
+    assert sorted(map(tuple, got2[["x", "v"]].itertuples(index=False))) \
+        == [("http://e/a", '"end"')]
+    # inverse over a group: ^(p1/p2) goes object->subject two hops
+    got3 = execute_sparql(store, parse_sparql(
+        "SELECT ?v ?x WHERE { ?v ^(<http://e/p1>/<http://e/p2>) ?x }"
+    )[0]).to_pandas()
+    assert sorted(map(tuple, got3[["v", "x"]].itertuples(index=False))) \
+        == [('"end"', "http://e/a")]
+
+
+def test_modified_path_group_closure(ray_session, tmp_path):
+    """(a|b)+ — AltSet closure over the UNION of two predicates' edge
+    sets; subset rejections for inverse/sequence/inner-modifier
+    members."""
+    import ray.data
+    from kgforge.sparql import AltSet
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    q = parse_sparql("PREFIX e: <http://e/> "
+                     "SELECT ?x ?y WHERE { ?x (e:a|e:b)+ ?y }")[0]
+    pat = q.where.patterns[0]
+    assert isinstance(pat.p, AltSet) and pat.path == "+"
+    assert pat.p.values == ("http://e/a", "http://e/b")
+    rows = pa.table({
+        "s": ["http://e/n1", "http://e/n2", "http://e/n3"],
+        "p": ["http://e/a", "http://e/b", "http://e/c"],
+        "o": ['<http://e/n2>', '<http://e/n3>', '<http://e/n4>'],
+    })
+    store = str(tmp_path / "altset")
+    os.makedirs(store)
+    write_graph_partitioned(ray.data.from_arrow(rows), store)
+    got = execute_sparql(store, q).to_pandas()
+    # n1-a->n2-b->n3: closure crosses predicates; c edges excluded
+    assert sorted(map(tuple, got[["x", "y"]].itertuples(index=False))) \
+        == [("http://e/n1", "<http://e/n2>"),
+            ("http://e/n1", "<http://e/n3>"),
+            ("http://e/n2", "<http://e/n3>")]
+    # (a|b)? = length-1 over the union + reflexive IRI node domain
+    q2 = parse_sparql("PREFIX e: <http://e/> "
+                      "SELECT ?x ?y WHERE { ?x (e:a|e:b)? ?y }")[0]
+    assert len(execute_sparql(store, q2).to_pandas()) == 6
+    for bad in ("{ ?x (^e:a|e:b)+ ?y }", "{ ?x (e:a/e:b)+ ?y }",
+                "{ ?x (e:a+|e:b)* ?y }"):
+        with pytest.raises(SparqlError):
+            parse_sparql("PREFIX e: <http://e/> SELECT ?x ?y WHERE "
+                         + bad)
+
+
+def test_group_closure_gate_parity(ray_session):
+    import duckdb
+    import hashlib
+    from kgforge.pipelines import versioning as V
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{SF}/part.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    df = V.sparql_group_closure(SF).to_pandas()
+    odf = con.sql(V.sparql_group_closure_sql()).df()
+    assert len(df) == len(odf) > 0
+    assert norm(df) == norm(odf)
+
+
+def test_group_path_gate_parity(ray_session):
+    import duckdb
+    import hashlib
+    from kgforge.pipelines import versioning as V
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{SF}/part.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    df = V.sparql_group_path(SF).to_pandas()
+    odf = con.sql(V.sparql_group_path_sql()).df()
+    assert len(df) == len(odf) > 0
+    assert norm(df) == norm(odf)
 
 
 def test_seq_path_equals_explicit_chain(ray_session):
