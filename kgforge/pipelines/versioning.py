@@ -548,6 +548,42 @@ FROM walk
 """
 
 
+SUM_DISTINCT_QUERY_TEXT = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?c (SUM(DISTINCT ?v) AS ?sv) (AVG(DISTINCT ?v) AS ?av)
+       (SUM(?v) AS ?s) WHERE {
+  ?p c:typed_in ?c .
+  ?p c:bonus ?v
+}
+GROUP BY ?c
+"""
+
+
+def sparql_sum_distinct(sf_dir: str) -> "ray.data.Dataset":
+    """SUM/AVG(DISTINCT) gate over the fixture's PLANTED within-group
+    duplicates (parts k and k+1560 share category AND bonus value), so
+    SUM(DISTINCT ?v) genuinely differs from SUM(?v) in the colliding
+    groups. DISTINCT deduplicates the numeric VALUES — the SQL
+    SUM(DISTINCT) reading; integer-valued doubles sum exactly in any
+    order, so the hash matches bit-for-bit."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(SUM_DISTINCT_QUERY_TEXT)[0]
+    assert [a.distinct for a in q.aggs] == [True, True, False]
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_sum_distinct_sql() -> str:
+    return f"""
+SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR)
+           || '>' AS c,
+       CAST(SUM(DISTINCT (p_partkey * 7) % 13) AS DOUBLE) AS sv,
+       CAST(AVG(DISTINCT (p_partkey * 7) % 13) AS DOUBLE) AS av,
+       CAST(SUM((p_partkey * 7) % 13) AS DOUBLE) AS s
+FROM part WHERE p_partkey % 3 = 0
+GROUP BY 1
+"""
+
+
 GROUP_PATH_QUERY_TEXT = """
 PREFIX c: <https://kgforge.example.org/cat/>
 SELECT ?p ?a WHERE {

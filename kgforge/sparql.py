@@ -373,10 +373,11 @@ def _parse_agg_call(p: "_P"
     tok = p.next()
     distinct = False
     if _is_kw(tok, "distinct"):
-        if fn not in ("count", "group_concat"):
-            raise SparqlError(
-                "DISTINCT inside an aggregate is supported for "
-                "COUNT and GROUP_CONCAT only")
+        # any aggregate accepts DISTINCT (SPARQL 1.1 §18.5.1).
+        # COUNT/GROUP_CONCAT deduplicate terms; SUM/AVG deduplicate
+        # the numeric VALUES (the SQL SUM(DISTINCT) reading — lexical
+        # variants of one number collapse); MIN/MAX/SAMPLE are
+        # distinct-invariant, the flag is a no-op there
         distinct = True
         tok = p.next()
         if tok == "*":
@@ -2985,6 +2986,8 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
                     a.sep if a.sep is not None else " ")
             else:
                 nc = pl.col(f"__num_{a.var}")
+                if a.distinct:    # SUM/AVG(DISTINCT): numeric values
+                    nc = nc.drop_nulls().unique()
                 # all-null -> null (matches the Dataset path's
                 # ignore_nulls aggregation, not polars' sum()==0)
                 agg_e = nc.sum() if a.func == "sum" else nc.mean()
@@ -3072,24 +3075,40 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
                 "GROUP_CONCAT without GROUP BY is out of the "
                 "supported subset on large binding sets (the result "
                 "row scales with the input)")
-        # global COUNT(DISTINCT ?v): one bucketed distinct pass per
-        # counted var (group-key-free, stays distributed); the other
-        # aggregates run in the normal combiner pass
+        # global COUNT/SUM/AVG(DISTINCT ?v): one bucketed distinct
+        # pass per deduplicated column (group-key-free, stays
+        # distributed) — COUNT counts the distinct terms, SUM/AVG
+        # aggregate the distinct numeric values; MIN/MAX/SAMPLE are
+        # distinct-invariant and run in the normal combiner pass with
+        # the non-distinct aggregates
         from .stages.dedup import distinct as _ds_distinct
         vals: dict[str, object] = {}
-        nd = [s for s, a in zip(specs, q.aggs) if not a.distinct]
-        if nd:
-            row = data.aggregate(*nd)
+        plain = [(s, a) for s, a in zip(specs, q.aggs)
+                 if not a.distinct or a.func in ("min", "max",
+                                                 "sample")]
+        if plain:
+            row = data.aggregate(*[s for s, _ in plain])
             vals.update(row)
         for a in q.aggs:
-            if not a.distinct:
+            if not a.distinct or a.func in ("min", "max", "sample"):
                 continue
+            col = a.var if a.func == "count" else f"__num_{a.var}"
             proj = data.map_batches(
-                lambda b, _v=a.var: b.select([_v]).filter(
+                lambda b, _v=col: b.select([_v]).filter(
                     pc.is_valid(b[_v])),
                 batch_format="pyarrow")
-            vals[a.alias] = _ds_distinct(proj, [a.var]).count()
-        tbl = pa.table({a.alias: [vals[a.alias]] for a in q.aggs})
+            dvals = _ds_distinct(proj, [col])
+            if a.func == "count":
+                vals[a.alias] = dvals.count()
+            else:
+                spec = (Sum(col, ignore_nulls=True,
+                            alias_name=a.alias) if a.func == "sum"
+                        else Mean(col, ignore_nulls=True,
+                                  alias_name=a.alias))
+                vals[a.alias] = dvals.aggregate(spec)[a.alias]
+        tbl = pa.table({a.alias: pa.array([vals[a.alias]],
+                                          alias_type(a.alias))
+                        for a in q.aggs})
         agg_ds = ray.data.from_arrow(tbl)
     elif keys:
         agg_ds = data.groupby(keys).aggregate(*specs)

@@ -344,9 +344,10 @@ SELECT ?p (GROUP_CONCAT(DISTINCT ?o; SEPARATOR=",") AS ?vals) WHERE {{
     n_plain = plain[0][1].count(",") + 1
     n_dedup = dedup[0][1].count(",") + 1
     assert n_plain == 13 and n_dedup == 10
-    with pytest.raises(SparqlError):
-        parse_sparql("SELECT (SUM(DISTINCT ?v) AS ?t) WHERE "
-                     "{ ?s ?p ?v }")
+    # SUM(DISTINCT) is supported now (value-distinct semantics)
+    q = parse_sparql("SELECT (SUM(DISTINCT ?v) AS ?t) WHERE "
+                     "{ ?s ?p ?v }")[0]
+    assert q.aggs[0].func == "sum" and q.aggs[0].distinct
 
 
 def test_select_expressions(store):
