@@ -67,8 +67,9 @@ def write_result_csv(ds, path: str) -> int:
 
 
 def _run_sparql(args) -> int:
-    from .sparql import (_update_graph, execute_sparql, parse_sparql,
-                         sparql_delete, sparql_insert)
+    from .sparql import (_modify_graphs, _tag_action, _update_graph,
+                         execute_sparql, parse_sparql, sparql_delete,
+                         sparql_insert, sparql_modify)
     if args.query:
         text = args.query
     else:
@@ -81,6 +82,12 @@ def _run_sparql(args) -> int:
             ds = sparql_insert(args.store, q)
         elif q.form == "delete" and args.apply_updates:
             ds = sparql_delete(args.store, q)
+        elif q.form == "modify" and args.apply_updates:
+            ds = sparql_modify(args.store, q)
+        elif q.form == "modify":
+            dg, ig = _modify_graphs(args.store, q)
+            ds = (_tag_action(dg, "delete")
+                  .union(_tag_action(ig, "insert")))
         elif q.form in ("insert", "delete"):
             # preview: the rows the update would add/remove (no
             # mutation — INSERT DATA has no WHERE to execute)

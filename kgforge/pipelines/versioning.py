@@ -1141,6 +1141,71 @@ def deleted_category_store(sf_dir: str) -> str:
     return store
 
 
+MODIFY_TIER_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+DELETE { ?p c:bonus ?b }
+INSERT { ?p c:tier "high" }
+WHERE { ?p c:bonus ?b . FILTER(?b >= 10) }
+"""
+
+TIER_READBACK_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?v WHERE { { ?p c:bonus ?v } UNION { ?p c:tier ?v } }
+"""
+
+
+def modified_category_store(sf_dir: str) -> str:
+    """Idempotent copy of the category store with the combined
+    DELETE/INSERT applied (content-keyed /tmp cache, atomic build)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    src = sorted(glob.glob(os.path.join(sf_dir, "part*.parquet")))
+    stamp = ";".join(f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p):.6f}"
+                     for p in src)
+    key = hashlib.md5(f"modstore1:{os.path.abspath(sf_dir)}:{stamp}"
+                      .encode()).hexdigest()[:12]
+    store = f"/tmp/kgforge_modstore_{key}"
+    marker = os.path.join(store, "_SUCCESS")
+    if os.path.exists(marker):
+        return store
+    from ..sparql import parse_sparql, sparql_modify
+    shutil.rmtree(store, ignore_errors=True)
+    tmp = store + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(category_store(sf_dir), tmp)
+    sparql_modify(tmp, parse_sparql(MODIFY_TIER_QUERY)[0])
+    os.replace(tmp, store)
+    return store
+
+
+def sparql_modify_tier(sf_dir: str) -> "ray.data.Dataset":
+    """Combined DELETE/INSERT WHERE gate (SPARQL 1.1 Update §3.1.3):
+    one WHERE evaluation feeds both templates — bonus triples with
+    value >= 10 are replaced by a ``tier "high"`` assertion in a
+    single atomic statement. Readback unions the surviving bonus rows
+    with the inserted tier rows; the oracle mirrors both legs over
+    the fixture formula."""
+    from ..sparql import execute_sparql, parse_sparql
+    store = modified_category_store(sf_dir)
+    q = parse_sparql(TIER_READBACK_QUERY)[0]
+    return execute_sparql(store, q)
+
+
+def sparql_modify_tier_sql() -> str:
+    b = "(p_partkey * 7) % 13"
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '"' || CAST({b} AS VARCHAR) || '"' AS v
+FROM part WHERE p_partkey % 3 = 0 AND {b} < 10
+UNION ALL
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '"high"' AS v
+FROM part WHERE p_partkey % 3 = 0 AND {b} >= 10
+"""
+
+
 def sparql_delete_bonus(sf_dir: str) -> "ray.data.Dataset":
     """SPARQL-Update DELETE gate: remove the bonus triples whose value
     is "0" or "5" (partition-local anti-join rewrite of ONE p_key

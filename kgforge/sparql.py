@@ -275,6 +275,9 @@ class Query:
     having: list[tuple[str, str, float]] = field(default_factory=list)
     # DESCRIBE resource terms (Iri constants and/or Vars)
     describe_terms: list[object] = field(default_factory=list)
+    # combined DELETE {t} INSERT {t} WHERE {g} (form 'modify'):
+    # ``template`` holds the deletion template, this the insertion one
+    insert_template: list[Pattern] = field(default_factory=list)
 
 
 class SparqlError(ValueError):
@@ -1284,9 +1287,28 @@ def parse_sparql(text: str) -> list[Query]:
                                  dict(prefixes)))
         else:
             tmpl = p.template()
+            ins = None
+            if low == "delete" and p.peek() is not None \
+                    and _is_kw(p.peek(), "insert"):
+                # combined DELETE {t} INSERT {t} WHERE {g}: one WHERE
+                # evaluation feeds both templates (deletes applied
+                # first, inserts second, both from the PRE-state
+                # bindings — SPARQL 1.1 Update §3.1.3)
+                p.next()
+                ins = p.template()
+            if p.peek() is not None and _is_kw(p.peek(), "using"):
+                raise SparqlError(
+                    "USING named-graph clauses are out of the subset "
+                    "(single-graph store)")
             p.expect("where")
-            queries.append(Query(low, True, [], tmpl, p.group(),
-                                 dict(prefixes)))
+            g = p.group()
+            if ins is not None:
+                queries.append(Query("modify", True, [], tmpl, g,
+                                     dict(prefixes),
+                                     insert_template=ins))
+            else:
+                queries.append(Query(low, True, [], tmpl, g,
+                                     dict(prefixes)))
     return queries
 
 
@@ -3142,9 +3164,18 @@ def sparql_insert(store_dir: str, q: Query) -> "ray.data.Dataset":
     of the derived predicates (graph union is a SET — a re-run inserts
     nothing), append the genuinely new rows to the partitioned layout.
     Returns the derived graph (same rows a CONSTRUCT would yield)."""
+    derived = _update_graph(store_dir, q).materialize()
+    _apply_insert_graph(store_dir, derived)
+    return derived
+
+
+def _apply_insert_graph(store_dir: str,
+                        derived: "ray.data.Dataset") -> None:
+    """Append a MATERIALIZED (s, p, o) graph to the store with set
+    semantics (anti-join against the already-asserted partitions of
+    the derived predicates)."""
     from .sinks.ntriples_sink import write_graph_partitioned
     from .sinks.store_query import query_triples
-    derived = _update_graph(store_dir, q).materialize()
     preds = set()
     for b in derived.iter_batches(batch_format="pyarrow"):
         preds.update(pc.unique(b["p"].combine_chunks()).to_pylist())
@@ -3162,7 +3193,6 @@ def sparql_insert(store_dir: str, q: Query) -> "ray.data.Dataset":
     data = data.materialize()
     if data.count() > 0:
         write_graph_partitioned(data, store_dir)
-    return derived
 
 
 def _update_graph(store_dir: str, q: Query) -> "ray.data.Dataset":
@@ -3191,13 +3221,22 @@ def sparql_delete(store_dir: str, q: Query) -> "ray.data.Dataset":
     in (a crashed run leaves the old partition intact). Partitions of
     untouched predicates are never read. Idempotent: a re-run deletes
     nothing further. Returns the derived deletion graph."""
+    derived = _update_graph(store_dir, q).materialize()
+    _apply_delete_graph(store_dir, derived)
+    return derived
+
+
+def _apply_delete_graph(store_dir: str,
+                        derived: "ray.data.Dataset") -> None:
+    """Remove a MATERIALIZED (s, p, o) graph from the store: per
+    affected p_key directory an anti-join rewrite with an atomic
+    swap."""
     import glob as _glob
     import shutil
     import uuid
 
     from .sinks.ntriples_sink import predicate_key
 
-    derived = _update_graph(store_dir, q).materialize()
     preds: set[str] = set()
     for b in derived.iter_batches(batch_format="pyarrow"):
         preds.update(pc.unique(b["p"].combine_chunks()).to_pylist())
@@ -3232,7 +3271,40 @@ def sparql_delete(store_dir: str, q: Query) -> "ray.data.Dataset":
         if os.path.isdir(tmp):
             os.rename(tmp, pdir)
         shutil.rmtree(old)
-    return derived
+
+
+def _modify_graphs(store_dir: str, q: Query
+                   ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Derive a combined DELETE/INSERT's two graphs from the SAME
+    pre-state (both materialized BEFORE any mutation, so the delete
+    cannot change what the insert template saw — SPARQL 1.1 Update
+    §3.1.3 evaluates WHERE once against the original store)."""
+    dq = Query("delete", True, [], q.template, q.where, q.prefixes)
+    iq = Query("insert", True, [], q.insert_template, q.where,
+               q.prefixes)
+    return (_update_graph(store_dir, dq).materialize(),
+            _update_graph(store_dir, iq).materialize())
+
+
+def _tag_action(ds: "ray.data.Dataset", action: str
+                ) -> "ray.data.Dataset":
+    def tag(b: pa.Table, _a=action) -> pa.Table:
+        return b.append_column(
+            "action", pa.array([_a] * b.num_rows, pa.string()))
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def sparql_modify(store_dir: str, q: Query) -> "ray.data.Dataset":
+    """Combined DELETE {t1} INSERT {t2} WHERE {g} applied to the
+    store: both graphs derive from the pre-state bindings, then the
+    deletion rewrite runs first and the set-semantics append second
+    (a row in both templates ends up present — delete-then-insert,
+    per spec). Returns the tagged union of the two derived graphs
+    (``action`` = 'delete' | 'insert')."""
+    dg, ig = _modify_graphs(store_dir, q)
+    _apply_delete_graph(store_dir, dg)
+    _apply_insert_graph(store_dir, ig)
+    return _tag_action(dg, "delete").union(_tag_action(ig, "insert"))
 
 
 def run_sparql_file(store_dir: str, text: str,
@@ -3240,13 +3312,20 @@ def run_sparql_file(store_dir: str, text: str,
     """Parse a multi-statement .sparql file and run every statement
     against the store, in order. INSERT/DELETE statements mutate the
     store only when ``apply_updates`` is set (else they preview the
-    derived graph, like a CONSTRUCT)."""
+    derived graph, like a CONSTRUCT; a combined DELETE/INSERT
+    previews the tagged union of its two graphs)."""
     out = []
     for q in parse_sparql(text):
         if q.form == "insert" and apply_updates:
             out.append(sparql_insert(store_dir, q))
         elif q.form == "delete" and apply_updates:
             out.append(sparql_delete(store_dir, q))
+        elif q.form == "modify" and apply_updates:
+            out.append(sparql_modify(store_dir, q))
+        elif q.form == "modify":
+            dg, ig = _modify_graphs(store_dir, q)
+            out.append(_tag_action(dg, "delete")
+                       .union(_tag_action(ig, "insert")))
         elif q.form in ("insert", "delete"):
             out.append(_update_graph(store_dir, q))
         else:

@@ -1509,6 +1509,88 @@ def test_insert_data_preview_does_not_mutate(ray_session, mutable_store):
     assert _store_lines(mutable_store) == before
 
 
+def _spo(store):
+    q = parse_sparql("SELECT ?s ?p ?o WHERE { ?s ?p ?o }")[0]
+    df = execute_sparql(store, q).to_pandas()
+    return sorted(map(tuple, df[["s", "p", "o"]].itertuples(index=False)))
+
+
+def test_modify_delete_insert_where(ray_session, mutable_store):
+    """Combined DELETE/INSERT: both templates instantiate from the
+    SAME pre-state WHERE bindings; delete applies first."""
+    from kgforge.sparql import run_sparql_file
+    txt = ("DELETE { ?x <http://e/w> ?v } "
+           "INSERT { ?x <http://e/grade> ?v } "
+           "WHERE { ?x <http://e/w> ?v . FILTER(?v > 6) }")
+    q = parse_sparql(txt)[0]
+    assert q.form == "modify"
+    assert len(q.template) == 1 and len(q.insert_template) == 1
+    # preview: tagged union, no mutation
+    before = _spo(mutable_store)
+    prev = run_sparql_file(mutable_store, txt)[0].to_pandas()
+    assert sorted(prev["action"].tolist()) == ["delete", "delete",
+                                               "insert", "insert"]
+    assert _spo(mutable_store) == before
+    # apply: b(11) and c(7) move from w to grade, a(5) stays
+    outs = run_sparql_file(mutable_store, txt, apply_updates=True)
+    assert outs[0].count() == 4
+    after = _spo(mutable_store)
+    assert ("http://e/a", "http://e/w", '"5"') in after
+    assert ("http://e/b", "http://e/grade", '"11"') in after
+    assert ("http://e/c", "http://e/grade", '"7"') in after
+    assert not any(p == "http://e/w" and s != "http://e/a"
+                   for s, p, _ in after)
+    # idempotent: WHERE no longer matches, nothing moves
+    run_sparql_file(mutable_store, txt, apply_updates=True)
+    assert _spo(mutable_store) == after
+
+
+def test_modify_overlapping_templates(ray_session, mutable_store):
+    """A row named by BOTH templates survives (delete first, insert
+    second — SPARQL 1.1 Update §3.1.3)."""
+    from kgforge.sparql import run_sparql_file
+    txt = ("DELETE { ?x <http://e/w> ?v } "
+           "INSERT { ?x <http://e/w> ?v } "
+           "WHERE { ?x <http://e/w> ?v }")
+    before = _spo(mutable_store)
+    run_sparql_file(mutable_store, txt, apply_updates=True)
+    assert _spo(mutable_store) == before
+
+
+def test_modify_parse_errors():
+    with pytest.raises(SparqlError):   # USING out of subset
+        parse_sparql("DELETE { ?x <http://e/p> ?v } "
+                     "INSERT { ?x <http://e/q> ?v } "
+                     "USING <http://e/g> WHERE { ?x <http://e/p> ?v }")
+    with pytest.raises(SparqlError):   # WITH is not a form
+        parse_sparql("WITH <http://e/g> DELETE { ?x <http://e/p> ?v } "
+                     "WHERE { ?x <http://e/p> ?v }")
+    # INSERT { } DELETE { } order is not in the grammar
+    with pytest.raises(SparqlError):
+        parse_sparql("INSERT { ?x <http://e/q> ?v } "
+                     "DELETE { ?x <http://e/p> ?v } "
+                     "WHERE { ?x <http://e/p> ?v }")
+
+
+def test_modify_gate_parity(ray_session):
+    import duckdb
+    import hashlib
+    from kgforge.pipelines import versioning as V
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{SF}/part.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    df = V.sparql_modify_tier(SF).to_pandas()
+    odf = con.sql(V.sparql_modify_tier_sql()).df()
+    assert len(df) == len(odf) > 0
+    assert norm(df) == norm(odf)
+
+
 def test_count_distinct_grouped_and_global(ray_session, measure_store):
     # grouped: category c1 has subjects a and c; c2 has b
     q = parse_sparql(
