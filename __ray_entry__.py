@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_group_closure"] = versioning.sparql_group_closure
     q["sparql_sum_distinct"] = versioning.sparql_sum_distinct
     q["sparql_modify_tier"] = versioning.sparql_modify_tier
+    q["sparql_inv_negated_path"] = versioning.sparql_inv_negated_path
     # zero-or-more property path (Kleene-plus closure + reflexive
     # node-domain pairs)
     q["sparql_star_path"] = versioning.sparql_star_path
@@ -431,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_group_closure"] = versioning.sparql_group_closure_sql()
     o["sparql_sum_distinct"] = versioning.sparql_sum_distinct_sql()
     o["sparql_modify_tier"] = versioning.sparql_modify_tier_sql()
+    o["sparql_inv_negated_path"] = versioning.sparql_inv_negated_path_sql()
     o["sparql_star_path"] = versioning.sparql_star_path_sql()
     o["sparql_distinct_types"] = versioning.sparql_distinct_types_sql()
     o["sparql_sum_avg"] = versioning.sparql_sum_avg_sql()

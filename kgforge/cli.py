@@ -67,9 +67,7 @@ def write_result_csv(ds, path: str) -> int:
 
 
 def _run_sparql(args) -> int:
-    from .sparql import (_modify_graphs, _tag_action, _update_graph,
-                         execute_sparql, parse_sparql, sparql_delete,
-                         sparql_insert, sparql_modify)
+    from .sparql import parse_sparql, run_sparql_statement
     if args.query:
         text = args.query
     else:
@@ -78,22 +76,9 @@ def _run_sparql(args) -> int:
     queries = parse_sparql(text)
     os.makedirs(args.out, exist_ok=True)
     for i, q in enumerate(queries, 1):
-        if q.form == "insert" and args.apply_updates:
-            ds = sparql_insert(args.store, q)
-        elif q.form == "delete" and args.apply_updates:
-            ds = sparql_delete(args.store, q)
-        elif q.form == "modify" and args.apply_updates:
-            ds = sparql_modify(args.store, q)
-        elif q.form == "modify":
-            dg, ig = _modify_graphs(args.store, q)
-            ds = (_tag_action(dg, "delete")
-                  .union(_tag_action(ig, "insert")))
-        elif q.form in ("insert", "delete"):
-            # preview: the rows the update would add/remove (no
-            # mutation — INSERT DATA has no WHERE to execute)
-            ds = _update_graph(args.store, q)
-        else:
-            ds = execute_sparql(args.store, q)
+        # updates mutate only under --apply-updates; otherwise they
+        # preview the rows the statement would add/remove
+        ds = run_sparql_statement(args.store, q, args.apply_updates)
         if args.results_format:
             from .sinks.results import write_sparql_results
             ext = args.results_format

@@ -1833,6 +1833,51 @@ FROM part
 """
 
 
+INV_NEGATED_PATH_QUERY = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?x ?y WHERE {
+  ?x !(c:subCategoryOf|^c:weight|^c:cap|^c:bonus|^c:subCategoryOf) ?y
+}
+"""
+
+
+def sparql_inv_negated_path(sf_dir: str) -> "ray.data.Dataset":
+    """Negated property set with INVERSE members (§9.1 full NPS): the
+    forward leg excludes subCategoryOf only (typed_in + the three
+    measures survive), the inverse leg excludes everything except
+    typed_in (reversed typed_in edges survive). Exercises the two-scan
+    union rewrite and the representation crossing it forces (?x binds
+    raw subjects on the forward leg and o-terms on the inverse one, so
+    both legs surface in ?x's canonical term form)."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(INV_NEGATED_PATH_QUERY)[0]
+    assert len(q.where.unions) == 1 and len(q.where.unions[0]) == 2
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_inv_negated_path_sql() -> str:
+    part_s = f"'<{NSC}part' || CAST(p_partkey AS VARCHAR) || '>'"
+    cat_o = (f"'<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 "
+             f"AS VARCHAR) || '>'")
+    return f"""
+SELECT {part_s} AS x, {cat_o} AS y FROM part
+UNION ALL
+SELECT {part_s} AS x,
+       '"' || CAST((p_partkey * 31) % 97 AS VARCHAR) || '"' AS y
+FROM part
+UNION ALL
+SELECT {part_s} AS x,
+       '"' || CAST((p_partkey * 17) % 89 AS VARCHAR) || '"' AS y
+FROM part
+UNION ALL
+SELECT {part_s} AS x,
+       '"' || CAST((p_partkey * 7) % 13 AS VARCHAR) || '"' AS y
+FROM part WHERE p_partkey % 3 = 0
+UNION ALL
+SELECT {cat_o} AS x, {part_s} AS y FROM part
+"""
+
+
 SAMETERM_QUERY = """
 PREFIX c: <https://kgforge.example.org/cat/>
 SELECT ?p ?w WHERE {

@@ -411,13 +411,11 @@ def read_ntriples(path: str | list[str]) -> "ray.data.Dataset":
         ds.map_batches(_nt_batch, batch_format="pyarrow"))
 
 
-def load_rdf_store(src: str | list[str], store_dir: str,
-                   fmt: str | None = None, base: str = "") -> None:
-    """Parse Turtle/N-Triples (format inferred from extensions unless
-    given) and publish the predicate-partitioned store SPARQL reads.
-    Triples are deduplicated (graph set semantics) before the write."""
-    from ..stages.dedup import distinct
-
+def read_rdf_auto(src: str | list[str], fmt: str | None = None,
+                  base: str = "") -> "ray.data.Dataset":
+    """(s, p, o) term rows from any supported RDF serialization —
+    format inferred from extensions unless given. The shared reader
+    behind CLI ``--load`` and SPARQL-Update ``LOAD``."""
     if fmt is None:
         files = _expand_paths(src, (".ttl", ".turtle", ".nt",
                                     ".ntriples", ".jsonld", ".rdf"))
@@ -449,6 +447,15 @@ def load_rdf_store(src: str | list[str], store_dir: str,
         ds = read_rdfxml(src)
     else:
         raise ValueError(f"unknown RDF format {fmt!r}")
+    return ds
 
+
+def load_rdf_store(src: str | list[str], store_dir: str,
+                   fmt: str | None = None, base: str = "") -> None:
+    """Parse Turtle/N-Triples (format inferred from extensions unless
+    given) and publish the predicate-partitioned store SPARQL reads.
+    Triples are deduplicated (graph set semantics) before the write."""
     from ..sinks.ntriples_sink import write_graph_partitioned
+    from ..stages.dedup import distinct
+    ds = read_rdf_auto(src, fmt, base)
     write_graph_partitioned(distinct(ds, ["s", "p", "o"]), store_dir)

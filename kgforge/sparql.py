@@ -278,6 +278,10 @@ class Query:
     # combined DELETE {t} INSERT {t} WHERE {g} (form 'modify'):
     # ``template`` holds the deletion template, this the insertion one
     insert_template: list[Pattern] = field(default_factory=list)
+    # graph-management updates: LOAD source IRI (form 'load');
+    # SILENT flag for LOAD/CLEAR/DROP (errors become no-ops)
+    update_iri: str | None = None
+    silent: bool = False
 
 
 class SparqlError(ValueError):
@@ -314,7 +318,7 @@ def _tokenize(text: str) -> list[str]:
 # ------------------------------------------------------------ parser
 
 _FORMS = {"select", "construct", "insert", "delete", "ask",
-          "describe"}
+          "describe", "load", "clear", "drop"}
 _FILTER_FUNCS = {"regex", "strstarts", "strends", "contains"}
 _CMP_OPS = {"=", "!=", "<", ">", "<=", ">="}
 
@@ -754,6 +758,11 @@ class _P:
         return (vars_, rows)
 
     def const_term(self):
+        if self.peek() is not None and _is_kw(self.peek(), "undef"):
+            raise SparqlError(
+                "VALUES UNDEF is out of the subset (the planner's "
+                "inner joins have no unbound-wildcard rows) — split "
+                "the VALUES block per defined-variable set instead")
         t = self.term()
         if not isinstance(t, (Iri, Lit)):
             raise SparqlError("VALUES rows take IRI/literal constants")
@@ -768,36 +777,48 @@ class _P:
         ((a|b)/c -> a/c | b/c; ^(a/b) -> ^b/^a); a modifier on a
         parenthesized group ((a|b)+) is out of the subset. A plain
         ``?var`` predicate is the single-element degenerate case."""
+        def nps() -> list[list[tuple[bool, object, object]]]:
+            """Negated property set — '!' consumed: ``!iri`` /
+            ``!^iri`` / ``!(iri1|^iri2|...)`` (§9.1 incl. inverse
+            members). Forward members exclude predicates on forward
+            edges, inverse members on REVERSED edges; a mixed set is
+            the spec's union of the two scans, returned as two
+            alternatives that ride the '|' union machinery."""
+            fwd: list[str] = []
+            invm: list[str] = []
+            def member():
+                rev = False
+                if self.peek() == "^":
+                    self.next()
+                    rev = True
+                t = self.term()
+                if not isinstance(t, Iri):
+                    raise SparqlError(
+                        "negated property sets take constant IRIs")
+                (invm if rev else fwd).append(t.value)
+            if self.peek() == "(":
+                self.next()
+                while True:
+                    member()
+                    if self.peek() == "|":
+                        self.next()
+                        continue
+                    break
+                self.expect(")")
+            else:
+                member()
+            if self.peek() in ("+", "*", "?"):
+                raise SparqlError(
+                    "negated property sets take no path modifier")
+            alts: list[list[tuple[bool, object, object]]] = []
+            if fwd:
+                alts.append([(False, NegSet(tuple(fwd)), None)])
+            if invm:
+                alts.append([(True, NegSet(tuple(invm)), None)])
+            return alts
+
         def elt() -> tuple[bool, object, object]:
             inv = False
-            if self.peek() == "!":
-                # negated property set: !iri | !(iri1|iri2|...)
-                self.next()
-                vals: list[str] = []
-                if self.peek() == "(":
-                    self.next()
-                    while True:
-                        t = self.term()
-                        if not isinstance(t, Iri):
-                            raise SparqlError(
-                                "negated property sets take "
-                                "constant IRIs")
-                        vals.append(t.value)
-                        if self.peek() == "|":
-                            self.next()
-                            continue
-                        break
-                    self.expect(")")
-                else:
-                    t = self.term()
-                    if not isinstance(t, Iri):
-                        raise SparqlError(
-                            "negated property sets take constant IRIs")
-                    vals = [t.value]
-                if self.peek() in ("+", "*", "?"):
-                    raise SparqlError(
-                        "negated property sets take no path modifier")
-                return (False, NegSet(tuple(vals)), None)
             if self.peek() == "^":
                 self.next()
                 inv = True
@@ -811,26 +832,32 @@ class _P:
             return (inv, t, mod)
 
         def invert(spec):
+            # ^ distributes: reverse each sequence and flip every
+            # element (^!F == !(^F): a flipped NegSet scans reversed
+            # edges with the same exclusion set — spec-equal forms)
             out = []
             for seq in spec:
-                leg = []
-                for iv, t, mod in reversed(seq):
-                    if isinstance(t, NegSet):
-                        raise SparqlError("'^' over a negated property "
-                                          "set is out of the subset")
-                    leg.append((not iv, t, mod))
+                leg = [(not iv, t, mod)
+                       for iv, t, mod in reversed(seq)]
                 out.append(leg)
             return out
 
         def primary() -> list[list[tuple[bool, object, object]]]:
             """One path element as a normalized sub-spec (list of
-            alternative sequences) — parens recurse, everything else
-            is the single-element case."""
+            alternative sequences) — parens and negated property sets
+            may expand to alternatives, everything else is the
+            single-element case."""
+            if self.peek() == "!":
+                self.next()
+                return nps()
             inv = False
             if (self.peek() == "^" and self.i + 1 < len(self.t)
-                    and self.t[self.i + 1] == "("):
+                    and self.t[self.i + 1] in ("(", "!")):
                 self.next()
                 inv = True
+            if inv and self.peek() == "!":
+                self.next()
+                return invert(nps())
             if self.peek() == "(":
                 self.next()
                 inner = self.path_spec()
@@ -1170,6 +1197,13 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
                     raise SparqlError("ORDER BY needs a ?var")
                 p.expect(")")
                 order_by.append((v[1:], desc))
+        nxt = p.peek()
+        if nxt is not None and (nxt.lower() in _BIND_FNS
+                                or nxt == "("):
+            raise SparqlError(
+                "ORDER BY expressions are out of the subset — bind "
+                "the expression to a SELECT alias "
+                "((expr AS ?k) ... ORDER BY ?k)")
     offset: int | None = None
     while p.peek() and (_is_kw(p.peek(), "limit")
                         or _is_kw(p.peek(), "offset")):
@@ -1260,6 +1294,36 @@ def parse_sparql(text: str) -> list[Query]:
                 where = Group()
             queries.append(Query("describe", False, [], [], where,
                                  dict(prefixes), describe_terms=terms))
+        elif low == "load":
+            # LOAD [SILENT] <source-iri> — file:// or plain path; the
+            # single-graph subset rejects INTO GRAPH
+            silent = False
+            if p.peek() is not None and _is_kw(p.peek(), "silent"):
+                p.next()
+                silent = True
+            src = p.term()
+            if not isinstance(src, Iri):
+                raise SparqlError("LOAD needs a source IRI")
+            if p.peek() is not None and _is_kw(p.peek(), "into"):
+                raise SparqlError("LOAD INTO GRAPH is out of the "
+                                  "subset (single-graph store)")
+            queries.append(Query("load", False, [], [], Group(),
+                                 dict(prefixes), update_iri=src.value,
+                                 silent=silent))
+        elif low in ("clear", "drop"):
+            # CLEAR/DROP [SILENT] DEFAULT|ALL — equal in a
+            # single-graph store; NAMED/GRAPH forms rejected
+            silent = False
+            if p.peek() is not None and _is_kw(p.peek(), "silent"):
+                p.next()
+                silent = True
+            tgt = p.next()
+            if tgt is None or tgt.lower() not in ("default", "all"):
+                raise SparqlError(
+                    f"{low.upper()} supports DEFAULT or ALL only "
+                    "(single-graph store)")
+            queries.append(Query("clear", False, [], [], Group(),
+                                 dict(prefixes), silent=silent))
         elif low in ("insert", "delete") and p.peek() is not None \
                 and _is_kw(p.peek(), "data"):
             # INSERT DATA / DELETE DATA { ground triples } — no WHERE
@@ -3307,30 +3371,94 @@ def sparql_modify(store_dir: str, q: Query) -> "ray.data.Dataset":
     return _tag_action(dg, "delete").union(_tag_action(ig, "insert"))
 
 
+def _load_graph(q: Query) -> "ray.data.Dataset":
+    """The deduplicated (s, p, o) graph a LOAD statement denotes —
+    file:// IRIs and plain paths both resolve locally; with SILENT a
+    read failure yields the empty graph instead of raising."""
+    from .sources.rdfsource import read_rdf_auto
+    from .stages.dedup import distinct
+    path = q.update_iri
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    sch = pa.schema([("s", pa.string()), ("p", pa.string()),
+                     ("o", pa.string())])
+    try:
+        return distinct(read_rdf_auto(path), ["s", "p", "o"])
+    except Exception:
+        if q.silent:
+            return ray.data.from_arrow(sch.empty_table())
+        raise
+
+
+def sparql_load(store_dir: str, q: Query) -> "ray.data.Dataset":
+    """SPARQL-Update LOAD applied to the store: parse the source
+    through the distributed bulk readers, then the same set-semantics
+    append INSERT uses (a re-LOAD inserts nothing). Returns the
+    loaded graph."""
+    derived = _load_graph(q).materialize()
+    _apply_insert_graph(store_dir, derived)
+    return derived
+
+
+def sparql_clear(store_dir: str, q: Query) -> "ray.data.Dataset":
+    """SPARQL-Update CLEAR DEFAULT / ALL (== DROP in the single-graph
+    store): atomically remove every predicate partition, leaving a
+    valid empty store. Returns the empty graph."""
+    import shutil
+    import uuid
+    from .sinks.store_query import _STORE_SUB
+    base = os.path.join(store_dir, _STORE_SUB)
+    if os.path.isdir(base):
+        old = base + ".old-" + uuid.uuid4().hex[:8]
+        os.rename(base, old)
+        os.makedirs(base)
+        shutil.rmtree(old)
+    sch = pa.schema([("s", pa.string()), ("p", pa.string()),
+                     ("o", pa.string())])
+    return ray.data.from_arrow(sch.empty_table())
+
+
+def run_sparql_statement(store_dir: str, q: Query,
+                         apply_updates: bool = False
+                         ) -> "ray.data.Dataset":
+    """Run ONE parsed statement against the store. Update statements
+    mutate it only when ``apply_updates`` is set (else they preview:
+    the derived graph for INSERT/DELETE/LOAD — like a CONSTRUCT —
+    the tagged union of both graphs for a combined DELETE/INSERT,
+    the streamed would-be-removed scan for CLEAR)."""
+    from .sinks.store_query import query_triples
+    if q.form == "insert" and apply_updates:
+        return sparql_insert(store_dir, q)
+    if q.form == "delete" and apply_updates:
+        return sparql_delete(store_dir, q)
+    if q.form == "modify" and apply_updates:
+        return sparql_modify(store_dir, q)
+    if q.form == "modify":
+        dg, ig = _modify_graphs(store_dir, q)
+        return (_tag_action(dg, "delete")
+                .union(_tag_action(ig, "insert")))
+    if q.form == "load":
+        g = _load_graph(q)
+        if apply_updates:
+            g = g.materialize()
+            _apply_insert_graph(store_dir, g)
+        return g
+    if q.form == "clear":
+        if apply_updates:
+            return sparql_clear(store_dir, q)
+        return query_triples(store_dir)
+    if q.form in ("insert", "delete"):
+        return _update_graph(store_dir, q)
+    return execute_sparql(store_dir, q)
+
+
 def run_sparql_file(store_dir: str, text: str,
                     apply_updates: bool = False) -> list["ray.data.Dataset"]:
     """Parse a multi-statement .sparql file and run every statement
-    against the store, in order. INSERT/DELETE statements mutate the
-    store only when ``apply_updates`` is set (else they preview the
-    derived graph, like a CONSTRUCT; a combined DELETE/INSERT
-    previews the tagged union of its two graphs)."""
-    out = []
-    for q in parse_sparql(text):
-        if q.form == "insert" and apply_updates:
-            out.append(sparql_insert(store_dir, q))
-        elif q.form == "delete" and apply_updates:
-            out.append(sparql_delete(store_dir, q))
-        elif q.form == "modify" and apply_updates:
-            out.append(sparql_modify(store_dir, q))
-        elif q.form == "modify":
-            dg, ig = _modify_graphs(store_dir, q)
-            out.append(_tag_action(dg, "delete")
-                       .union(_tag_action(ig, "insert")))
-        elif q.form in ("insert", "delete"):
-            out.append(_update_graph(store_dir, q))
-        else:
-            out.append(execute_sparql(store_dir, q))
-    return out
+    against the store, in order (see ``run_sparql_statement`` for the
+    update/preview semantics)."""
+    return [run_sparql_statement(store_dir, q, apply_updates)
+            for q in parse_sparql(text)]
 
 
 # ------------------------------------------------- the reference file

@@ -959,6 +959,25 @@ def test_group_closure_gate_parity(ray_session):
     assert norm(df) == norm(odf)
 
 
+def test_inv_negated_path_gate_parity(ray_session):
+    import duckdb
+    import hashlib
+    from kgforge.pipelines import versioning as V
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{SF}/part.parquet')")
+
+    def norm(df):
+        cols = sorted(df.columns)
+        df = df[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    df = V.sparql_inv_negated_path(SF).to_pandas()
+    odf = con.sql(V.sparql_inv_negated_path_sql()).df()
+    assert len(df) == len(odf) > 0
+    assert norm(df) == norm(odf)
+
+
 def test_group_path_gate_parity(ray_session):
     import duckdb
     import hashlib
@@ -1512,6 +1531,8 @@ def test_insert_data_preview_does_not_mutate(ray_session, mutable_store):
 def _spo(store):
     q = parse_sparql("SELECT ?s ?p ?o WHERE { ?s ?p ?o }")[0]
     df = execute_sparql(store, q).to_pandas()
+    if df.empty:          # 0-row results drop columns (Ray convention)
+        return []
     return sorted(map(tuple, df[["s", "p", "o"]].itertuples(index=False)))
 
 
@@ -1557,6 +1578,17 @@ def test_modify_overlapping_templates(ray_session, mutable_store):
     assert _spo(mutable_store) == before
 
 
+def test_subset_error_hygiene():
+    """Accepted-elsewhere syntax that is out of this subset fails with
+    an error that names the feature and the workaround."""
+    with pytest.raises(SparqlError, match="UNDEF"):
+        parse_sparql("SELECT ?x WHERE { VALUES (?b ?c) "
+                     "{ (<http://e/p> UNDEF) } ?x ?b ?c }")
+    with pytest.raises(SparqlError, match="ORDER BY expressions"):
+        parse_sparql("SELECT ?s WHERE { ?s <http://e/p> ?o } "
+                     "ORDER BY STRLEN(STR(?o))")
+
+
 def test_modify_parse_errors():
     with pytest.raises(SparqlError):   # USING out of subset
         parse_sparql("DELETE { ?x <http://e/p> ?v } "
@@ -1570,6 +1602,60 @@ def test_modify_parse_errors():
         parse_sparql("INSERT { ?x <http://e/q> ?v } "
                      "DELETE { ?x <http://e/p> ?v } "
                      "WHERE { ?x <http://e/p> ?v }")
+
+
+def test_update_load(ray_session, mutable_store, tmp_path):
+    """SPARQL-Update LOAD: distributed bulk read + the INSERT append
+    (set semantics, idempotent); SILENT turns a read failure into the
+    empty graph; INTO GRAPH rejected."""
+    from kgforge.sparql import run_sparql_file
+    nt = tmp_path / "extra.nt"
+    nt.write_text('<http://e/new> <http://e/w> "42" .\n'
+                  '<http://e/a> <http://e/w> "5" .\n')   # already there
+    before = _spo(mutable_store)
+    # preview returns the parsed graph without mutating
+    prev = run_sparql_file(mutable_store, f"LOAD <file://{nt}>")[0]
+    assert prev.count() == 2 and _spo(mutable_store) == before
+    run_sparql_file(mutable_store, f"LOAD <file://{nt}>",
+                    apply_updates=True)
+    after = _spo(mutable_store)
+    assert ("http://e/new", "http://e/w", '"42"') in after
+    assert len(after) == len(before) + 1          # set semantics
+    run_sparql_file(mutable_store, f"LOAD <file://{nt}>",
+                    apply_updates=True)
+    assert _spo(mutable_store) == after           # idempotent
+    g = run_sparql_file(mutable_store,
+                        "LOAD SILENT <file:///nope/gone.nt>",
+                        apply_updates=True)[0]
+    assert g.count() == 0
+    with pytest.raises(Exception):
+        run_sparql_file(mutable_store, "LOAD <file:///nope/gone.nt>",
+                        apply_updates=True)
+    with pytest.raises(SparqlError):
+        parse_sparql("LOAD <file:///x.nt> INTO GRAPH <http://e/g>")
+
+
+def test_update_clear(ray_session, mutable_store):
+    """CLEAR DEFAULT/ALL empties the store atomically; the cleared
+    store stays valid (queryable, insertable); NAMED/GRAPH forms
+    rejected."""
+    from kgforge.sparql import run_sparql_file
+    before = _spo(mutable_store)
+    # preview streams the would-be-removed rows, store untouched
+    pv = run_sparql_file(mutable_store, "CLEAR DEFAULT")[0]
+    assert pv.count() == len(before) and _spo(mutable_store) == before
+    run_sparql_file(mutable_store, "CLEAR ALL", apply_updates=True)
+    assert _spo(mutable_store) == []
+    run_sparql_file(mutable_store,
+                    'INSERT DATA { <http://e/z> <http://e/w> "9" }',
+                    apply_updates=True)
+    assert _spo(mutable_store) == [("http://e/z", "http://e/w", '"9"')]
+    for bad in ("CLEAR GRAPH <http://e/g>", "CLEAR NAMED",
+                "DROP NAMED"):
+        with pytest.raises(SparqlError):
+            parse_sparql(bad)
+    # DROP DEFAULT == CLEAR DEFAULT in a single-graph store
+    assert parse_sparql("DROP SILENT DEFAULT")[0].form == "clear"
 
 
 def test_modify_gate_parity(ray_session):

@@ -267,6 +267,30 @@ SELECT ?s ?o WHERE {{ ?s ?p ?o . FILTER(?p != <{NS}name>) }}""")
     assert neg == all_
 
 
+def test_negated_set_inverse_members(store):
+    """§9.1 full NPS: inverse members scan REVERSED edges; ^!F and
+    !^F are the same path; a mixed set unions the two scans."""
+    # pure inverse: reversed edges excluding w and name == reversed
+    # link edges; both spellings agree
+    a = _rows(store, f"SELECT ?x ?y WHERE "
+              f"{{ ?x !(^<{NS}w>|^<{NS}name>) ?y }}")
+    b = _rows(store, f"SELECT ?x ?y WHERE "
+              f"{{ ?x ^!(<{NS}w>|<{NS}name>) ?y }}")
+    assert a == b and len(a) == 4
+    fwd = _rows(store, f"SELECT ?y ?x WHERE "
+                f"{{ ?y !(<{NS}w>|<{NS}name>) ?x }}")
+    # same 4 link edges, endpoints swapped — and the inverse leg
+    # reads both endpoints in term form, so compare decoded pairs
+    strip = lambda v: v.strip("<>")
+    assert sorted((strip(x), strip(y)) for x, y in a) \
+        == sorted((strip(x), strip(y)) for x, y in fwd)
+    # mixed set: forward-not-w (16 rows) UNION reversed-not-(w|name)
+    # (4 rows)
+    m = _rows(store, f"SELECT ?x ?y WHERE "
+              f"{{ ?x !(<{NS}w>|^<{NS}w>|^<{NS}name>) ?y }}")
+    assert len(m) == 20
+
+
 def test_negated_path_parse_errors(store):
     with pytest.raises(SparqlError):
         parse_sparql(f"SELECT ?s WHERE {{ ?s !<{NS}w>+ ?o }}")
@@ -417,6 +441,15 @@ def test_agg_inline_expr_count_distinct(store):
 SELECT (COUNT(DISTINCT STRLEN(STR(?n))) AS ?k) WHERE {{
   ?s <{NS}name> ?n }}""")
     assert got == [(2,)]
+
+
+def test_agg_inline_expr_sum_distinct(store):
+    """SUM(DISTINCT expr) composes the hidden-BIND desugar with the
+    value-distinct sum: w values cover 0..9 once each per duplicate
+    set, so SUM(DISTINCT ?w * 10) is 10 * (0+..+9)."""
+    got = _rows(store, f"""
+SELECT (SUM(DISTINCT ?w * 10) AS ?t) WHERE {{ ?s <{NS}w> ?w }}""")
+    assert got == [(450.0,)]
 
 
 def test_agg_inline_expr_grouped(store):
