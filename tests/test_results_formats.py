@@ -124,6 +124,7 @@ def test_cli_results_format_flag(ray_session, result_store, tmp_path):
     a.store = result_store
     a.out = str(tmp_path / "out")
     a.results_format = "json"
+    a.apply_updates = False
     assert _run_sparql(a) == 0
     files = os.listdir(a.out)
     assert files == ["statement1_select.json"]

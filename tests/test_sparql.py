@@ -65,7 +65,7 @@ def test_parser_errors():
     with pytest.raises(SparqlError):
         parse_sparql("SELECT ?x WHERE { ?x ex:p ?y }")   # undeclared prefix
     with pytest.raises(SparqlError):
-        parse_sparql("CLEAR ALL")                        # unsupported form
+        parse_sparql("COPY DEFAULT TO <http://g>")       # unsupported form
     with pytest.raises(SparqlError):
         parse_sparql("PREFIX e: <http://e/> SELECT ?x WHERE "
                      "{ FILTER(?x > e:n) ?x e:p ?y }")   # non-numeric order
