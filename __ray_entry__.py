@@ -123,6 +123,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_sum_distinct"] = versioning.sparql_sum_distinct
     q["sparql_modify_tier"] = versioning.sparql_modify_tier
     q["sparql_inv_negated_path"] = versioning.sparql_inv_negated_path
+    # sequence legs inside a modified path group: (p1/p2)+
+    q["sparql_seqgroup_path"] = versioning.sparql_seqgroup_path
+    # term-identity FILTER comparisons over string-fn expressions
+    q["sparql_ucase_concat_eq"] = versioning.sparql_ucase_concat_eq
+    q["sparql_iri_constructor_eq"] = versioning.sparql_iri_constructor_eq
     # zero-or-more property path (Kleene-plus closure + reflexive
     # node-domain pairs)
     q["sparql_star_path"] = versioning.sparql_star_path
@@ -433,6 +438,10 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_sum_distinct"] = versioning.sparql_sum_distinct_sql()
     o["sparql_modify_tier"] = versioning.sparql_modify_tier_sql()
     o["sparql_inv_negated_path"] = versioning.sparql_inv_negated_path_sql()
+    o["sparql_seqgroup_path"] = versioning.sparql_seqgroup_path_sql()
+    o["sparql_ucase_concat_eq"] = versioning.sparql_ucase_concat_eq_sql()
+    o["sparql_iri_constructor_eq"] = (
+        versioning.sparql_iri_constructor_eq_sql())
     o["sparql_star_path"] = versioning.sparql_star_path_sql()
     o["sparql_distinct_types"] = versioning.sparql_distinct_types_sql()
     o["sparql_sum_avg"] = versioning.sparql_sum_avg_sql()

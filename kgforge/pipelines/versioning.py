@@ -2246,3 +2246,100 @@ SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
        CASE WHEN {w} > {c} THEN '"w"' ELSE '"c"' END AS hi
 FROM part WHERE {w} >= 80
 """
+
+
+SEQGROUP_QUERY_TEXT = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT DISTINCT ?p ?a WHERE {
+  ?p c:typed_in ?c .
+  ?c (c:subCategoryOf/c:subCategoryOf)+ ?a
+}
+"""
+
+
+def sparql_seqgroup_path(sf_dir: str) -> "ray.data.Dataset":
+    """Modified sequence-group path gate: ``(sub/sub)+`` — the closure
+    runs over the COMPOSED two-hop edge relation (kgforge.sparql
+    SeqSet: one o->s join per hop, then ops.graph.transitive_pairs),
+    i.e. ancestors at even depths only."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(SEQGROUP_QUERY_TEXT)[0]
+    assert q.where.patterns[1].path == "+"
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_seqgroup_path_sql() -> str:
+    return f"""
+WITH RECURSIVE
+inst AS (SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+                CAST(p_partkey % {N_CATS} + 2 AS BIGINT) AS ck FROM part),
+walk2(node, anc) AS (
+  -- composed 2-hop edge (n, n//4): needs the intermediate n//2 to
+  -- have an outgoing edge, i.e. n >= 4
+  SELECT CAST(range AS BIGINT), CAST(range // 4 AS BIGINT)
+  FROM range(4, {N_CATS + 2})
+  UNION ALL
+  SELECT w.node, w.anc // 4 FROM walk2 w WHERE w.anc >= 4
+),
+pairs AS (SELECT DISTINCT node, anc FROM walk2)
+SELECT DISTINCT inst.p AS p,
+       '<{NSC}cat' || CAST(pairs.anc AS VARCHAR) || '>' AS a
+FROM inst JOIN pairs ON pairs.node = inst.ck
+"""
+
+
+UCASE_EQ_QUERY_TEXT = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?w WHERE {
+  ?p c:typed_in ?cat . ?p c:weight ?w .
+  FILTER(UCASE(STR(?cat)) =
+         UCASE(CONCAT("https://kgforge.example.org/cat/cat", "5")))
+}
+"""
+
+
+def sparql_ucase_concat_eq(sf_dir: str) -> "ray.data.Dataset":
+    """Term-identity FILTER over string-function sides: both sides of
+    the ``=`` are string-producing expressions, so the comparison runs
+    in rendered-term space (``term_cmp``) — the numeric-coercion path
+    would silently eliminate every row."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(UCASE_EQ_QUERY_TEXT)[0]
+    assert q.where.filters[0].op == "term_cmp"
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_ucase_concat_eq_sql() -> str:
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '"' || CAST((p_partkey * 31) % 97 AS VARCHAR) || '"' AS w
+FROM part WHERE (p_partkey % {N_CATS} + 2) = 5
+"""
+
+
+IRI_EQ_QUERY_TEXT = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?cat ?w WHERE {
+  ?p c:typed_in ?cat . ?p c:weight ?w .
+  FILTER(?p = IRI(CONCAT("https://kgforge.example.org/cat/part", "7")))
+}
+"""
+
+
+def sparql_iri_constructor_eq(sf_dir: str) -> "ray.data.Dataset":
+    """IRI()/URI() constructor in a FILTER: the constructed side lives
+    in raw-IRI space and must align with the s-position variable's
+    representation class (both sides wrap to rendered-term form)."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(IRI_EQ_QUERY_TEXT)[0]
+    assert q.where.filters[0].op == "term_cmp"
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_iri_constructor_eq_sql() -> str:
+    return f"""
+SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>'
+         AS cat,
+       '"' || CAST((p_partkey * 31) % 97 AS VARCHAR) || '"' AS w
+FROM part WHERE p_partkey = 7
+"""

@@ -213,6 +213,16 @@ class AltSet:
 
 
 @dataclass(frozen=True)
+class SeqSet:
+    """Modified path group with sequence legs, e.g. ``(p1/p2)+`` or
+    ``((p1/p2)|p3)*``: the closure runs over the UNION of each leg's
+    COMPOSED edge relation (the pairs connected by the leg's forward
+    predicate chain — intermediates must be IRIs). Forward single-IRI
+    members only; the modifier lives on the enclosing Pattern."""
+    seqs: tuple  # tuple of tuples of predicate IRI strings
+
+
+@dataclass(frozen=True)
 class BindExpr:
     """One ``BIND(expr AS ?alias)`` in a group."""
     expr: object
@@ -359,6 +369,47 @@ _HASH_FNS = ("md5", "sha1", "sha256", "sha384", "sha512")
 #: BIND functions whose result is numeric (evaluated through
 #: ``_eval_num_expr`` and rendered as a lexical numeric string)
 _NUM_FNS = frozenset({"abs", "ceil", "floor", "round"})
+
+#: BIND functions whose result is a PLAIN string — a bare lexical
+#: value with no <>/"" term decoration. Their aliases live in the
+#: 'str' representation class: comparisons against 'term'/'iri'-class
+#: values re-quote them to rendered-term form (lossless), while the
+#: SELECT projection keeps the bare value (matching SPARQL results
+#: serialization, which strips decoration anyway).
+_PLAIN_FNS = frozenset(
+    {"str", "concat", "ucase", "lcase", "strlen", "substr", "replace",
+     "strbefore", "strafter", "encode_for_uri"}
+    | set(_HASH_FNS) | set(_DT_FIELD) | set(_NUM_FNS))
+
+#: the definitely-string-producing subset of ``_PLAIN_FNS`` (excludes
+#: the numeric-lexical producers STRLEN / the dateTime accessors /
+#: ABS..ROUND, whose ORDERING comparisons must stay numeric)
+_STRISH_FNS = frozenset(
+    {"str", "concat", "ucase", "lcase", "substr", "replace",
+     "strbefore", "strafter", "encode_for_uri"} | set(_HASH_FNS))
+
+
+def _route_term_cmp(op: str, le, r) -> bool:
+    """Whether a FILTER comparison with an expression side should
+    compare rendered terms (``term_cmp``) instead of coercing both
+    sides through the numeric parse (``num_cmp``, which silently
+    eliminates every non-numeric row). ``=``/``!=`` route to term
+    identity unless a side is definitely numeric; ordering ops use
+    codepoint string comparison only when both sides are definitely
+    string-producing."""
+    def numericish(e) -> bool:
+        return isinstance(e, (Num, Arith)) or (
+            isinstance(e, Func) and e.name in _NUM_FNS)
+
+    def strish(e) -> bool:
+        return isinstance(e, Lit) or (
+            isinstance(e, Func) and e.name in _STRISH_FNS)
+
+    if op in ("=", "!="):
+        return (not numericish(le) and not numericish(r)
+                and (isinstance(le, (Func, IfExpr))
+                     or isinstance(r, (Func, IfExpr))))
+    return strish(le) and strish(r)
 
 
 def _parse_agg_call(p: "_P"
@@ -589,6 +640,8 @@ class _P:
                 raise SparqlError(f"FILTER op {op!r} unsupported "
                                   f"(subset: {sorted(_CMP_OPS)})")
             right = self.bind_expr()
+            if _route_term_cmp(op, left, right):
+                return Filter("", "term_cmp", (left, op, right))
             return Filter("", "num_cmp", (left, op, right))
         v = left
         nxt = self.peek()
@@ -617,7 +670,10 @@ class _P:
                               f"(subset: {sorted(_CMP_OPS)})")
         t = self.bind_expr()
         if not isinstance(t, (Num, Var, Lit, Iri)):
-            # ?var op <numeric expression> -> the general form
+            # ?var op <expression>: string-producing expressions
+            # compare by term identity, numeric ones by value
+            if _route_term_cmp(op, v, t):
+                return Filter("", "term_cmp", (v, op, t))
             return Filter("", "num_cmp", (v, op, t))
         if op not in ("=", "!=") and not isinstance(t, (Num, Var)):
             raise SparqlError(
@@ -864,21 +920,25 @@ class _P:
                 self.expect(")")
                 if self.peek() in ("+", "*", "?"):
                     # modified group: closure over the UNION of the
-                    # member predicates' edge sets — subset: forward
-                    # single constant IRIs, no inner modifiers
+                    # member legs' edge relations — subset: forward
+                    # constant-IRI members, no inner modifiers
                     mod = self.next()
                     if inv or any(
-                            len(seq) != 1 or seq[0][0]
-                            or seq[0][2] is not None
-                            or not isinstance(seq[0][1], Iri)
-                            for seq in inner):
+                            e[0] or e[2] is not None
+                            or not isinstance(e[1], Iri)
+                            for seq in inner for e in seq):
                         raise SparqlError(
                             "path modifiers on parenthesized groups "
-                            "support forward single-IRI alternatives "
-                            "only ((p1|p2)+)")
-                    preds = tuple(dict.fromkeys(
-                        seq[0][1].value for seq in inner))
-                    return [[(False, AltSet(preds), mod)]]
+                            "support forward constant-IRI members "
+                            "only ((p1|p2)+, (p1/p2)*)")
+                    if all(len(seq) == 1 for seq in inner):
+                        preds = tuple(dict.fromkeys(
+                            seq[0][1].value for seq in inner))
+                        return [[(False, AltSet(preds), mod)]]
+                    seqs = tuple(dict.fromkeys(
+                        tuple(e[1].value for e in seq)
+                        for seq in inner))
+                    return [[(False, SeqSet(seqs), mod)]]
                 return invert(inner) if inv else inner
             return [[elt()]]
 
@@ -918,7 +978,7 @@ class _P:
     def emit_path(self, out: list[Pattern], group: "Group | None",
                   s, seqs, o) -> None:
         if group is None and any(
-                isinstance(t, (NegSet, AltSet))
+                isinstance(t, (NegSet, AltSet, SeqSet))
                 for seq in seqs for _, t, _ in seq):
             raise SparqlError(
                 "negated property sets and modified path groups are "
@@ -1422,13 +1482,18 @@ class _Bind:
 
 def _const_repr(term, pos_cls: str) -> str:
     if isinstance(term, Iri):
+        if pos_cls == "str":
+            # plain-string columns hold literal values; an IRI
+            # constant is never term-equal to one (unmatchable
+            # sentinel: '\x00' cannot appear in a parsed IRI)
+            return "\x00<no-term>"
         return f"<{term.value}>" if pos_cls == "term" else term.value
     if isinstance(term, Lit):
-        return f'"{term.value}"'
+        return term.value if pos_cls == "str" else f'"{term.value}"'
     if isinstance(term, Num):
         # exact-form term identity (the store renders integer literals
         # with their lexical value) — used by = / != / IN lists
-        return f'"{term.value}"'
+        return term.value if pos_cls == "str" else f'"{term.value}"'
     raise SparqlError(f"not a constant: {term}")
 
 
@@ -1729,6 +1794,44 @@ def _numeric_form(col, pos_cls: str):
                    pa.float64())
 
 
+def _term_space_col(a, pos_cls: str):
+    """Normalize a bound column into rendered-term space so values
+    from different representation classes compare by term identity:
+    raw IRIs wrap to ``<...>``, plain strings quote to ``"..."``
+    (both lossless; nulls stay null)."""
+    a = _chunked(a).cast(pa.string())
+    if pos_cls == "iri":
+        return _wrap_iri(a)
+    if pos_cls == "str":
+        n = len(a)
+        q = pa.array(['"'] * n, pa.string())
+        return pc.binary_join_element_wise(q, a, q, "")
+    return a
+
+
+def _expr_repr(e, cls: dict[str, str]) -> str:
+    """Representation class of a FILTER/BIND expression's value."""
+    if isinstance(e, Var):
+        return cls.get(e.name, "iri")
+    if isinstance(e, Iri):
+        return "iri"
+    if isinstance(e, (Num, Arith)):
+        return "str"
+    if isinstance(e, Func):
+        if e.name in ("iri", "uri"):
+            return "iri"
+        if e.name in _PLAIN_FNS:
+            return "str"
+    return "term"
+
+
+def _term_expr(b: pa.Table, e, cls: dict[str, str]):
+    """One side of a term-identity FILTER comparison, evaluated into
+    rendered-term space."""
+    return _term_space_col(_chunked(_eval_bind_expr(b, e, cls)),
+                           _expr_repr(e, cls))
+
+
 def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
     if f.op in ("or", "and"):
         comb = pc.or_ if f.op == "or" else pc.and_
@@ -1741,6 +1844,13 @@ def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
         le, op, r = f.term
         return _CMP_KERNELS[op](_eval_num_expr(b, le, cls),
                                 _eval_num_expr(b, r, cls))
+    if f.op == "term_cmp":
+        # string-space comparison: both sides normalized to rendered-
+        # term form (num_cmp would coerce them to numbers and silently
+        # eliminate every non-numeric row)
+        le, op, r = f.term
+        return _CMP_KERNELS[op](_term_expr(b, le, cls),
+                                _term_expr(b, r, cls))
     col = b[f.var]
     pos = cls.get(f.var, "iri")
     if f.op in ("bound", "not_bound"):
@@ -1753,6 +1863,11 @@ def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
             # raw-IRI representation: every bound value IS an IRI
             m = bound if "is_iri" in f.op else pc.and_(
                 bound, pc.invert(bound))
+        elif pos == "str":
+            # plain-string representation: every bound value is a
+            # literal
+            m = (pc.and_(bound, pc.invert(bound))
+                 if "is_iri" in f.op else bound)
         else:
             m = pc.starts_with(c, "<" if "is_iri" in f.op else '"')
         if f.op.startswith("not_"):
@@ -1767,8 +1882,12 @@ def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
     if f.op in ("is_blank", "not_is_blank"):
         c = col.combine_chunks().cast(pa.string())
         bound = pc.is_valid(c)
-        m = pc.and_(bound, pc.fill_null(pc.starts_with(c, "_:"),
-                                        False))
+        if pos == "str":
+            # plain strings are literals, never blank nodes
+            m = pc.and_(bound, pc.invert(bound))
+        else:
+            m = pc.and_(bound, pc.fill_null(pc.starts_with(c, "_:"),
+                                            False))
         if f.op == "is_blank":
             return m
         return pc.and_(bound, pc.invert(m))
@@ -1833,8 +1952,8 @@ def _filter_mask(b: pa.Table, f: Filter, cls: dict[str, str]):
         if f.op in ("=", "!="):
             l, r = col.combine_chunks(), rcol.combine_chunks()
             if pos != rpos:
-                l = _wrap_iri(l) if pos == "iri" else l
-                r = _wrap_iri(r) if rpos == "iri" else r
+                l = _term_space_col(l, pos)
+                r = _term_space_col(r, rpos)
             return _CMP_KERNELS[f.op](l, r)
         return _CMP_KERNELS[f.op](_numeric_form(col, pos),
                                   _numeric_form(rcol, rpos))
@@ -1873,7 +1992,7 @@ def _filter_vars(f: Filter) -> set[str]:
         for sub in f.term:
             out |= _filter_vars(sub)
         return out
-    if f.op == "num_cmp":
+    if f.op in ("num_cmp", "term_cmp"):
         le, _, r = f.term
         return _expr_vars(le) | _expr_vars(r)
     out = {f.var}
@@ -1972,22 +2091,70 @@ def _eval_path_pattern(store_dir: str, pat: Pattern,
     if not isinstance(pat.s, Var) and not isinstance(pat.o, Var):
         raise SparqlError("fully-ground property path unsupported "
                           "(subset: at least one variable endpoint)")
-    if isinstance(pat.p, AltSet):
-        # modified alternation group (p1|p2)+: the closure runs over
-        # the UNION of the member predicates' partition-pruned reads
-        ds = query_triples(store_dir, p=pat.p.values[0])
-        for v in pat.p.values[1:]:
-            ds = ds.union(query_triples(store_dir, p=v))
-    else:
-        ds = query_triples(store_dir, p=pat.p.value)
-
-    def et(b: pa.Table) -> pa.Table:   # every edge, term-form endpoint
-        return pa.table({"_s": b["s"].combine_chunks().cast(pa.string()),
-                         "_o": b["o"].combine_chunks().cast(pa.string())})
-
-    e_t = ds.map_batches(et, batch_format="pyarrow")
     sch_t = pa.schema([("_s", pa.string()), ("_o", pa.string())])
-    e_t = ray.data.from_arrow(sch_t.empty_table()).union(e_t)
+
+    def _seq_edge_rel(seq: tuple) -> "ray.data.Dataset":
+        """The composed edge relation of one forward predicate chain:
+        (first subject raw, last object term) pairs — a chain of
+        partition-pruned reads joined o->s (intermediates must be
+        IRIs; literals cannot be subjects)."""
+        cur = None
+        for i, pred in enumerate(seq):
+            last = i == len(seq) - 1
+            ki = "_s" if i == 0 else f"_h{i}"
+            ko = "_o" if last else f"_h{i + 1}"
+
+            def mk(b: pa.Table, _ki=ki, _ko=ko, _last=last
+                   ) -> pa.Table:
+                if not _last:
+                    o = b["o"].combine_chunks().cast(pa.string())
+                    b = b.filter(pc.and_(pc.starts_with(o, "<"),
+                                         pc.ends_with(o, ">")))
+                o = b["o"].combine_chunks().cast(pa.string())
+                if not _last:
+                    o = pc.replace_substring_regex(o, _STR_IRI_RE,
+                                                   r"\1")
+                return pa.table({
+                    _ki: b["s"].combine_chunks().cast(pa.string()),
+                    _ko: o})
+
+            sch_i = pa.schema([(ki, pa.string()), (ko, pa.string())])
+            nb = _Bind(ray.data.from_arrow(sch_i.empty_table()).union(
+                query_triples(store_dir, p=pred).map_batches(
+                    mk, batch_format="pyarrow")), {}, [ki, ko])
+            cur = nb if cur is None else _join_binds(cur, nb, {})
+
+        def ends(b: pa.Table) -> pa.Table:
+            return b.select(["_s", "_o"])
+
+        if cur.small:
+            return ray.data.from_arrow(ends(cur.data))
+        return cur.data.map_batches(ends, batch_format="pyarrow")
+
+    if isinstance(pat.p, SeqSet):
+        # modified sequence group (p1/p2)+ / ((p1/p2)|p3)*: the
+        # closure runs over the UNION of the legs' composed relations
+        e_t = ray.data.from_arrow(sch_t.empty_table())
+        for seq in pat.p.seqs:
+            e_t = e_t.union(_seq_edge_rel(seq))
+    else:
+        if isinstance(pat.p, AltSet):
+            # modified alternation group (p1|p2)+: the closure runs
+            # over the UNION of the member predicates'
+            # partition-pruned reads
+            ds = query_triples(store_dir, p=pat.p.values[0])
+            for v in pat.p.values[1:]:
+                ds = ds.union(query_triples(store_dir, p=v))
+        else:
+            ds = query_triples(store_dir, p=pat.p.value)
+
+        def et(b: pa.Table) -> pa.Table:  # every edge, term endpoint
+            return pa.table({
+                "_s": b["s"].combine_chunks().cast(pa.string()),
+                "_o": b["o"].combine_chunks().cast(pa.string())})
+
+        e_t = ray.data.from_arrow(sch_t.empty_table()).union(
+            ds.map_batches(et, batch_format="pyarrow"))
 
     def ei(b: pa.Table) -> pa.Table:   # IRI-object edges, raw space
         o = b["_o"].combine_chunks().cast(pa.string())
@@ -2127,10 +2294,18 @@ def _collect_cls(g: Group, cls: dict[str, str] | None = None
             # representation, so term-identity comparisons against
             # s/p-position vars align without wrapping
             cls[be.alias] = "iri"
+        elif isinstance(be.expr, (Arith, Num)) or (
+                isinstance(be.expr, Func)
+                and be.expr.name in _PLAIN_FNS):
+            # plain-string space: UCASE/CONCAT/STRLEN/arithmetic
+            # results are bare lexical values (no <>/"" decoration) —
+            # term-identity comparisons re-quote them (see
+            # _term_space_col), the projection keeps them bare
+            cls[be.alias] = "str"
         else:
-            # literals/numbers/STR/CONCAT results are term-space
-            # strings (STR/CONCAT yield PLAIN strings — decoration
-            # already stripped, so _str_form is a no-op on them)
+            # literal constants and the decorated producers
+            # (LANG/DATATYPE/TZ/STRLANG/STRDT/IF/COALESCE) are
+            # term-space strings
             cls[be.alias] = "term"
     for sq in g.subqueries:
         # ONE representation per variable across subquery boundaries
@@ -2298,6 +2473,14 @@ def _eval_bind_expr(b: pa.Table, expr, cls: dict[str, str]):
             if expr.name == "lang":
                 return pa.array(['""'] * b.num_rows, pa.string())
             return pa.nulls(b.num_rows, pa.string())
+        if pos == "str":
+            # plain strings are simple literals: LANG("") and
+            # DATATYPE xsd:string, null-preserving
+            a = _chunked(_eval_bind_expr(b, arg, cls))
+            fill = ('""' if expr.name == "lang"
+                    else "<http://www.w3.org/2001/XMLSchema#string>")
+            return pc.if_else(pc.is_valid(a), pa.scalar(fill),
+                              pa.scalar(None, pa.string()))
         a = _eval_bind_expr(b, arg, cls)
         a = (a.combine_chunks() if isinstance(a, pa.ChunkedArray)
              else a)

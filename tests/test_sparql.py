@@ -933,7 +933,9 @@ def test_modified_path_group_closure(ray_session, tmp_path):
     q2 = parse_sparql("PREFIX e: <http://e/> "
                       "SELECT ?x ?y WHERE { ?x (e:a|e:b)? ?y }")[0]
     assert len(execute_sparql(store, q2).to_pandas()) == 6
-    for bad in ("{ ?x (^e:a|e:b)+ ?y }", "{ ?x (e:a/e:b)+ ?y }",
+    # (e:a/e:b)+ is now a SeqSet (see test_sparql_builtins seq-group
+    # tests); inverse members and inner modifiers stay rejected
+    for bad in ("{ ?x (^e:a|e:b)+ ?y }",
                 "{ ?x (e:a+|e:b)* ?y }"):
         with pytest.raises(SparqlError):
             parse_sparql("PREFIX e: <http://e/> SELECT ?x ?y WHERE "

@@ -617,3 +617,174 @@ SELECT ?z WHERE {{
   ?s <{NS}name> ?n . BIND(TZ(?n) AS ?z) FILTER(BOUND(?z))
 }}""")
     assert bad == []
+
+
+# ------------------------- term-identity FILTER comparisons ('str'
+# representation class: plain-string BIND aliases and string-fn sides)
+
+def test_filter_strfn_eq_literal(store):
+    """FILTER(UCASE(?n) = "...") compares rendered terms — the
+    numeric-coercion path would silently eliminate every row (spec
+    §17.4.3: string functions + RDFterm-equal)."""
+    got = _rows(store, f"""
+SELECT ?n WHERE {{ ?s <{NS}name> ?n .
+  FILTER(UCASE(STR(?n)) = "ITEM 4 X") }}""")
+    assert got == [('"item 4 x"@en',)]
+    # same through a BIND alias (the alias lives in plain-str space)
+    got2 = _rows(store, f"""
+SELECT ?n WHERE {{ ?s <{NS}name> ?n .
+  BIND(UCASE(STR(?n)) AS ?u) FILTER(?u = "ITEM 4 X") }}""")
+    assert got2 == got
+
+
+def test_filter_var_eq_iri_constructor(store):
+    """FILTER(?s = IRI(...)): the constructor side lives in raw-IRI
+    space and must align with the s-position variable."""
+    got = _rows(store, f"""
+SELECT ?s WHERE {{ ?s <{NS}w> ?w .
+  FILTER(?s = IRI(CONCAT("{NS}it", "3"))) }}""")
+    assert got == [(f"{NS}it3",)]
+
+
+def test_filter_concat_alias_eq_term_var(store):
+    """A plain-str alias compared = against an o-position term var
+    re-quotes to rendered-term form (lossless normalization)."""
+    got = _rows(store, f"""
+SELECT ?n WHERE {{ ?s <{NS}name> ?n .
+  BIND(CONCAT("item ", "2 x") AS ?u) FILTER(?u = ?n) }}""")
+    assert got == [('"item 2 x"',)]  # plain literal only, not @en
+
+
+def test_filter_strfn_ordering(store):
+    """Ordering over two definitely-string sides compares codepoint
+    strings (spec fn:compare); numeric-lexical producers must NOT
+    take this path (STRLEN stays numeric)."""
+    got = _rows(store, f"""
+SELECT ?n WHERE {{ ?s <{NS}name> ?n .
+  FILTER(SUBSTR(STR(?n), 6, 1) >= "8") }}""")
+    assert got == [('"item 8 x"',), ('"item 9 x"@en-US',)]
+    num = _rows(store, f"""
+SELECT ?n WHERE {{ ?s <{NS}name> ?n .
+  FILTER(STRLEN(STR(?n)) = 8) }}""")
+    assert len(num) == 10  # "item K x" for K in 0..9: numeric equality
+
+
+def test_str_alias_type_predicates(store):
+    """isLiteral/isIRI/isBlank over a plain-str alias: every bound
+    value is a (simple) literal; DATATYPE is xsd:string, LANG ''."""
+    got = _rows(store, f"""
+SELECT ?d ?l WHERE {{ <{NS}it1> <{NS}name> ?n .
+  BIND(CONCAT(STR(?n), "!") AS ?u)
+  FILTER(isLiteral(?u)) FILTER(!isIRI(?u)) FILTER(!isBlank(?u))
+  BIND(DATATYPE(?u) AS ?d) BIND(LANG(?u) AS ?l) }}""")
+    assert got == [
+        ("<http://www.w3.org/2001/XMLSchema#string>", '""')]
+
+
+def test_str_alias_in_list(store):
+    """IN lists against a plain-str alias compare bare lexical values;
+    an IRI constant in the list can never match a literal."""
+    got = _rows(store, f"""
+SELECT ?u WHERE {{ ?s <{NS}w> ?w .
+  BIND(CONCAT("w", STR(?w)) AS ?u)
+  FILTER(?u IN ("w0", "w7", <{NS}w1>)) }}""")
+    # a plain-str alias projects BARE (results serialization strips
+    # decoration anyway; the DuckDB gate mirrors rely on this)
+    assert sorted(set(got)) == [("w0",), ("w7",)]
+
+
+def test_numeric_alias_eq_term_var(store):
+    """A numeric-expression alias (plain lexical int) = an o-position
+    numeric literal matches via the quoted normalization."""
+    got = _rows(store, f"""
+SELECT ?w WHERE {{ <{NS}it1> <{NS}w> ?w .
+  BIND(3 + 4 AS ?d) FILTER(?d = ?w) }}""")
+    assert got == [('"7"',)]
+
+
+# ------------------------- modified path groups with sequence legs
+
+@pytest.fixture(scope="module")
+def cyc_store(ray_session, tmp_path_factory):
+    """p1-cycle a->b->c->a plus d-p1->a and b-p2->d (small graph with
+    a cycle: closure termination + zero-length pairs)."""
+    import ray.data
+
+    from kgforge.sinks.ntriples_sink import write_graph_partitioned
+    E = "http://cy.org/"
+    rows = [(E + "a", E + "p1", f"<{E}b>"),
+            (E + "b", E + "p1", f"<{E}c>"),
+            (E + "c", E + "p1", f"<{E}a>"),
+            (E + "d", E + "p1", f"<{E}a>"),
+            (E + "b", E + "p2", f"<{E}d>"),
+            (E + "b", E + "v", '"10"')]
+    tbl = pa.table({
+        "s": pa.array([r[0] for r in rows], pa.string()),
+        "p": pa.array([r[1] for r in rows], pa.string()),
+        "o": pa.array([r[2] for r in rows], pa.string())})
+    d = str(tmp_path_factory.mktemp("cyc") / "st")
+    os.makedirs(d)
+    write_graph_partitioned(ray.data.from_arrow(tbl), d)
+    return d
+
+
+def test_seqgroup_plus_cycle(cyc_store):
+    """(p1/p1)+ from a: composed 2-hop edges a->c, b->a, c->b, d->b —
+    the cycle closes back onto a itself."""
+    got = _rows(cyc_store, """
+SELECT ?x WHERE {
+  <http://cy.org/a> (<http://cy.org/p1>/<http://cy.org/p1>)+ ?x }""")
+    assert got == [("<http://cy.org/a>",), ("<http://cy.org/b>",),
+                   ("<http://cy.org/c>",)]
+
+
+def test_seqgroup_nested_alt_plus(cyc_store):
+    """((p1/p1)|p2)+: union of the composed relation and the plain
+    p2 edges feeds ONE closure."""
+    got = _rows(cyc_store, """
+SELECT ?x WHERE {
+  <http://cy.org/a>
+    ((<http://cy.org/p1>/<http://cy.org/p1>)|<http://cy.org/p2>)+
+    ?x }""")
+    assert got == [("<http://cy.org/a>",), ("<http://cy.org/b>",),
+                   ("<http://cy.org/c>",), ("<http://cy.org/d>",)]
+
+
+def test_seqgroup_star_and_opt(cyc_store):
+    """* adds the zero-length self-pair; ? is length <= 1."""
+    got = _rows(cyc_store, """
+SELECT ?x WHERE {
+  <http://cy.org/d> (<http://cy.org/p1>/<http://cy.org/p2>)* ?x }""")
+    assert got == [("<http://cy.org/d>",)]   # no composed edge from d
+    got2 = _rows(cyc_store, """
+SELECT ?x WHERE {
+  <http://cy.org/a> (<http://cy.org/p1>/<http://cy.org/p2>)? ?x }""")
+    assert got2 == [("<http://cy.org/a>",), ("<http://cy.org/d>",)]
+
+
+def test_seqgroup_literal_tail(cyc_store):
+    """A literal can terminate a composed path (a-p1->b-v->"10") but
+    never continues one (literals cannot be subjects)."""
+    got = _rows(cyc_store, """
+SELECT ?x WHERE {
+  <http://cy.org/a> (<http://cy.org/p1>/<http://cy.org/v>)+ ?x }""")
+    assert got == [('"10"',)]
+
+
+def test_seqgroup_grounded_object(cyc_store):
+    """Constant object endpoint: every source whose even-depth chain
+    reaches b."""
+    got = _rows(cyc_store, """
+SELECT ?s WHERE {
+  ?s (<http://cy.org/p1>/<http://cy.org/p1>)+ <http://cy.org/b> }""")
+    assert got == [("http://cy.org/a",), ("http://cy.org/b",),
+                   ("http://cy.org/c",), ("http://cy.org/d",)]
+
+
+def test_seqgroup_inverse_member_rejected(cyc_store):
+    """Inverse members inside a modified group stay out of the subset
+    (clear error, not a silent wrong answer)."""
+    with pytest.raises(SparqlError, match="forward constant-IRI"):
+        parse_sparql("""
+SELECT ?x WHERE {
+  <http://cy.org/a> (^<http://cy.org/p1>/<http://cy.org/p2>)+ ?x }""")
