@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # term-identity FILTER comparisons over string-fn expressions
     q["sparql_ucase_concat_eq"] = versioning.sparql_ucase_concat_eq
     q["sparql_iri_constructor_eq"] = versioning.sparql_iri_constructor_eq
+    # UNION legs binding different variables (null padding)
+    q["sparql_union_disjoint"] = versioning.sparql_union_disjoint
     # zero-or-more property path (Kleene-plus closure + reflexive
     # node-domain pairs)
     q["sparql_star_path"] = versioning.sparql_star_path
@@ -442,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_ucase_concat_eq"] = versioning.sparql_ucase_concat_eq_sql()
     o["sparql_iri_constructor_eq"] = (
         versioning.sparql_iri_constructor_eq_sql())
+    o["sparql_union_disjoint"] = versioning.sparql_union_disjoint_sql()
     o["sparql_star_path"] = versioning.sparql_star_path_sql()
     o["sparql_distinct_types"] = versioning.sparql_distinct_types_sql()
     o["sparql_sum_avg"] = versioning.sparql_sum_avg_sql()

@@ -2343,3 +2343,34 @@ SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>'
        '"' || CAST((p_partkey * 31) % 97 AS VARCHAR) || '"' AS w
 FROM part WHERE p_partkey = 7
 """
+
+
+UNION_DISJOINT_QUERY_TEXT = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?w ?b WHERE {
+  { ?p c:weight ?w } UNION { ?p c:bonus ?b }
+}
+"""
+
+
+def sparql_union_disjoint(sf_dir: str) -> "ray.data.Dataset":
+    """UNION legs binding DIFFERENT variables: a var missing from one
+    leg is unbound (null) in that leg's solutions — each part pads the
+    union's full column set before the bag concat."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(UNION_DISJOINT_QUERY_TEXT)[0]
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_union_disjoint_sql() -> str:
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '"' || CAST((p_partkey * 31) % 97 AS VARCHAR) || '"' AS w,
+       CAST(NULL AS VARCHAR) AS b
+FROM part
+UNION ALL
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR),
+       CAST(NULL AS VARCHAR),
+       '"' || CAST((p_partkey * 7) % 13 AS VARCHAR) || '"'
+FROM part WHERE p_partkey % 3 = 0
+"""

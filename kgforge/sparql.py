@@ -923,22 +923,24 @@ class _P:
                     # member legs' edge relations — subset: forward
                     # constant-IRI members, no inner modifiers
                     mod = self.next()
-                    if inv or any(
-                            e[0] or e[2] is not None
-                            or not isinstance(e[1], Iri)
-                            for seq in inner for e in seq):
+                    if any(e[0] or e[2] is not None
+                           or not isinstance(e[1], Iri)
+                           for seq in inner for e in seq):
                         raise SparqlError(
                             "path modifiers on parenthesized groups "
                             "support forward constant-IRI members "
                             "only ((p1|p2)+, (p1/p2)*)")
+                    # ^(G)mod: inverse of a closure == closure with
+                    # the endpoints swapped — the inv flag swaps s/o
+                    # at emit time, exactly like a plain ``^p+``
                     if all(len(seq) == 1 for seq in inner):
                         preds = tuple(dict.fromkeys(
                             seq[0][1].value for seq in inner))
-                        return [[(False, AltSet(preds), mod)]]
+                        return [[(inv, AltSet(preds), mod)]]
                     seqs = tuple(dict.fromkeys(
                         tuple(e[1].value for e in seq)
                         for seq in inner))
-                    return [[(False, SeqSet(seqs), mod)]]
+                    return [[(inv, SeqSet(seqs), mod)]]
                 return invert(inner) if inv else inner
             return [[elt()]]
 
@@ -1145,6 +1147,12 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
     aggs: list[Agg] = []
     sexprs: list[BindExpr] = []
     aggbinds: list[BindExpr] = []
+    if p.peek() == "*":
+        # SELECT *: project every bound variable — the empty select
+        # list already means exactly that on the execute path (a
+        # subquery still needs an explicit list: projection scopes
+        # its inner vars, and * would leak fresh chain vars)
+        p.next()
     while p.peek() and (p.peek().startswith("?")
                         or p.peek() == "("):
         if p.peek().startswith("?"):
@@ -2858,12 +2866,39 @@ def _eval_group(store_dir: str, g: Group,
         parts = [_project_bind(p, list(a.project))
                  if a.project is not None else p
                  for p, a in zip(parts, alts)]
-        colsets = {tuple(sorted(p.cols())) for p in parts}
-        if len(colsets) != 1:
+        # SPARQL UNION legs may bind DIFFERENT variables: a var
+        # missing from one leg is unbound (null) in that leg's
+        # solutions. A var bound outside the union, though, would
+        # inner-join the padded nulls away (the engine's joins are
+        # not compatibility joins) — that shape raises instead of
+        # silently dropping rows.
+        all_cols = sorted({c for p in parts for c in p.cols()})
+        part_miss = {c for p in parts
+                     for c in set(all_cols) - set(p.cols())}
+        if bind is not None and part_miss & set(bind.cols()):
+            v = sorted(part_miss & set(bind.cols()))[0]
             raise SparqlError(
-                "UNION alternatives must bind the same variables "
-                f"(got {sorted(colsets)})")
-        ub = _concat_binds(parts)
+                f"?{v} is bound outside the UNION, so every "
+                "alternative must bind it (a leg leaving it unbound "
+                "is out of the supported subset)")
+        padded = []
+        for p in parts:
+            miss = [c for c in all_cols if c not in p.cols()]
+            if not miss:
+                padded.append(p)
+                continue
+
+            def pad(b: pa.Table, _m=list(miss)) -> pa.Table:
+                for c in _m:
+                    b = b.append_column(
+                        c, pa.nulls(b.num_rows, pa.string()))
+                return b
+
+            padded.append(_Bind(
+                pad(p.data) if p.small
+                else p.data.map_batches(pad, batch_format="pyarrow"),
+                p.cls, list(all_cols)))
+        ub = _concat_binds(padded)
         bind = ub if bind is None else _join_binds(bind, ub, cls)
     bind = _apply_filters(bind, g.filters)
     for m in g.minus:
@@ -3095,7 +3130,12 @@ def execute_sparql(store_dir: str, q: Query,
         return _render_template(bind, q.template)
     if q.aggs:
         return _apply_aggregates(bind, q)
-    sel = q.select_vars or sorted(bind.cols())
+    # SELECT * / empty list: every bound variable EXCEPT the planner's
+    # internal ones (path-sequence chain vars and desugared aggregate
+    # expressions are not in-scope per the spec)
+    sel = q.select_vars or sorted(
+        c for c in bind.cols()
+        if not (c.startswith("_seq") or c.startswith("_aggexpr")))
     missing = [v for v in sel if v not in bind.cols()]
     if missing:
         raise SparqlError(f"selected vars not bound: {missing}")

@@ -325,18 +325,29 @@ def test_sparql_union_gate_and_bag_semantics(ray_session):
     assert df.duplicated().sum() == 100
 
 
-def test_union_mismatched_vars_rejected():
+def test_union_mismatched_vars_pad_or_reject():
+    """UNION legs binding different vars pad the missing ones with
+    nulls (spec semantics; see test_sparql_builtins union tests) —
+    but a var bound OUTSIDE the union that a leg leaves unbound still
+    raises (inner join on null would silently drop rows)."""
     import pytest as _pt
-    from kgforge.sparql import SparqlError, parse_sparql
+    from kgforge.sparql import SparqlError, execute_sparql, parse_sparql
     from kgforge.pipelines.tabular import _v4_part_store
-    from kgforge.sparql import execute_sparql
+    store = _v4_part_store("/root/testdata/sf0.001")
     q = parse_sparql("""
-      SELECT ?x WHERE {
+      SELECT ?x ?a ?b WHERE {
         { ?x <http://p/a> ?a } UNION { ?x <http://p/b> ?b }
       }
     """)[0]
-    with _pt.raises(SparqlError):
-        execute_sparql(_v4_part_store("/root/testdata/sf0.001"), q)
+    assert execute_sparql(store, q).count() == 0   # pads, runs, empty
+    q2 = parse_sparql("""
+      SELECT ?x WHERE {
+        ?x <http://p/c> ?a .
+        { ?x <http://p/a> ?a } UNION { ?x <http://p/b> ?b }
+      }
+    """)[0]
+    with _pt.raises(SparqlError, match="bound outside the UNION"):
+        execute_sparql(store, q2)
 
 
 def test_cli_sparql_mode(ray_session, tmp_path):

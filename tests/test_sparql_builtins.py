@@ -788,3 +788,86 @@ def test_seqgroup_inverse_member_rejected(cyc_store):
         parse_sparql("""
 SELECT ?x WHERE {
   <http://cy.org/a> (^<http://cy.org/p1>/<http://cy.org/p2>)+ ?x }""")
+
+
+# ----------------------------- UNION legs with differing variables
+
+def test_union_different_vars_pad_null(cyc_store):
+    """SPARQL UNION legs may bind different vars: missing vars are
+    unbound in that leg's solutions; COUNT(?v) skips them."""
+    got = _rows(cyc_store, """
+SELECT ?s ?v ?d WHERE {
+  { ?s <http://cy.org/v> ?v } UNION { ?s <http://cy.org/p2> ?d } }""")
+    assert got == [("<http://cy.org/d>", "http://cy.org/b", "NULL"),
+                   ("NULL", "http://cy.org/b", '"10"')]
+    cnt = _rows(cyc_store, """
+SELECT (COUNT(?v) AS ?nv) (COUNT(?d) AS ?nd) WHERE {
+  { ?s <http://cy.org/v> ?v } UNION { ?s <http://cy.org/p2> ?d } }""")
+    assert cnt == [(1, 1)]
+
+
+def test_union_binds_per_leg(cyc_store):
+    """Per-leg BINDs with a shared alias line up across the union."""
+    got = _rows(cyc_store, """
+SELECT ?t WHERE {
+  { ?s <http://cy.org/v> ?v . BIND(CONCAT("v:", STR(?v)) AS ?t) }
+  UNION
+  { ?s <http://cy.org/p2> ?d . BIND("edge" AS ?t) } }""")
+    assert got == [('"edge"',), ("v:10",)]
+
+
+def test_union_outer_bound_var_must_bind_everywhere(cyc_store):
+    """A var bound OUTSIDE the union joined against a leg that leaves
+    it unbound would silently drop rows (inner join on null) — the
+    subset raises instead."""
+    with pytest.raises(SparqlError, match="bound outside the UNION"):
+        _rows(cyc_store, """
+SELECT ?s ?v WHERE { ?s <http://cy.org/v> ?v .
+  { ?s <http://cy.org/p1> ?x } UNION { ?s <http://cy.org/p2> ?v } }""")
+
+
+# ------------------------------------------------------- SELECT *
+
+def test_select_star(cyc_store):
+    """SELECT * projects every bound variable — except the planner's
+    internal path-chain vars, which are not in-scope per the spec."""
+    got = _rows(cyc_store, """
+SELECT * WHERE { ?s <http://cy.org/v> ?v }""")
+    assert got == [("http://cy.org/b", '"10"')]
+    df_q = """
+SELECT * WHERE { ?s <http://cy.org/p1>/<http://cy.org/v> ?v }"""
+    df = execute_sparql(cyc_store, parse_sparql(df_q)[0]).to_pandas()
+    assert sorted(df.columns) == ["s", "v"]   # no _seq leak
+    assert len(df) == 1                        # a-p1->b-v->"10"
+
+
+def test_select_star_distinct_and_subquery_guard(cyc_store):
+    got = _rows(cyc_store, """
+SELECT DISTINCT * WHERE { ?s <http://cy.org/p1> ?x }""")
+    assert len(got) == 4
+    with pytest.raises(SparqlError, match="explicit SELECT list"):
+        _rows(cyc_store, """
+SELECT ?s WHERE { { SELECT * WHERE { ?s <http://cy.org/v> ?v } } }""")
+
+
+def test_inverse_modified_group(cyc_store):
+    """^(G)mod == the closure with endpoints swapped (inverse of a
+    closure is the closure of the inverses) — same emit-time swap as
+    a plain ^p+."""
+    inv = _rows(cyc_store, """
+SELECT ?x WHERE {
+  <http://cy.org/a> ^(<http://cy.org/p1>|<http://cy.org/p2>)+ ?x }""")
+    fwd = _rows(cyc_store, """
+SELECT ?s WHERE {
+  ?s (<http://cy.org/p1>|<http://cy.org/p2>)+ <http://cy.org/a> }""")
+    assert inv == fwd and len(inv) == 4
+    seq = _rows(cyc_store, """
+SELECT ?x WHERE {
+  <http://cy.org/b> ^(<http://cy.org/p1>/<http://cy.org/p1>)+ ?x }""")
+    seq_fwd = _rows(cyc_store, """
+SELECT ?s WHERE {
+  ?s (<http://cy.org/p1>/<http://cy.org/p1>)+ <http://cy.org/b> }""")
+    assert seq == seq_fwd
+    opt = _rows(cyc_store, """
+SELECT ?x WHERE { <http://cy.org/d> ^(<http://cy.org/p2>)? ?x }""")
+    assert opt == [("http://cy.org/b",), ("http://cy.org/d",)]
