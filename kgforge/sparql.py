@@ -3005,20 +3005,51 @@ def _render_template(bind: _Bind, template: list[Pattern]
         n = b.num_rows
         for pat in _t:
             cols = {}
+            # spec §16.2: an instantiation with an UNBOUND variable, or
+            # one that would not be a valid RDF triple (literal in the
+            # s/p position), contributes NO triple — the row is
+            # dropped for this template pattern only
+            ok = None
+
+            def both(m1, m2):
+                return m2 if m1 is None else pc.and_(m1, m2)
+
             for name, t, want in (("s", pat.s, "iri"), ("p", pat.p, "iri"),
                                   ("o", pat.o, "term")):
                 if isinstance(t, Var):
                     arr = b[t.name].combine_chunks().cast(pa.string())
-                    if _cls.get(t.name, "iri") == "iri" and want == "term":
-                        arr = pc.binary_join_element_wise(
-                            pa.scalar("<"), arr, pa.scalar(">"), "")
-                    elif _cls.get(t.name) == "term" and want == "iri":
-                        arr = pc.utf8_trim(arr, characters="<>")
+                    c = _cls.get(t.name, "iri")
+                    ok = both(ok, pc.is_valid(arr))
+                    if want == "term":
+                        if c == "iri":
+                            arr = pc.binary_join_element_wise(
+                                pa.scalar("<"), arr, pa.scalar(">"), "")
+                        elif c == "str":
+                            # plain-string values are simple literals
+                            arr = pc.binary_join_element_wise(
+                                pa.scalar('"'), arr, pa.scalar('"'), "")
+                    else:
+                        if c == "term":
+                            iri_ok = pc.fill_null(
+                                pc.starts_with(arr, "<"), False)
+                            if name == "s":
+                                iri_ok = pc.or_(iri_ok, pc.fill_null(
+                                    pc.starts_with(arr, "_:"), False))
+                            ok = both(ok, iri_ok)
+                            arr = pc.utf8_trim(arr, characters="<>")
+                        elif c == "str":
+                            # a plain string is a literal: never a
+                            # valid subject/predicate
+                            ok = both(ok, pa.array([False] * n,
+                                                   pa.bool_()))
                     cols[name] = arr
                 else:
                     cols[name] = pa.array([_const_repr(t, want)] * n,
                                           type=pa.string())
-            outs.append(pa.table(cols))
+            tblp = pa.table(cols)
+            if ok is not None:
+                tblp = tblp.filter(pc.fill_null(ok, False))
+            outs.append(tblp)
         if not outs:
             return pa.schema([("s", pa.string()), ("p", pa.string()),
                               ("o", pa.string())]).empty_table()

@@ -871,3 +871,39 @@ SELECT ?s WHERE {
     opt = _rows(cyc_store, """
 SELECT ?x WHERE { <http://cy.org/d> ^(<http://cy.org/p2>)? ?x }""")
     assert opt == [("http://cy.org/b",), ("http://cy.org/d",)]
+
+
+# -------------------------- CONSTRUCT instantiation validity (§16.2)
+
+def test_construct_unbound_var_omits_triple(cyc_store):
+    """A template instantiation with an unbound variable contributes
+    no triple (OPTIONAL-null rows drop for that pattern only)."""
+    got = _rows(cyc_store, """
+CONSTRUCT { ?s <http://cy.org/had> ?v }
+WHERE { ?s <http://cy.org/p1> ?x
+        OPTIONAL { ?s <http://cy.org/v> ?v } }""")
+    assert got == [('"10"', "http://cy.org/had", "http://cy.org/b")]
+
+
+def test_construct_literal_subject_skipped(cyc_store):
+    """An instantiation that is not a valid RDF triple (literal in the
+    subject position) is skipped, not emitted."""
+    got = _rows(cyc_store, """
+CONSTRUCT { ?o <http://cy.org/inv> ?s }
+WHERE { ?s <http://cy.org/v> ?o }""")
+    assert got == []
+    # IRI objects DO invert (term -> iri position trims the brackets)
+    got2 = _rows(cyc_store, """
+CONSTRUCT { ?o <http://cy.org/inv> ?s }
+WHERE { ?s <http://cy.org/p2> ?o }""")
+    assert got2 == [("<http://cy.org/b>", "http://cy.org/inv",
+                     "http://cy.org/d")]
+
+
+def test_construct_str_alias_renders_literal(cyc_store):
+    """A plain-str BIND alias in the o position renders as a quoted
+    simple literal in the constructed graph."""
+    got = _rows(cyc_store, """
+CONSTRUCT { ?s <http://cy.org/dbl> ?d }
+WHERE { ?s <http://cy.org/v> ?v . BIND(?v * 2 AS ?d) }""")
+    assert got == [('"20"', "http://cy.org/dbl", "http://cy.org/b")]
