@@ -624,6 +624,19 @@ class _P:
         pat = self.term()
         if not isinstance(pat, Lit):
             raise SparqlError(f"{fn}() needs a string constant")
+        if fn == "regex" and self.peek() == ",":
+            # REGEX(str, pattern, flags) — the XPath flags argument.
+            # RE2 supports i/s/m as inline (?ims) groups; x (ignore
+            # whitespace in the pattern) and q (literal) are out of
+            # the subset and raise.
+            self.next()
+            flags = self.term()
+            if not isinstance(flags, Lit) or not set(
+                    flags.value) <= set("ism"):
+                raise SparqlError(
+                    'REGEX flags support "i", "s", "m" only')
+            if flags.value:
+                pat = Lit(f"(?{flags.value}){pat.value}")
         self.expect(")")
         if wrapped:
             self.expect(")")

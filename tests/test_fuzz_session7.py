@@ -177,3 +177,16 @@ def test_fuzz_seqgroup_closure(ray_session, tmp_path, seed):
       )
       SELECT DISTINCT src AS x, dst AS y FROM r""")
     assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_regex_flags(ray_session, tmp_path, seed):
+    """REGEX 'i' flag vs DuckDB regexp_matches(..., 'i')."""
+    store, con = _rand_store(seed, tmp_path)
+    got = _got(store, """
+      SELECT ?s ?o WHERE {
+        ?s <http://z/p2> ?o . FILTER(REGEX(?o, "WORD [0-2]", "i")) }""")
+    want = _want(con, f"""
+      SELECT s, o FROM trip WHERE p = 'http://z/p2'
+      AND regexp_matches({STR_SQL.format(c='o')}, 'WORD [0-2]', 'i')""")
+    assert got == want

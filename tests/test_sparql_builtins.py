@@ -907,3 +907,19 @@ def test_construct_str_alias_renders_literal(cyc_store):
 CONSTRUCT { ?s <http://cy.org/dbl> ?d }
 WHERE { ?s <http://cy.org/v> ?v . BIND(?v * 2 AS ?d) }""")
     assert got == [('"20"', "http://cy.org/dbl", "http://cy.org/b")]
+
+
+def test_regex_flags(store):
+    """REGEX(str, pattern, flags): XPath flags i/s/m lower to RE2
+    inline groups; q/x raise."""
+    got = _rows(store, f"""
+SELECT ?n WHERE {{ ?s <{NS}name> ?n .
+  FILTER(REGEX(?n, "^ITEM 4", "i")) }}""")
+    assert got == [('"item 4 x"@en',)]
+    neg = _rows(store, f"""
+SELECT ?n WHERE {{ ?s <{NS}name> ?n .
+  FILTER(!REGEX(?n, "ITEM", "i")) }}""")
+    assert neg == []
+    with pytest.raises(SparqlError, match='"i", "s", "m"'):
+        parse_sparql(f'SELECT ?n WHERE {{ ?s <{NS}name> ?n . '
+                     f'FILTER(REGEX(?n, "x", "q")) }}')
