@@ -32,7 +32,9 @@ the store driver-side.
 Beyond the reference file's four shapes, the subset also covers:
 
 - ``OPTIONAL`` (size-adaptive left join, unbound = null) and ``{A}
-  UNION {B}`` (bag semantics over an identical variable set);
+  UNION {B}`` (bag semantics; legs may bind DIFFERENT variables —
+  missing vars pad as unbound, though a var bound outside the union
+  must be bound by every leg);
 - SPARQL 1.1 aggregates ``COUNT/MIN/MAX/SUM/AVG/SAMPLE/GROUP_CONCAT``
   with ``GROUP BY`` / ``HAVING`` / ``ORDER BY`` / ``LIMIT`` /
   ``OFFSET`` (SAMPLE is the deterministic minimum term; GROUP_CONCAT
@@ -50,27 +52,38 @@ Beyond the reference file's four shapes, the subset also covers:
   ``[!]BOUND`` / ``[!]isIRI`` / ``[!]isLiteral`` / ``[!]isNumeric``
   / ``[!]isBlank`` / ``[!]sameTerm`` unary/binary tests,
   ``langMatches(LANG(?v), "range")``, and
-  ``regex``/``strstarts``/``contains`` over ``STR(?v)`` — vectorized
-  Arrow kernels inside the streaming plan;
+  ``regex`` (XPath ``i``/``s``/``m`` flags as RE2 inline groups) /
+  ``strstarts``/``strends``/``contains`` over ``STR(?v)`` — vectorized
+  Arrow kernels inside the streaming plan. ``=``/``!=`` with a
+  string-producing expression side compares RENDERED TERMS
+  (``term_cmp``): plain-string values ('str' representation class —
+  BIND aliases of string/arith functions) re-quote losslessly, raw
+  IRIs wrap, so ``FILTER(UCASE(?n) = "X")`` and
+  ``FILTER(?s = IRI(CONCAT(...)))`` answer correctly; ordering over
+  two definitely-string sides compares codepoint strings;
 - ``BIND(expr AS ?alias)`` computed columns: numeric arithmetic
   (``+ - * /`` with precedence and parens; division by zero and
   non-numeric operands unbind), ``ABS``/``CEIL``/``FLOOR``/``ROUND``
   (xsd half-toward-+inf), ``IF(cmp, a, b)``, ``STR``/``CONCAT``/
   ``UCASE``/``LCASE``/``STRLEN``/``SUBSTR``/``REPLACE``/``COALESCE``/
   ``STRBEFORE``/``STRAFTER``/``ENCODE_FOR_URI``/``STRLANG``/
-  ``STRDT``/``LANG``/``DATATYPE`` (aliases may feed later BINDs in
+  ``STRDT``/``LANG``/``DATATYPE``/``IRI``/``URI``/``TZ``, dateTime
+  accessors ``YEAR``..``SECONDS`` and hash digests ``MD5``/``SHA1``/
+  ``SHA256``/``SHA384``/``SHA512`` (aliases may feed later BINDs in
   the same group); ``SELECT (expr AS ?alias)`` projection
-  expressions desugar to trailing BINDs;
-- negated property sets ``!iri`` / ``!(iri1|iri2)`` (a ``p != v``
-  filtered scan; excluded single-predicate partitions prune at
-  row-group stats); ``SELECT REDUCED`` (implemented as DISTINCT);
+  expressions desugar to trailing BINDs; ``SELECT *`` projects every
+  bound variable (internal path-chain vars excluded);
+- negated property sets ``!iri`` / ``!(iri1|^iri2)`` incl. inverse
+  members (a ``p != v`` filtered scan; excluded single-predicate
+  partitions prune at row-group stats); ``SELECT REDUCED``
+  (implemented as DISTINCT);
   ORDER BY compares numeric literals by VALUE with non-null derived
   sort keys (Ray's range sort rejects nullable keys);
-- ``COUNT(DISTINCT ?v)`` and ``GROUP_CONCAT(DISTINCT ?v)`` (grouped:
-  whole-group map_groups pass; global COUNT: one bucketed distinct
-  pass per counted column);
-- ``COUNT(DISTINCT ?v)`` (grouped: whole-group map_groups pass;
-  global: one bucketed distinct pass per counted column);
+- ``DISTINCT`` inside every aggregate (COUNT/SUM/AVG deduplicate
+  values, GROUP_CONCAT the terms; grouped: whole-group map_groups
+  pass; global: one bucketed distinct pass per aggregated column);
+  inline aggregate expressions ``SUM(?a * ?b)`` desugar to hidden
+  BINDs;
 - ``VALUES`` inline data (single- and multi-var), ``ASK`` (limit-1
   existence plan), ``DESCRIBE`` (subject-rooted description, one
   streamed scan with a broadcast membership filter or a distributed
@@ -82,12 +95,21 @@ Beyond the reference file's four shapes, the subset also covers:
   rewrites ``/`` (sequence), ``^`` (inverse), ``|`` (alternation —
   sequence legs allowed: each leg projects to the path endpoints
   before the union) and parenthesized sub-paths (``(a|b)/c``
-  distributes at parse time; ``^(a/b)`` inverts-and-reverses;
-  modifiers on groups like ``(a|b)+`` are out of the subset);
+  distributes at parse time; ``^(a/b)`` inverts-and-reverses).
+  Modified groups close over derived edge relations: ``(p1|p2)+``
+  over the UNION of the members' reads (``AltSet``), ``(p1/p2)+`` /
+  ``((p1/p2)|p3)*`` over each leg's COMPOSED o->s join chain
+  (``SeqSet``), and ``^(G)mod`` swaps the endpoints (inverse of a
+  closure == closure of the inverses);
 - SPARQL-Update: ``INSERT DATA`` / ``INSERT .. WHERE`` (set-semantics
-  append of genuinely new rows) and ``DELETE DATA`` / ``DELETE
-  WHERE`` / ``DELETE .. WHERE`` (partition-local anti-join rewrite
-  with atomic p_key-directory swap); ``CONSTRUCT WHERE`` shorthand.
+  append of genuinely new rows), ``DELETE DATA`` / ``DELETE WHERE`` /
+  ``DELETE .. WHERE`` (partition-local anti-join rewrite with atomic
+  p_key-directory swap), combined ``DELETE/INSERT WHERE`` (both
+  templates instantiate from the SAME pre-state bindings,
+  delete-then-insert), and ``LOAD`` / ``CLEAR`` / ``DROP`` graph
+  management; ``CONSTRUCT WHERE`` shorthand. Template instantiation
+  enforces §16.2 validity: unbound variables and literal subjects/
+  predicates contribute no triple.
 
 Position-crossing chains (``?x p ?y . ?y q ?z``) join correctly: every
 variable gets ONE canonical representation across the whole query
