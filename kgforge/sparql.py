@@ -1286,27 +1286,48 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
         p.next()
         if not _is_kw(p.next(), "by"):
             raise SparqlError("ORDER must be followed by BY")
-        while p.peek() and (p.peek().startswith("?")
-                            or _is_kw(p.peek(), "desc")
-                            or _is_kw(p.peek(), "asc")):
-            tok = p.next()
-            if tok.startswith("?"):
-                order_by.append((tok[1:], False))
-            else:
-                desc = tok.lower() == "desc"
+        # ORDER BY keys: ?var, [ASC|DESC](?var), or an EXPRESSION —
+        # expressions desugar to a hidden per-solution BIND (alias
+        # ``_ord{i}``, excluded from SELECT *) and the sort runs on
+        # the alias column
+        ordbinds: list[BindExpr] = []
+
+        def ord_key(e, desc: bool) -> None:
+            if isinstance(e, Var):
+                order_by.append((e.name, desc))
+                return
+            alias = f"_ord{len(ordbinds)}"
+            ordbinds.append(BindExpr(e, alias))
+            order_by.append((alias, desc))
+
+        while p.peek() is not None:
+            nxt = p.peek()
+            if nxt.startswith("?"):
+                p.next()
+                order_by.append((nxt[1:], False))
+                continue
+            if _is_kw(nxt, "desc") or _is_kw(nxt, "asc"):
+                desc = nxt.lower() == "desc"
+                p.next()
                 p.expect("(")
-                v = p.next()
-                if not v.startswith("?"):
-                    raise SparqlError("ORDER BY needs a ?var")
+                ord_key(p.bind_expr(), desc)
                 p.expect(")")
-                order_by.append((v[1:], desc))
-        nxt = p.peek()
-        if nxt is not None and (nxt.lower() in _BIND_FNS
-                                or nxt == "("):
-            raise SparqlError(
-                "ORDER BY expressions are out of the subset — bind "
-                "the expression to a SELECT alias "
-                "((expr AS ?k) ... ORDER BY ?k)")
+                continue
+            if ":" not in nxt and (nxt.lower() in _BIND_FNS
+                                   or nxt == "("):
+                ord_key(p.bind_expr(), False)
+                continue
+            break
+        if ordbinds:
+            if aggs or group_by:
+                # BINDs evaluate per solution BEFORE aggregation, so
+                # an expression key over a grouped result would read
+                # pre-aggregation values — reject rather than mis-sort
+                raise SparqlError(
+                    "ORDER BY expressions with aggregates are out of "
+                    "the subset — bind the expression to a SELECT "
+                    "alias ((expr AS ?k) ... ORDER BY ?k)")
+            where.binds.extend(ordbinds)
     offset: int | None = None
     while p.peek() and (_is_kw(p.peek(), "limit")
                         or _is_kw(p.peek(), "offset")):
@@ -3201,22 +3222,42 @@ def execute_sparql(store_dir: str, q: Query,
     # expressions are not in-scope per the spec)
     sel = q.select_vars or sorted(
         c for c in bind.cols()
-        if not (c.startswith("_seq") or c.startswith("_aggexpr")))
-    missing = [v for v in sel if v not in bind.cols()]
+        if not (c.startswith("_seq") or c.startswith("_aggexpr")
+                or c.startswith("_ord")))
+    # ORDER BY may reference vars outside the projection (including
+    # the hidden ``_ord*`` expression keys): carry them through the
+    # sort, drop them after — except under DISTINCT, where ordering
+    # by an unprojected var is a spec error
+    ob = list(dict.fromkeys(v for v, _ in (q.order_by or [])))
+    extra = [v for v in ob if v not in sel]
+    missing = ([v for v in sel if v not in bind.cols()]
+               + [v for v in extra if v not in bind.cols()])
     if missing:
         raise SparqlError(f"selected vars not bound: {missing}")
+    if q.distinct and extra:
+        raise SparqlError(
+            "ORDER BY over a variable outside the DISTINCT "
+            "projection is out of the subset")
+    keep = sel + extra
     if bind.small:
-        ds = ray.data.from_arrow(bind.data.select(sel))
+        ds = ray.data.from_arrow(bind.data.select(keep))
     else:
-        sch = pa.schema([(v, pa.string()) for v in sel])
+        sch = pa.schema([(v, pa.string()) for v in keep])
         ds = ray.data.from_arrow(sch.empty_table()).union(
             bind.data.map_batches(
-                lambda b, _s=list(sel): b.select(_s),
+                lambda b, _s=list(keep): b.select(_s),
                 batch_format="pyarrow"))
     if q.distinct:
         from .stages.dedup import distinct
         ds = distinct(ds, sel)
-    return _order_limit(ds, q)
+    ds = _order_limit(ds, q)
+    if extra:
+        # same map-after-sort pattern _order_limit itself uses for
+        # the derived key columns
+        ds = ds.map_batches(
+            lambda b, _s=list(sel): b.select(_s),
+            batch_format="pyarrow")
+    return ds
 
 
 def _order_limit(ds: "ray.data.Dataset", q: Query) -> "ray.data.Dataset":

@@ -1597,9 +1597,13 @@ def test_subset_error_hygiene():
     with pytest.raises(SparqlError, match="UNDEF"):
         parse_sparql("SELECT ?x WHERE { VALUES (?b ?c) "
                      "{ (<http://e/p> UNDEF) } ?x ?b ?c }")
+    # plain ORDER BY expressions now desugar to hidden BINDs (see
+    # test_sparql_builtins); the GROUPED combination stays rejected
+    # because BINDs evaluate pre-aggregation
     with pytest.raises(SparqlError, match="ORDER BY expressions"):
-        parse_sparql("SELECT ?s WHERE { ?s <http://e/p> ?o } "
-                     "ORDER BY STRLEN(STR(?o))")
+        parse_sparql("SELECT ?s (COUNT(?o) AS ?n) WHERE "
+                     "{ ?s <http://e/p> ?o } GROUP BY ?s "
+                     "ORDER BY (0 - ?n)")
 
 
 def test_modify_parse_errors():

@@ -923,3 +923,39 @@ SELECT ?n WHERE {{ ?s <{NS}name> ?n .
     with pytest.raises(SparqlError, match='"i", "s", "m"'):
         parse_sparql(f'SELECT ?n WHERE {{ ?s <{NS}name> ?n . '
                      f'FILTER(REGEX(?n, "x", "q")) }}')
+
+
+# ---------------------------------------------- ORDER BY expressions
+
+def test_order_by_expression(cyc_store):
+    """ORDER BY (expr) desugars to a hidden per-solution BIND; the
+    key column never reaches the output (incl. under SELECT *)."""
+    q = """
+SELECT * WHERE { ?s <http://cy.org/p1> ?x }
+  ORDER BY DESC(STRLEN(STR(?s))) ?s"""
+    df = execute_sparql(cyc_store, parse_sparql(q)[0]).to_pandas()
+    assert sorted(df.columns) == ["s", "x"]
+    assert list(df["s"]) == ["http://cy.org/a", "http://cy.org/b",
+                             "http://cy.org/c", "http://cy.org/d"]
+
+
+def test_order_by_unprojected_var(cyc_store):
+    """ORDER BY may reference a var outside the projection — carried
+    through the sort, dropped after; DISTINCT forbids it."""
+    q = """
+SELECT ?s WHERE { ?s <http://cy.org/v> ?v } ORDER BY DESC(?v)"""
+    df = execute_sparql(cyc_store, parse_sparql(q)[0]).to_pandas()
+    assert list(df.columns) == ["s"]
+    with pytest.raises(SparqlError, match="DISTINCT projection"):
+        execute_sparql(cyc_store, parse_sparql("""
+SELECT DISTINCT ?s WHERE { ?s <http://cy.org/v> ?v }
+  ORDER BY ?v""")[0])
+
+
+def test_order_by_expression_with_aggregates_raises(cyc_store):
+    """Expression keys over grouped results would read pre-aggregation
+    values — rejected with the BIND-alias workaround."""
+    with pytest.raises(SparqlError, match="ORDER BY expressions with"):
+        parse_sparql("""
+SELECT ?s (COUNT(?x) AS ?n) WHERE { ?s <http://cy.org/p1> ?x }
+  GROUP BY ?s ORDER BY (0 - ?n)""")
