@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_iri_constructor_eq"] = versioning.sparql_iri_constructor_eq
     # UNION legs binding different variables (null padding)
     q["sparql_union_disjoint"] = versioning.sparql_union_disjoint
+    # GROUP BY (expr AS ?alias) — per-solution BIND desugar
+    q["sparql_groupby_expr"] = versioning.sparql_groupby_expr
     # zero-or-more property path (Kleene-plus closure + reflexive
     # node-domain pairs)
     q["sparql_star_path"] = versioning.sparql_star_path
@@ -445,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_iri_constructor_eq"] = (
         versioning.sparql_iri_constructor_eq_sql())
     o["sparql_union_disjoint"] = versioning.sparql_union_disjoint_sql()
+    o["sparql_groupby_expr"] = versioning.sparql_groupby_expr_sql()
     o["sparql_star_path"] = versioning.sparql_star_path_sql()
     o["sparql_distinct_types"] = versioning.sparql_distinct_types_sql()
     o["sparql_sum_avg"] = versioning.sparql_sum_avg_sql()

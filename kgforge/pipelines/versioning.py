@@ -2374,3 +2374,30 @@ SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR),
        '"' || CAST((p_partkey * 7) % 13 AS VARCHAR) || '"'
 FROM part WHERE p_partkey % 3 = 0
 """
+
+
+GROUPBY_EXPR_QUERY_TEXT = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?tier (COUNT(?p) AS ?n) WHERE {
+  ?p c:weight ?w
+} GROUP BY (IF(?w > 48, "high", "low") AS ?tier)
+"""
+
+
+def sparql_groupby_expr(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY expression gate: the key expression desugars to a
+    per-solution BIND (pre-aggregation, the spec's evaluation order)
+    and the groupby runs on the alias column."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(GROUPBY_EXPR_QUERY_TEXT)[0]
+    assert q.group_by == ["tier"]
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_groupby_expr_sql() -> str:
+    return f"""
+SELECT CASE WHEN (p_partkey * 31) % 97 > 48
+            THEN '"high"' ELSE '"low"' END AS tier,
+       COUNT(*) AS n
+FROM part GROUP BY 1
+"""

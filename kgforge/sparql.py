@@ -1239,8 +1239,26 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
         p.next()
         if not _is_kw(p.next(), "by"):
             raise SparqlError("GROUP must be followed by BY")
-        while p.peek() and p.peek().startswith("?"):
-            group_by.append(p.next()[1:])
+        while p.peek() and (p.peek().startswith("?")
+                            or p.peek() == "("):
+            if p.peek().startswith("?"):
+                group_by.append(p.next()[1:])
+                continue
+            # GROUP BY (expr AS ?alias): the key expression desugars
+            # to a per-solution BIND — correct for grouping, since
+            # BINDs evaluate BEFORE aggregation
+            p.expect("(")
+            e = p.bind_expr()
+            if not _is_kw(p.next(), "as"):
+                raise SparqlError(
+                    "GROUP BY expressions need AS ?alias "
+                    "((expr AS ?k))")
+            alias = p.next()
+            if not alias.startswith("?"):
+                raise SparqlError("GROUP BY alias must be a ?var")
+            p.expect(")")
+            where.binds.append(BindExpr(e, alias[1:]))
+            group_by.append(alias[1:])
     having: list[tuple[str, str, float]] = []
     if p.peek() and _is_kw(p.peek(), "having"):
         p.next()

@@ -959,3 +959,17 @@ def test_order_by_expression_with_aggregates_raises(cyc_store):
         parse_sparql("""
 SELECT ?s (COUNT(?x) AS ?n) WHERE { ?s <http://cy.org/p1> ?x }
   GROUP BY ?s ORDER BY (0 - ?n)""")
+
+
+def test_group_by_expression(cyc_store):
+    """GROUP BY (expr AS ?alias) desugars to a per-solution BIND —
+    semantically correct for grouping (BINDs evaluate before
+    aggregation); the bare form without AS raises."""
+    got = _rows(cyc_store, """
+SELECT ?k (COUNT(?s) AS ?n) WHERE { ?s <http://cy.org/p1> ?x }
+  GROUP BY (CONCAT("g-", STR(?s)) AS ?k)""")
+    assert len(got) == 4 and all(n == 1 for _, n in got)
+    with pytest.raises(SparqlError, match="AS [?]alias"):
+        parse_sparql("""
+SELECT ?v (COUNT(?s) AS ?n) WHERE { ?s <http://cy.org/v> ?v }
+  GROUP BY (STR(?v))""")
