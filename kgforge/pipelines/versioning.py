@@ -2401,3 +2401,29 @@ SELECT CASE WHEN (p_partkey * 31) % 97 > 48
        COUNT(*) AS n
 FROM part GROUP BY 1
 """
+
+
+TOPK_GROUPS_QUERY_TEXT = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?cat (COUNT(?p) AS ?n) WHERE {
+  ?p c:typed_in ?cat
+} GROUP BY ?cat ORDER BY DESC(COUNT(?p)) ?cat LIMIT 5
+"""
+
+
+def sparql_topk_groups(sf_dir: str) -> "ray.data.Dataset":
+    """ORDER BY over an aggregate (hidden synthesized agg): the five
+    densest categories — deterministic tie-break on the key."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(TOPK_GROUPS_QUERY_TEXT)[0]
+    assert any(a.hidden for a in q.aggs)
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_topk_groups_sql() -> str:
+    return f"""
+SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>'
+         AS cat,
+       COUNT(*) AS n
+FROM part GROUP BY 1 ORDER BY n DESC, cat LIMIT 5
+"""

@@ -1318,6 +1318,24 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
             ordbinds.append(BindExpr(e, alias))
             order_by.append((alias, desc))
 
+        def ord_agg(desc: bool) -> None:
+            # ORDER BY [DESC](COUNT(?x) ...): synthesize a hidden
+            # aggregate computed alongside the visible ones (the
+            # HAVING mechanism) and sort on its alias — the top-k-
+            # groups idiom
+            fn, var, sep, adist, aexpr = _parse_agg_call(p)
+            if aexpr is not None:
+                var = f"_aggord{len(aggs)}"
+                where.binds.append(BindExpr(aexpr, var))
+            alias = f"_ordagg{len(aggs)}"
+            aggs.append(Agg(fn, var, alias, sep=sep, hidden=True,
+                            distinct=adist))
+            order_by.append((alias, desc))
+
+        def _is_agg(tok) -> bool:
+            return (tok is not None and ":" not in tok
+                    and tok.lower() in _AGG_FNS)
+
         while p.peek() is not None:
             nxt = p.peek()
             if nxt.startswith("?"):
@@ -1328,8 +1346,14 @@ def _parse_select_tail(p: "_P", prefixes: dict[str, str]) -> Query:
                 desc = nxt.lower() == "desc"
                 p.next()
                 p.expect("(")
-                ord_key(p.bind_expr(), desc)
+                if _is_agg(p.peek()):
+                    ord_agg(desc)
+                else:
+                    ord_key(p.bind_expr(), desc)
                 p.expect(")")
+                continue
+            if _is_agg(nxt):
+                ord_agg(False)
                 continue
             if ":" not in nxt and (nxt.lower() in _BIND_FNS
                                    or nxt == "("):
@@ -3379,6 +3403,12 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
         raise SparqlError(f"aggregate vars not bound: {missing}")
     out_cols = list(q.select_vars) + [a.alias for a in q.aggs
                                       if not a.hidden]
+    # hidden aggregates referenced by ORDER BY survive the projection
+    # until after the sort, then drop (same pattern as the derived
+    # sort keys)
+    ord_hidden = [v for v, _ in (q.order_by or [])
+                  if any(a.alias == v and a.hidden for a in q.aggs)]
+    proj_cols = out_cols + ord_hidden
     num_vars = sorted({a.var for a in q.aggs
                        if a.func in ("sum", "avg")})
 
@@ -3445,16 +3475,21 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
                            else bind.data)
         agg = (df.group_by(keys).agg(pl_exprs()) if keys
                else df.select(pl_exprs()))
-        agg = pl_having(agg).select(out_cols)
+        agg = pl_having(agg).select(proj_cols)
         tbl = agg.to_arrow()
         tbl = tbl.cast(pa.schema([(c, alias_type(c))
                                   for c in tbl.column_names]))
         # ordering unified through _order_limit (numeric-aware sort
         # keys for string group vars, native sort for numeric aliases)
-        return _order_limit(ray.data.from_arrow(tbl),
-                            Query(q.form, q.distinct, [], [], q.where,
-                                  {}, order_by=q.order_by,
-                                  limit=q.limit, offset=q.offset))
+        res = _order_limit(ray.data.from_arrow(tbl),
+                           Query(q.form, q.distinct, [], [], q.where,
+                                 {}, order_by=q.order_by,
+                                 limit=q.limit, offset=q.offset))
+        if ord_hidden:
+            res = res.map_batches(
+                lambda b, _s=list(out_cols): b.select(_s),
+                batch_format="pyarrow")
+        return res
 
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
     # COUNT(*) probes an arbitrary bound column: bindings are never
@@ -3551,9 +3586,9 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
         tbl = pa.table({a.alias: [row[a.alias]] for a in q.aggs})
         agg_ds = ray.data.from_arrow(tbl)
 
-    types = {c: alias_type(c) for c in out_cols}
+    types = {c: alias_type(c) for c in proj_cols}
 
-    def finish(b: pa.Table, _out=list(out_cols), _ty=dict(types),
+    def finish(b: pa.Table, _out=list(proj_cols), _ty=dict(types),
                _hav=list(q.having)) -> pa.Table:
         for alias, op, val in _hav:
             col = pc.cast(b[alias], pa.float64())
@@ -3566,8 +3601,13 @@ def _apply_aggregates(bind: _Bind, q: Query) -> "ray.data.Dataset":
         b = b.select(_out)
         return b.cast(pa.schema([(c, _ty[c]) for c in b.column_names]))
 
-    return _order_limit(
+    res = _order_limit(
         agg_ds.map_batches(finish, batch_format="pyarrow"), q)
+    if ord_hidden:
+        res = res.map_batches(
+            lambda b, _s=list(out_cols): b.select(_s),
+            batch_format="pyarrow")
+    return res
 
 
 def sparql_insert(store_dir: str, q: Query) -> "ray.data.Dataset":

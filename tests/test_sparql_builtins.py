@@ -973,3 +973,17 @@ SELECT ?k (COUNT(?s) AS ?n) WHERE { ?s <http://cy.org/p1> ?x }
         parse_sparql("""
 SELECT ?v (COUNT(?s) AS ?n) WHERE { ?s <http://cy.org/v> ?v }
   GROUP BY (STR(?v))""")
+
+
+def test_order_by_aggregate(cyc_store):
+    """ORDER BY DESC(COUNT(?x)) — hidden synthesized aggregate, the
+    top-k-groups idiom; the hidden alias never reaches the output."""
+    got = _rows(cyc_store, """
+SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+  GROUP BY ?s ORDER BY DESC(COUNT(?o)) ?s LIMIT 1""")
+    assert got == [(3, "http://cy.org/b")]   # p1, p2, v; cols (n, s)
+    q = """
+SELECT ?s WHERE { ?s ?p ?o }
+  GROUP BY ?s ORDER BY DESC(SUM(?o * 2)) ?s LIMIT 2"""
+    df = execute_sparql(cyc_store, parse_sparql(q)[0]).to_pandas()
+    assert list(df.columns) == ["s"]         # no _ordagg leak
