@@ -157,6 +157,9 @@ class Iri:
 @dataclass(frozen=True)
 class Lit:
     value: str
+    #: rendered term-form decoration suffix: "" (simple literal),
+    #: "@en" (language tag) or "^^<iri>" (datatype)
+    tag: str = ""
 
 
 @dataclass(frozen=True)
@@ -324,7 +327,10 @@ class SparqlError(ValueError):
 
 _TOKEN_RE = re.compile(r"""
     (?P<iri><[^<>\s]*>)
-  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<string>"(?:[^"\\]|\\.)*"
+      (?:@[A-Za-z]+(?:-[A-Za-z0-9]+)*
+        |\^\^<[^<>\s]*>
+        |\^\^[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*)?)
   | (?P<comment>\#[^\n]*)
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|:[A-Za-z0-9_.\-]+)
@@ -519,7 +525,22 @@ class _P:
         if tok.startswith("<") and tok.endswith(">"):
             return Iri(tok[1:-1])
         if tok.startswith('"'):
-            return Lit(tok[1:-1])
+            # the lexer keeps any @lang / ^^datatype decoration in the
+            # same token; split it off and render the term-form suffix
+            m = re.match(r'^("(?:[^"\\]|\\.)*")(.*)$', tok, re.S)
+            body, suffix = m.group(1)[1:-1], m.group(2)
+            if not suffix:
+                return Lit(body)
+            if suffix.startswith("@"):
+                return Lit(body, suffix)
+            dt = suffix[2:]
+            if dt.startswith("<") and dt.endswith(">"):
+                return Lit(body, f"^^{dt}")
+            pfx, local = dt.split(":", 1)
+            if pfx not in self.prefixes:
+                raise SparqlError(
+                    f"undeclared prefix {pfx!r} in {tok!r}")
+            return Lit(body, f"^^<{self.prefixes[pfx] + local}>")
         if tok[0].isdigit() or (tok[0] == "-" and len(tok) > 1
                                 and tok[1].isdigit()):
             return Num(tok)
@@ -1595,7 +1616,8 @@ def _const_repr(term, pos_cls: str) -> str:
             return "\x00<no-term>"
         return f"<{term.value}>" if pos_cls == "term" else term.value
     if isinstance(term, Lit):
-        return term.value if pos_cls == "str" else f'"{term.value}"'
+        return (term.value if pos_cls == "str"
+                else f'"{term.value}"{term.tag}')
     if isinstance(term, Num):
         # exact-form term identity (the store renders integer literals
         # with their lexical value) — used by = / != / IN lists
@@ -1609,7 +1631,7 @@ def _values_repr(term, pos_cls: str) -> str:
     if isinstance(term, Iri):
         return term.value if pos_cls == "iri" else f"<{term.value}>"
     if isinstance(term, Lit):
-        return f'"{term.value}"'
+        return f'"{term.value}"{term.tag}'
     raise SparqlError(f"not a VALUES constant: {term}")
 
 
@@ -2523,7 +2545,8 @@ def _eval_bind_expr(b: pa.Table, expr, cls: dict[str, str]):
         if isinstance(expr, Iri):
             val = expr.value          # iri-cls: raw IRI space
         elif isinstance(expr, Lit):
-            val = f'"{expr.value}"'   # term-cls: rendered literal
+            # term-cls: rendered literal (incl. @lang / ^^dt suffix)
+            val = f'"{expr.value}"{expr.tag}'
         else:
             val = expr.value          # numeric lexical form
         return pa.array([val] * b.num_rows, pa.string())

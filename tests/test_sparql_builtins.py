@@ -987,3 +987,22 @@ SELECT ?s WHERE { ?s ?p ?o }
   GROUP BY ?s ORDER BY DESC(SUM(?o * 2)) ?s LIMIT 2"""
     df = execute_sparql(cyc_store, parse_sparql(q)[0]).to_pandas()
     assert list(df.columns) == ["s"]         # no _ordagg leak
+
+
+def test_decorated_literal_constants(store):
+    """Lang-tagged and ^^datatyped literal CONSTANTS in patterns,
+    FILTERs, IN lists and VALUES (term identity incl. decoration)."""
+    got = _rows(store, f'SELECT ?s WHERE {{ ?s <{NS}name> '
+                       f'"item 0 x"@en-US }}')
+    assert got == [(f"{NS}it0",)]
+    assert _rows(store, f'SELECT ?s WHERE {{ ?s <{NS}name> '
+                        f'"item 0 x" }}') == []   # plain != @en-US
+    got2 = _rows(store, f"""
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+SELECT ?s WHERE {{ ?s <{NS}name> ?n .
+  FILTER(?n = "item 2 x") }}""")
+    assert got2 == [(f"{NS}it2",)]
+    got3 = _rows(store, f"""
+SELECT ?s WHERE {{ ?s <{NS}name> ?n .
+  FILTER(?n IN ("item 1 x"@en, "item 2 x")) }}""")
+    assert got3 == [(f"{NS}it1",), (f"{NS}it2",)]
