@@ -43,6 +43,11 @@ RESULT_FORMATS = ("csv", "tsv", "json", "xml", "nt")
 _TYPED_RE = re.compile(r'^"(?P<lex>(?:[^"\\]|\\.)*)"'
                        r'(?:\^\^<(?P<dt>[^<>]*)>|@(?P<lang>[A-Za-z0-9-]+))?$')
 
+#: bare (undecorated) values: iri-class columns hold bare IRIs, but
+#: plain-string BIND aliases (UCASE/CONCAT/arith results) are bare
+#: LITERALS — only a scheme-shaped value reads as an IRI
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:\S*$")
+
 
 def _unescape(lex: str) -> str:
     """N-Triples-style escapes in a rendered literal -> raw text."""
@@ -64,8 +69,11 @@ def _decode_term(v):
     if m is not None:
         return ("literal", _unescape(m.group("lex")),
                 m.group("dt"), m.group("lang"))
-    # iri-class column: bare IRI
-    return "uri", v, None, None
+    if _SCHEME_RE.match(v):
+        # iri-class column: bare IRI
+        return "uri", v, None, None
+    # plain-string alias column: a bare simple literal
+    return "literal", v, None, None
 
 
 def _csv_field(s: str) -> str:
@@ -81,7 +89,9 @@ def _tsv_term(v) -> str:
         return ""
     if v.startswith("<") or v.startswith('"'):
         return v          # already SPARQL syntax
-    return f"<{v}>"       # bare iri-class value
+    if _SCHEME_RE.match(v):
+        return f"<{v}>"   # bare iri-class value
+    return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
 
 
 def _json_binding(v):

@@ -187,3 +187,24 @@ def test_write_results_nt_construct(ray_session, result_store,
     with pytest.raises(ValueError):
         write_sparql_results(execute_sparql(result_store, qsel),
                              str(tmp_path / "bad.nt"), "nt")
+
+
+def test_bare_plain_string_is_literal(ray_session, result_store, tmp_path):
+    """A plain-string BIND alias column (bare values) serializes as a
+    LITERAL, not an IRI — only scheme-shaped bare values read as IRIs."""
+    from kgforge.sparql import execute_sparql, parse_sparql
+    q = parse_sparql("""
+SELECT ?s ?u WHERE { ?s <http://e/p2> ?w .
+  BIND(UCASE(STR(?w)) AS ?u) }""")[0]
+    ds = execute_sparql(result_store, q)
+    path = str(tmp_path / "plain.json")
+    write_sparql_results(ds, path, "json")
+    doc = json.load(open(path))
+    kinds = {b["u"]["type"] for b in doc["results"]["bindings"]}
+    assert kinds == {"literal"}
+    assert {b["s"]["type"] for b in doc["results"]["bindings"]} \
+        == {"uri"}
+    path2 = str(tmp_path / "plain.tsv")
+    write_sparql_results(ds, path2, "tsv")
+    body = open(path2).read().splitlines()[1:]
+    assert all("\t\"" in ln for ln in body)   # quoted literal column
