@@ -1712,7 +1712,9 @@ def _eval_schema_pattern(store_dir: str, pat: Pattern,
 
 def _eval_store_pattern(store_dir: str, pat: Pattern,
                         p_values: list[str] | None,
-                        cls: dict[str, str]) -> "ray.data.Dataset":
+                        cls: dict[str, str],
+                        eq_hints: dict[str, str] | None = None
+                        ) -> "ray.data.Dataset":
     """One triple pattern -> Dataset of its variable columns, each in
     the variable's canonical representation (s/p raw IRIs are WRAPPED
     to term form for 'term'-class variables so position-crossing
@@ -1723,6 +1725,11 @@ def _eval_store_pattern(store_dir: str, pat: Pattern,
     from .sinks.store_query import query_triples
     s = pat.s.value if isinstance(pat.s, Iri) else None
     o = _const_repr(pat.o, "term") if not isinstance(pat.o, Var) else None
+    if eq_hints:
+        # group-filter equality pushdown (see _eval_group): the same
+        # constraint the filter enforces, applied at the parquet read
+        s = s if s is not None else eq_hints.get("s")
+        o = o if o is not None else eq_hints.get("o")
     if isinstance(pat.p, Iri):
         ds = query_triples(store_dir, s=s, p=pat.p.value, o=o)
     elif isinstance(pat.p, NegSet):
@@ -2960,8 +2967,32 @@ def _eval_group(store_dir: str, g: Group,
                 p_values = sorted(set(
                     v[1:-1] if v.startswith("<") and v.endswith(">") else v
                     for v in vals.to_pylist() if v is not None))
+            # group-level term-identity EQUALITY filters on this
+            # pattern's variables push into the read: ?p = <iri>
+            # prunes to one partition, ?s/?o = const push as parquet
+            # row-group filters. Sound — the filter still applies
+            # post-join (idempotent); Num filters stay out (numeric
+            # VALUE equality matches multiple lexical forms).
+            eqs: dict[str, object] = {}
+            for col, t in (("s", pat.s), ("p", pat.p), ("o", pat.o)):
+                if not isinstance(t, Var):
+                    continue
+                for f in g.filters:
+                    if (f.op == "=" and f.var == t.name
+                            and isinstance(f.term, (Lit, Iri))):
+                        eqs[col] = f.term
+                        break
+            if ("p" in eqs and p_values is None
+                    and isinstance(eqs["p"], Iri)):
+                p_values = [eqs["p"].value]
+            eq_hints = {}
+            if "s" in eqs and isinstance(eqs["s"], Iri):
+                eq_hints["s"] = eqs["s"].value          # raw IRI space
+            if "o" in eqs:
+                eq_hints["o"] = _const_repr(eqs["o"], "term")
             new = _Bind(
-                _eval_store_pattern(store_dir, pat, p_values, cls), cls,
+                _eval_store_pattern(store_dir, pat, p_values, cls,
+                                    eq_hints=eq_hints), cls,
                 list(dict.fromkeys(_pattern_cols(pat).values())))
         bind = (new if bind is None
                 else _join_binds(bind, new, cls))

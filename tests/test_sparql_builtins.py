@@ -1006,3 +1006,17 @@ SELECT ?s WHERE {{ ?s <{NS}name> ?n .
 SELECT ?s WHERE {{ ?s <{NS}name> ?n .
   FILTER(?n IN ("item 1 x"@en, "item 2 x")) }}""")
     assert got3 == [(f"{NS}it1",), (f"{NS}it2",)]
+
+
+def test_filter_equality_pushdown(cyc_store):
+    """Group-level term-identity equality filters push into the
+    pattern reads (partition prune for ?p, parquet filters for ?s/?o)
+    — results identical to the post-hoc filter, incl. OPTIONAL."""
+    got = _rows(cyc_store, """
+SELECT ?s ?o WHERE { ?s ?p ?o . FILTER(?p = <http://cy.org/v>) }""")
+    assert got == [("http://cy.org/b", '"10"')]
+    opt = _rows(cyc_store, """
+SELECT ?x ?v WHERE { ?s <http://cy.org/p1> ?x
+  OPTIONAL { ?s <http://cy.org/v> ?v }
+  FILTER(?x = <http://cy.org/c>) }""")
+    assert opt == [("<http://cy.org/c>", '"10"')]
