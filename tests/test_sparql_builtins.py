@@ -1014,9 +1014,9 @@ def test_filter_equality_pushdown(cyc_store):
     — results identical to the post-hoc filter, incl. OPTIONAL."""
     got = _rows(cyc_store, """
 SELECT ?s ?o WHERE { ?s ?p ?o . FILTER(?p = <http://cy.org/v>) }""")
-    assert got == [("http://cy.org/b", '"10"')]
+    assert got == [('"10"', "http://cy.org/b")]   # cols (o, s)
     opt = _rows(cyc_store, """
 SELECT ?x ?v WHERE { ?s <http://cy.org/p1> ?x
   OPTIONAL { ?s <http://cy.org/v> ?v }
   FILTER(?x = <http://cy.org/c>) }""")
-    assert opt == [("<http://cy.org/c>", '"10"')]
+    assert opt == [('"10"', "<http://cy.org/c>")]  # cols (v, x)
