@@ -72,7 +72,16 @@ Beyond the reference file's four shapes, the subset also covers:
   ``SHA256``/``SHA384``/``SHA512`` (aliases may feed later BINDs in
   the same group); ``SELECT (expr AS ?alias)`` projection
   expressions desugar to trailing BINDs; ``SELECT *`` projects every
-  bound variable (internal path-chain vars excluded);
+  bound variable (internal path-chain vars excluded); ``ORDER BY``
+  accepts expressions (hidden per-solution BINDs, dropped post-sort),
+  unprojected variables, and AGGREGATES (``ORDER BY DESC(COUNT(?x))``
+  — hidden synthesized agg, the top-k-groups idiom); ``GROUP BY
+  (expr AS ?alias)`` desugars the key the same way; lang-tagged and
+  datatyped literal CONSTANTS (``"v"@en`` / ``"v"^^xsd:int``) carry
+  their decoration into term-identity matching; group-level equality
+  filters PUSH INTO the pattern reads (``?p = <iri>`` prunes to one
+  partition, ``?s``/``?o`` equalities become parquet row-group
+  filters);
 - negated property sets ``!iri`` / ``!(iri1|^iri2)`` incl. inverse
   members (a ``p != v`` filtered scan; excluded single-predicate
   partitions prune at row-group stats); ``SELECT REDUCED``
