@@ -190,3 +190,28 @@ def test_fuzz_regex_flags(ray_session, tmp_path, seed):
       SELECT s, o FROM trip WHERE p = 'http://z/p2'
       AND regexp_matches({STR_SQL.format(c='o')}, 'WORD [0-2]', 'i')""")
     assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_eq_pushdown(ray_session, tmp_path, seed):
+    """Group-level equality filters pushed into the pattern reads give
+    the same rows as DuckDB's plain WHERE (?p partition prune, ?o
+    parquet filter, mixed with a second free pattern)."""
+    store, con = _rand_store(seed, tmp_path)
+    got = _got(store, """
+      SELECT ?s ?o WHERE {
+        ?s ?p ?o . FILTER(?p = <http://z/p1>)
+        FILTER(?o = "word 3") }""")
+    want = _want(con, """
+      SELECT s, o FROM trip
+      WHERE p = 'http://z/p1' AND o = '"word 3"'""")
+    assert got == want
+    got2 = _got(store, """
+      SELECT ?s ?b WHERE {
+        ?s <http://z/p0> ?a . ?s <http://z/p2> ?b .
+        FILTER(?a = <http://z/s4>) }""")
+    want2 = _want(con, """
+      SELECT a.s AS s, b.o AS b FROM trip a JOIN trip b ON a.s = b.s
+      WHERE a.p = 'http://z/p0' AND b.p = 'http://z/p2'
+        AND a.o = '<http://z/s4>'""")
+    assert got2 == want2
