@@ -345,7 +345,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*|:[A-Za-z0-9_.\-]+)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>!=|<=|>=|\|\||&&|=|<|>|\{|\}|\(|\)|\.|;|,|\*|\+|\-|\^|/|\||\?|!)
+  | (?P<punct>!=|<=|>=|\|\||&&|=|<|>|\{|\}|\(|\)|\[|\]|\.|;|,|\*|\+|\-|\^|/|\||\?|!)
   | (?P<ws>\s+)
 """, re.X)
 
@@ -1081,14 +1081,45 @@ class _P:
             alts.append(leg)
         group.unions.append(alts)
 
+    def node_term(self, out: list[Pattern],
+                  group: "Group | None"):
+        """A subject/object NODE: a plain term, or a blank-node
+        property list ``[ p o ; ... ]`` — desugared to a fresh
+        variable plus its inner patterns (a query blank node is an
+        existential variable scoped to the group, spec §4.1.4)."""
+        if self.peek() != "[":
+            return self.term()
+        if group is None:
+            raise SparqlError(
+                "blank-node property lists are not allowed in a "
+                "template (they would mint per-solution blanks)")
+        self.next()
+        self._bn = getattr(self, "_bn", 0) + 1
+        v = Var(f"_bn{self._bn}")
+        while self.peek() != "]":
+            seqs = self.path_spec()
+            while True:
+                o = self.node_term(out, group)
+                self.emit_path(out, group, v, seqs, o)
+                if self.peek() == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek() == ";":
+                self.next()
+                continue
+            break
+        self.expect("]")
+        return v
+
     def triples_block(self, out: list[Pattern], stop: set[str],
                       group: "Group | None" = None) -> None:
         """subject (path obj (',' obj)*) (';' path obj ...)* '.'?"""
-        s = self.term()
+        s = self.node_term(out, group)
         while True:
             seqs = self.path_spec()
             while True:
-                o = self.term()
+                o = self.node_term(out, group)
                 self.emit_path(out, group, s, seqs, o)
                 if self.peek() == ",":
                     self.next()
@@ -3328,7 +3359,7 @@ def execute_sparql(store_dir: str, q: Query,
     sel = q.select_vars or sorted(
         c for c in bind.cols()
         if not (c.startswith("_seq") or c.startswith("_aggexpr")
-                or c.startswith("_ord")))
+                or c.startswith("_ord") or c.startswith("_bn")))
     # ORDER BY may reference vars outside the projection (including
     # the hidden ``_ord*`` expression keys): carry them through the
     # sort, drop them after — except under DISTINCT, where ordering

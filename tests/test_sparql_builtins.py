@@ -1020,3 +1020,22 @@ SELECT ?x ?v WHERE { ?s <http://cy.org/p1> ?x
   OPTIONAL { ?s <http://cy.org/v> ?v }
   FILTER(?x = <http://cy.org/c>) }""")
     assert opt == [('"10"', "<http://cy.org/c>")]  # cols (v, x)
+
+
+def test_blank_node_property_lists(cyc_store):
+    """[ p o ; ... ] desugars to a fresh existential variable plus its
+    inner patterns (spec §4.1.4); nested lists and the subject
+    position work; templates reject them; no _bn leak in SELECT *."""
+    got = _rows(cyc_store, """
+SELECT ?s WHERE { ?s <http://cy.org/p1> [ <http://cy.org/v> ?x ] }""")
+    assert got == [("http://cy.org/a",)]       # a-p1->b, b-v->"10"
+    sub = _rows(cyc_store, """
+SELECT ?d WHERE { [ <http://cy.org/p2> ?d ] <http://cy.org/v> ?x }""")
+    assert sub == [("<http://cy.org/d>",)]     # b has p2 and v
+    df = execute_sparql(cyc_store, parse_sparql("""
+SELECT * WHERE { ?s <http://cy.org/p1> [] }""")[0]).to_pandas()
+    assert sorted(df.columns) == ["s"]
+    with pytest.raises(SparqlError, match="template"):
+        parse_sparql("""
+CONSTRUCT { ?s <http://cy.org/q> [ <http://cy.org/r> ?x ] }
+WHERE { ?s <http://cy.org/v> ?x }""")
