@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sparql_groupby_expr"] = versioning.sparql_groupby_expr
     # ORDER BY over an aggregate (hidden synthesized agg, top-k groups)
     q["sparql_topk_groups"] = versioning.sparql_topk_groups
+    # blank-node property list desugar
+    q["sparql_bnode_list"] = versioning.sparql_bnode_list
     # zero-or-more property path (Kleene-plus closure + reflexive
     # node-domain pairs)
     q["sparql_star_path"] = versioning.sparql_star_path
@@ -451,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
     o["sparql_union_disjoint"] = versioning.sparql_union_disjoint_sql()
     o["sparql_groupby_expr"] = versioning.sparql_groupby_expr_sql()
     o["sparql_topk_groups"] = versioning.sparql_topk_groups_sql()
+    o["sparql_bnode_list"] = versioning.sparql_bnode_list_sql()
     o["sparql_star_path"] = versioning.sparql_star_path_sql()
     o["sparql_distinct_types"] = versioning.sparql_distinct_types_sql()
     o["sparql_sum_avg"] = versioning.sparql_sum_avg_sql()

@@ -2427,3 +2427,32 @@ SELECT '<{NSC}cat' || CAST(p_partkey % {N_CATS} + 2 AS VARCHAR) || '>'
        COUNT(*) AS n
 FROM part GROUP BY 1 ORDER BY n DESC, cat LIMIT 5
 """
+
+
+BNODE_LIST_QUERY_TEXT = """
+PREFIX c: <https://kgforge.example.org/cat/>
+SELECT ?p ?w WHERE {
+  ?p c:typed_in [ c:subCategoryOf ?anc ] .
+  ?p c:weight ?w .
+  FILTER(?anc = <https://kgforge.example.org/cat/cat1>)
+}
+"""
+
+
+def sparql_bnode_list(sf_dir: str) -> "ray.data.Dataset":
+    """Blank-node property list gate: the [ ... ] object desugars to
+    a fresh existential variable joining typed_in to the taxonomy —
+    parts whose category's PARENT is the root."""
+    from ..sparql import execute_sparql, parse_sparql
+    q = parse_sparql(BNODE_LIST_QUERY_TEXT)[0]
+    assert len(q.where.patterns) == 3    # desugared inner pattern
+    return execute_sparql(category_store(sf_dir), q)
+
+
+def sparql_bnode_list_sql() -> str:
+    # cats with parent cat1: k // 2 == 1 -> k in {2, 3}
+    return f"""
+SELECT '{NSC}part' || CAST(p_partkey AS VARCHAR) AS p,
+       '"' || CAST((p_partkey * 31) % 97 AS VARCHAR) || '"' AS w
+FROM part WHERE (p_partkey % {N_CATS} + 2) IN (2, 3)
+"""
