@@ -125,22 +125,20 @@ def _gen_case(rng):
     return sparql, outer
 
 
-def _got(store, q):
-    df = execute_sparql(store, parse_sparql(q)[0]).to_pandas()
+def _norm(df):
     if len(df) == 0:
         return []
-    df = df.fillna("NULL")
+    df = df.fillna("NULL").astype(str)
     return sorted(map(tuple, df[sorted(df.columns)]
                       .itertuples(index=False)))
+
+
+def _got(store, q):
+    return _norm(execute_sparql(store, parse_sparql(q)[0]).to_pandas())
 
 
 def _want(con, sql):
-    df = con.sql(sql).df()
-    if len(df) == 0:
-        return []
-    df = df.fillna("NULL")
-    return sorted(map(tuple, df[sorted(df.columns)]
-                      .itertuples(index=False)))
+    return _norm(con.sql(sql).df())
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -149,6 +147,54 @@ def test_generative_bgp_fuzz(ray_session, tmp_path, seed):
     store, con = _rand_store(rng, tmp_path, seed)
     for case in range(CASES_PER_SEED):
         sparql, sql = _gen_case(rng)
+        got = _got(store, sparql)
+        want = _want(con, sql)
+        assert got == want, (f"seed={seed} case={case}\n"
+                             f"SPARQL: {sparql}\nSQL: {sql}")
+
+
+def _gen_agg_case(rng):
+    """Random grouped-aggregate query + mirror: COUNT/SUM over the
+    star join's bag multiplicities."""
+    p1, p2 = (PREDS[rng.randint(len(PREDS))],
+              PREDS[rng.randint(len(PREDS))])
+    fn = ["count", "sum"][rng.randint(2)]
+    if fn == "count":
+        sparql = (f"SELECT ?x (COUNT(?a) AS ?n) WHERE {{ "
+                  f"?x <{p1}> ?a . ?x <{p2}> ?b }} GROUP BY ?x")
+        agg = "COUNT(t0.o)"
+    else:
+        sparql = (f"SELECT ?x (SUM(?a) AS ?n) WHERE {{ "
+                  f"?x <{p1}> ?a . ?x <{p2}> ?b }} GROUP BY ?x")
+        # engine SUM: numeric lexical values only, float64; a group
+        # with NO numeric value is an aggregate type error -> the
+        # alias stays unbound (NULL), matching SQL SUM-over-all-NULL
+        agg = f"SUM({NUM_SQL.format(c='t0.o')})"
+    sql = (f"SELECT t0.s AS x, {agg} AS n "
+           f"FROM trip t0 JOIN trip t1 ON t1.s = t0.s "
+           f"WHERE t0.p = '{p1}' AND t1.p = '{p2}' GROUP BY 1")
+    return sparql, sql
+
+
+def _gen_minus_case(rng):
+    p1, p2 = (PREDS[rng.randint(len(PREDS))],
+              PREDS[rng.randint(len(PREDS))])
+    lit = f"w{rng.randint(6)}"
+    sparql = (f"SELECT ?x ?a WHERE {{ ?x <{p1}> ?a "
+              f"MINUS {{ ?x <{p2}> \"{lit}\" }} }}")
+    sql = (f"SELECT s AS x, o AS a FROM trip WHERE p = '{p1}' "
+           f"AND s NOT IN (SELECT s FROM trip WHERE p = '{p2}' "
+           f"AND o = '\"{lit}\"')")
+    return sparql, sql
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_generative_agg_minus_fuzz(ray_session, tmp_path, seed):
+    rng = np.random.RandomState(seed + 1000)
+    store, con = _rand_store(rng, tmp_path, f"am{seed}")
+    for case in range(8):
+        gen = _gen_agg_case if case % 2 == 0 else _gen_minus_case
+        sparql, sql = gen(rng)
         got = _got(store, sparql)
         want = _want(con, sql)
         assert got == want, (f"seed={seed} case={case}\n"
